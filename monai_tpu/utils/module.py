@@ -1,0 +1,282 @@
+"""Soft-dependency import machinery, option lookup, and object instantiation.
+
+Parity targets: monai/utils/module.py (look_up_option:115, damerau_levenshtein:171,
+instantiate:205, optional_import:315, min_version:275, require_pkg:388).
+"""
+from __future__ import annotations
+
+import enum
+import functools
+import importlib
+import inspect
+import warnings
+from collections.abc import Callable, Collection, Hashable, Mapping
+from importlib import import_module
+from types import FunctionType, ModuleType
+from typing import Any
+
+from .enums import CompInitMode
+
+OPTIONAL_IMPORT_MSG_FMT = "{}"
+
+
+def look_up_option(opt_str: Hashable, supported: Collection | enum.EnumMeta, default: Any = "no_default",
+                   print_all_options: bool = True):
+    """Look up an option in supported keys with did-you-mean errors
+    (reference: monai/utils/module.py:115)."""
+    if not isinstance(opt_str, Hashable):
+        raise ValueError(f"Unrecognized option type: {type(opt_str)}:{opt_str}.")
+    if isinstance(opt_str, str):
+        opt_str = opt_str.strip()
+    if isinstance(supported, enum.EnumMeta):
+        if isinstance(opt_str, str) and opt_str in {item.value for item in supported}:
+            return supported(opt_str)
+        if isinstance(opt_str, enum.Enum) and opt_str in supported:
+            return opt_str
+    elif isinstance(supported, Mapping) and opt_str in supported:
+        return supported[opt_str]
+    elif isinstance(supported, Collection) and opt_str in supported:
+        return opt_str
+
+    if default != "no_default":
+        return default
+
+    set_to_check: set
+    if isinstance(supported, enum.EnumMeta):
+        set_to_check = {item.value for item in supported}
+    else:
+        set_to_check = set(supported) if supported is not None else set()
+    if not set_to_check:
+        raise ValueError(f"No options available: {supported}.")
+    edit_dists = {}
+    opt_str_ = str(opt_str)
+    for key in set_to_check:
+        edit_dist = damerau_levenshtein_distance(str(key), opt_str_)
+        if edit_dist <= 3:
+            edit_dists[key] = edit_dist
+
+    supported_msg = f"Available options are {set_to_check}.\n" if print_all_options else ""
+    if edit_dists:
+        guess_at_spelling = min(edit_dists, key=edit_dists.get)
+        raise ValueError(
+            f"By '{opt_str}', did you mean '{guess_at_spelling}'?\n"
+            f"'{opt_str}' is not a valid value.\n" + supported_msg
+        )
+    raise ValueError(f"Unsupported option '{opt_str}', " + supported_msg)
+
+
+def damerau_levenshtein_distance(s1: str, s2: str) -> int:
+    """Edit distance with transpositions (reference: monai/utils/module.py:171)."""
+    if s1 == s2:
+        return 0
+    string_1_length, string_2_length = len(s1), len(s2)
+    if not s1:
+        return string_2_length
+    if not s2:
+        return string_1_length
+    d = {(i, -1): i + 1 for i in range(-1, string_1_length + 1)}
+    for j in range(-1, string_2_length + 1):
+        d[(-1, j)] = j + 1
+    for i, s1i in enumerate(s1):
+        for j, s2j in enumerate(s2):
+            cost = 0 if s1i == s2j else 1
+            d[(i, j)] = min(d[(i - 1, j)] + 1, d[(i, j - 1)] + 1, d[(i - 1, j - 1)] + cost)
+            if i and j and s1i == s2[j - 1] and s1[i - 1] == s2j:
+                d[(i, j)] = min(d[(i, j)], d[i - 2, j - 2] + cost)
+    return d[string_1_length - 1, string_2_length - 1]
+
+
+def min_version(the_module: Any, min_version_str: str = "", *_args) -> bool:
+    """True if module version >= min_version (reference: monai/utils/module.py:275)."""
+    if not min_version_str or not hasattr(the_module, "__version__"):
+        return True
+    mod_version = tuple(int(x) for x in the_module.__version__.split(".")[:2])
+    required = tuple(int(x) for x in min_version_str.split(".")[:2])
+    return mod_version >= required
+
+
+def exact_version(the_module: Any, version_str: str = "", *_args) -> bool:
+    if not hasattr(the_module, "__version__"):
+        warnings.warn(f"{the_module} has no attribute __version__ in exact_version check.")
+        return False
+    return bool(the_module.__version__ == version_str)
+
+
+class OptionalImportError(ImportError):
+    """Raised when an optional dependency is accessed but unavailable."""
+
+
+def optional_import(module: str, version: str = "", version_checker: Callable = min_version, name: str = "",
+                    descriptor: str = OPTIONAL_IMPORT_MSG_FMT, version_args: Any = None,
+                    allow_namespace_pkg: bool = False) -> tuple[Any, bool]:
+    """Import an optional module/attribute, deferring failure to first use
+    (reference: monai/utils/module.py:315)."""
+    tb = None
+    exception_str = ""
+    try:
+        pkg = __import__(module)
+        the_module = import_module(module)
+        if not allow_namespace_pkg:
+            is_namespace = getattr(the_module, "__file__", None) is None and hasattr(the_module, "__path__")
+            if is_namespace:
+                raise AssertionError
+        if name:
+            the_module = getattr(the_module, name)
+    except Exception as import_exception:
+        tb = import_exception.__traceback__
+        exception_str = f"{import_exception}"
+    else:
+        if version_args and version_checker(pkg, f"{version}", version_args):
+            return the_module, True
+        if not version_args and version_checker(pkg, f"{version}"):
+            return the_module, True
+
+    msg = descriptor.format(f"import {module}" + (f".{name}" if name else ""))
+    if version and tb is None:
+        msg += f" (requires '{module} {version}' by '{version_checker.__name__}')"
+    if exception_str:
+        msg += f" ({exception_str})"
+
+    class _LazyRaise:
+        def __init__(self, *_a, **_k):
+            self._exception = OptionalImportError(f"{msg}." + "\n\nFor details about installing the optional dependencies, see the docs.")
+            if tb is not None:
+                self._exception = self._exception.with_traceback(tb)
+
+        def __getattr__(self, _name):
+            raise self._exception
+
+        def __call__(self, *_a, **_k):
+            raise self._exception
+
+        def __getitem__(self, item):
+            raise self._exception
+
+        def __iter__(self):
+            raise self._exception
+
+    return _LazyRaise(), False
+
+
+def require_pkg(pkg_name: str, version: str = "", version_checker: Callable = min_version,
+                raise_error: bool = True):
+    """Class/function decorator enforcing a package requirement (reference: monai/utils/module.py:388)."""
+
+    def _decorator(obj):
+        is_func = isinstance(obj, FunctionType)
+        call_obj = obj if is_func else obj.__init__
+        _, has = optional_import(module=pkg_name, version=version, version_checker=version_checker)
+
+        @functools.wraps(call_obj)
+        def _wrapper(*args, **kwargs):
+            if not has:
+                err_msg = f"required package `{pkg_name}` is not installed or the version doesn't match requirement."
+                if raise_error:
+                    raise OptionalImportError(err_msg)
+                warnings.warn(err_msg)
+            return call_obj(*args, **kwargs)
+
+        if is_func:
+            return _wrapper
+        obj.__init__ = _wrapper
+        return obj
+
+    return _decorator
+
+
+def locate(path: str) -> Any:
+    """Dynamically locate an object by dotted path (used by the bundle ``_target_`` system)."""
+    parts = path.split(".")
+    for split_idx in range(len(parts) - 1, 0, -1):
+        mod_path = ".".join(parts[:split_idx])
+        try:
+            mod = importlib.import_module(mod_path)
+        except Exception:
+            continue
+        obj: Any = mod
+        try:
+            for attr in parts[split_idx:]:
+                obj = getattr(obj, attr)
+            return obj
+        except AttributeError:
+            continue
+    raise ModuleNotFoundError(f"Cannot locate '{path}'.")
+
+
+def instantiate(__path: str, __mode: str = CompInitMode.DEFAULT, **kwargs: Any) -> Any:
+    """Instantiate a class / call a function given a dotted path
+    (reference: monai/utils/module.py:205)."""
+    component = locate(__path) if isinstance(__path, str) else __path
+    if component is None:
+        raise ModuleNotFoundError(f"Cannot locate class or function path: '{__path}'.")
+    m = look_up_option(__mode, CompInitMode)
+    try:
+        if kwargs.pop("_debug_", False) or m == CompInitMode.DEBUG:
+            warnings.warn(f"instantiating {component} with {kwargs}")
+            import pdb
+
+            pdb.set_trace()
+        if not callable(component):
+            warnings.warn(f"Component {component} is not callable; returning as-is.")
+            return component
+        if m == CompInitMode.DEFAULT:
+            return component(**kwargs)
+        if m == CompInitMode.CALLABLE:
+            return functools.partial(component, **kwargs) if kwargs else component
+        if m == CompInitMode.PARTIAL:
+            return functools.partial(component, **kwargs)
+        if m == CompInitMode.DEBUG:
+            return component(**kwargs)
+    except Exception as e:
+        raise RuntimeError(f"Failed to instantiate component '{__path}' with kwargs: {kwargs}") from e
+    return component
+
+
+def get_full_type_name(typeobj) -> str:
+    module = getattr(typeobj, "__module__", None)
+    if module is None or module == str.__module__:
+        return typeobj.__name__
+    return f"{module}.{typeobj.__name__}"
+
+
+def version_leq(lhs: str, rhs: str) -> bool:
+    """True if version lhs <= rhs (lexicographic over numeric fields)."""
+
+    def parse(v):
+        out = []
+        for p in str(v).split("+")[0].split("."):
+            try:
+                out.append(int(p))
+            except ValueError:
+                break
+        return tuple(out)
+
+    return parse(lhs) <= parse(rhs)
+
+
+def version_geq(lhs: str, rhs: str) -> bool:
+    return version_leq(rhs, lhs)
+
+
+def get_package_version(dep_name: str, default: str = "NOT INSTALLED or UNKNOWN VERSION.") -> str:
+    dep, has_dep = optional_import(dep_name)
+    if has_dep and hasattr(dep, "__version__"):
+        return str(dep.__version__)
+    return default
+
+
+def load_submodules(basemod: ModuleType, load_all: bool = True, exclude_pattern: str = "(.*(__main__).*)"):
+    """Recursively import submodules (reference: monai/utils/module.py:87)."""
+    import pkgutil
+    import re
+
+    submodules = []
+    err_mod: list[str] = []
+    for importer, name, is_pkg in pkgutil.walk_packages(basemod.__path__, prefix=basemod.__name__ + "."):
+        if (is_pkg or load_all) and name not in err_mod and re.match(exclude_pattern, name) is None:
+            try:
+                mod = import_module(name)
+                submodules.append(mod)
+            except OptionalImportError:
+                err_mod.append(name)
+    return submodules, err_mod
