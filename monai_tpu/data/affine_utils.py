@@ -89,7 +89,7 @@ def compute_shape_offset(spatial_shape: Sequence[int], in_affine: np.ndarray, ou
         raise ValueError(f"Affine {out_affine_} is not invertible") from e
     corners_out = inv_mat @ corners_out
     corners_out = corners_out[:-1] / corners_out[-1]
-    out_shape = np.round(corners_out.ptp(axis=1)) if scale_extent else np.round(corners_out.ptp(axis=1) + 1.0)
+    out_shape = np.round(np.ptp(corners_out, axis=1)) if scale_extent else np.round(np.ptp(corners_out, axis=1) + 1.0)
     mat = inv_mat[:-1, :-1]
     i = 0
     for i in range(corners.shape[1]):

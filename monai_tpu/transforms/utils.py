@@ -1,0 +1,557 @@
+"""Transform helper functions.
+
+Parity targets: monai/transforms/utils.py (create_grid/rotate/shear/scale/translate
+:758-1030, generate_spatial_bounding_box:1069, map_spatial_axes:too, crop samplers
+:637,:695, get_extreme_points:1563), and small pieces of
+utils_pytorch_numpy_unification.py.
+
+All affine helpers return (D+1, D+1) float64 homogeneous matrices in voxel space.
+"""
+from __future__ import annotations
+
+import itertools
+import random
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..utils.backend import is_jax, to_numpy, xp
+from ..utils.misc import ensure_tuple, ensure_tuple_rep, ensure_tuple_size, fall_back_tuple
+
+__all__ = [
+    "rand_choice",
+    "img_bounds",
+    "is_empty",
+    "is_positive",
+    "zero_margins",
+    "create_grid",
+    "create_control_grid",
+    "create_rotate",
+    "create_shear",
+    "create_scale",
+    "create_translate",
+    "generate_spatial_bounding_box",
+    "map_spatial_axes",
+    "generate_pos_neg_label_crop_centers",
+    "generate_label_classes_crop_centers",
+    "correct_crop_centers",
+    "map_binary_to_indices",
+    "map_classes_to_indices",
+    "get_extreme_points",
+    "extreme_points_to_image",
+    "compute_divisible_spatial_size",
+    "convert_pad_mode",
+    "weighted_patch_samples",
+    "check_non_lazy_pending_ops",
+    "resolves_modes",
+    "scale_affine",
+    "get_largest_connected_component_mask",
+    "remove_small_objects",
+    "fill_holes",
+    "distance_transform_edt",
+]
+
+from ..data.affine_utils import scale_affine  # noqa: F401 (re-export)
+
+
+def rand_choice(prob: float = 0.5) -> bool:
+    return bool(random.random() <= prob)
+
+
+def is_positive(img):
+    return img > 0
+
+
+def img_bounds(img: np.ndarray):
+    ax0 = np.any(img, axis=0)
+    ax1 = np.any(img, axis=1)
+    return np.concatenate((np.where(ax1)[0][[0, -1]], np.where(ax0)[0][[0, -1]]))
+
+
+def is_empty(img) -> bool:
+    return not (np.max(to_numpy(img)) > 0)
+
+
+def zero_margins(img: np.ndarray, margin: int) -> bool:
+    if np.any(img[:, :, :margin]) or np.any(img[:, :, -margin:]):
+        return False
+    return not (np.any(img[:, :margin, :]) or np.any(img[:, -margin:, :]))
+
+
+# ---------------------------------------------------------------------------
+# Affine constructors (voxel space, float64; reference: transforms/utils.py:758-1030)
+# ---------------------------------------------------------------------------
+
+def create_grid(spatial_size: Sequence[int], spacing: Sequence[float] | None = None,
+                homogeneous: bool = True, dtype=np.float64):
+    """Dense centered coordinate grid of shape (D[+1], *spatial_size)."""
+    spacing = spacing or tuple(1.0 for _ in spatial_size)
+    ranges = [np.linspace(-(d - 1.0) / 2.0 * s, (d - 1.0) / 2.0 * s, int(d)) for d, s in zip(spatial_size, spacing)]
+    coords = np.asarray(np.meshgrid(*ranges, indexing="ij"), dtype=dtype)
+    if not homogeneous:
+        return coords
+    return np.concatenate([coords, np.ones_like(coords[:1])])
+
+
+def create_control_grid(spatial_shape: Sequence[int], spacing: Sequence[float],
+                        homogeneous: bool = True, dtype=np.float64):
+    """Control grid with two extra points beyond each boundary (for spline/elastic)."""
+    grid_shape = []
+    for d, s in zip(spatial_shape, spacing):
+        d = int(d)
+        if d % 2 == 0:
+            grid_shape.append(np.ceil((d - 1.0) / (2.0 * s) + 0.5) * 2.0 + 2.0)
+        else:
+            grid_shape.append(np.ceil((d - 1.0) / (2.0 * s)) * 2.0 + 3.0)
+    return create_grid(spatial_size=grid_shape, spacing=spacing, homogeneous=homogeneous, dtype=dtype)
+
+
+def _assert_dim(sr: int):
+    if sr not in (2, 3):
+        raise ValueError(f"spatial rank must be 2 or 3, got {sr}")
+
+
+def create_rotate(spatial_dims: int, radians: Sequence[float] | float) -> np.ndarray:
+    """Rotation matrix; 2D: one angle; 3D: angles about axes 0,1,2 applied in order
+    (reference: transforms/utils.py:839)."""
+    _assert_dim(spatial_dims)
+    radians = ensure_tuple(radians)
+    if spatial_dims == 2:
+        if len(radians) < 1:
+            raise ValueError("radians must be non empty")
+        sin_, cos_ = np.sin(radians[0]), np.cos(radians[0])
+        return np.array([[cos_, -sin_, 0.0], [sin_, cos_, 0.0], [0.0, 0.0, 1.0]], dtype=np.float64)
+    affine = None
+    if len(radians) >= 1:
+        sin_, cos_ = np.sin(radians[0]), np.cos(radians[0])
+        affine = np.array(
+            [[1.0, 0.0, 0.0, 0.0], [0.0, cos_, -sin_, 0.0], [0.0, sin_, cos_, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        )
+    if len(radians) >= 2:
+        sin_, cos_ = np.sin(radians[1]), np.cos(radians[1])
+        mat = np.array(
+            [[cos_, 0.0, sin_, 0.0], [0.0, 1.0, 0.0, 0.0], [-sin_, 0.0, cos_, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        )
+        affine = mat if affine is None else affine @ mat
+    if len(radians) >= 3:
+        sin_, cos_ = np.sin(radians[2]), np.cos(radians[2])
+        mat = np.array(
+            [[cos_, -sin_, 0.0, 0.0], [sin_, cos_, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+        )
+        affine = mat if affine is None else affine @ mat
+    if affine is None:
+        raise ValueError("radians must be non empty")
+    return affine.astype(np.float64)
+
+
+def create_shear(spatial_dims: int, coefs: Sequence[float] | float) -> np.ndarray:
+    """Shear matrix (reference: transforms/utils.py:906)."""
+    _assert_dim(spatial_dims)
+    if spatial_dims == 2:
+        coefs = ensure_tuple_size(coefs, dim=2, pad_val=0.0)
+        return np.array([[1, coefs[0], 0.0], [coefs[1], 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=np.float64)
+    coefs = ensure_tuple_size(coefs, dim=6, pad_val=0.0)
+    return np.array(
+        [
+            [1.0, coefs[0], coefs[1], 0.0],
+            [coefs[2], 1.0, coefs[3], 0.0],
+            [coefs[4], coefs[5], 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        dtype=np.float64,
+    )
+
+
+def create_scale(spatial_dims: int, scaling_factor: Sequence[float] | float) -> np.ndarray:
+    """Scaling matrix (reference: transforms/utils.py:941)."""
+    scaling_factor = ensure_tuple_size(scaling_factor, dim=spatial_dims, pad_val=1.0)
+    return np.diag(list(scaling_factor[:spatial_dims]) + [1.0]).astype(np.float64)
+
+
+def create_translate(spatial_dims: int, shift: Sequence[float] | float) -> np.ndarray:
+    """Translation matrix (reference: transforms/utils.py:963)."""
+    shift = ensure_tuple(shift)
+    affine = np.eye(spatial_dims + 1, dtype=np.float64)
+    for i, a in enumerate(shift[:spatial_dims]):
+        affine[i, spatial_dims] = a
+    return affine
+
+
+# ---------------------------------------------------------------------------
+# Bounding boxes / crop centers / index maps
+# ---------------------------------------------------------------------------
+
+def generate_spatial_bounding_box(img: Any, select_fn: Callable = is_positive,
+                                  channel_indices=None, margin: Sequence[int] | int = 0,
+                                  allow_smaller: bool = True) -> tuple[list[int], list[int]]:
+    """Foreground bounding box [start, end) per spatial dim
+    (reference: transforms/utils.py:1069)."""
+    check_non_lazy_pending_ops(img, name="generate_spatial_bounding_box")
+    spatial_size = img.shape[1:]
+    margin = ensure_tuple_rep(margin, len(spatial_size))
+    for m in margin:
+        if m < 0:
+            raise ValueError(f"margin value should not be negative, got {margin}.")
+    arr = img.data if hasattr(img, "data") and not isinstance(img, np.ndarray) else img
+    data = select_fn(arr[channel_indices] if channel_indices is not None else arr)
+    data = to_numpy(data.data if hasattr(data, "data") and not isinstance(data, np.ndarray) else data)
+    data = np.any(data, axis=0)
+    ndim = data.ndim
+    box_start, box_end = [], []
+    for di in range(ndim):
+        ax = tuple(d for d in range(ndim) if d != di)
+        dt = data.any(axis=ax) if ax else data
+        if not np.any(dt):
+            box_start.append(0)
+            box_end.append(0)
+            continue
+        arg_max = np.where(dt)[0]
+        min_d = arg_max[0] - margin[di]
+        max_d = arg_max[-1] + margin[di] + 1
+        if allow_smaller:
+            min_d = max(min_d, 0)
+            max_d = min(max_d, spatial_size[di])
+        box_start.append(int(min_d))
+        box_end.append(int(max_d))
+    return box_start, box_end
+
+
+def map_spatial_axes(img_ndim: int, spatial_axes=None, channel_first: bool = True) -> list[int]:
+    """Map spatial axis indices to array axes accounting for channel dim
+    (reference: transforms/utils.py:1033)."""
+    if spatial_axes is None:
+        return list(range(1, img_ndim) if channel_first else range(img_ndim - 1))
+    spatial_axes_ = []
+    for a in ensure_tuple(spatial_axes):
+        if channel_first:
+            spatial_axes_.append(a % img_ndim if a < 0 else a + 1)
+        else:
+            spatial_axes_.append((a - 1) % (img_ndim - 1) if a < 0 else a)
+    return spatial_axes_
+
+
+def correct_crop_centers(centers: list, spatial_size: Sequence[int] | int, label_spatial_shape: Sequence[int],
+                         allow_smaller: bool = False) -> list[int]:
+    """Shift centers so crops stay within the image (reference: transforms/utils.py:637)."""
+    spatial_size = fall_back_tuple(spatial_size, default=label_spatial_shape)
+    if any(np.subtract(label_spatial_shape, spatial_size) < 0):
+        if not allow_smaller:
+            raise ValueError(
+                f"The size of the proposed random crop ROI {spatial_size} is larger than the image size "
+                f"{label_spatial_shape}."
+            )
+        spatial_size = tuple(min(l, s) for l, s in zip(label_spatial_shape, spatial_size))
+    valid_start = np.floor_divide(spatial_size, 2)
+    valid_end = np.subtract(np.add(label_spatial_shape, 1), np.ceil(np.divide(spatial_size, 2)).astype(int))
+    for i, valid_s in enumerate(valid_start):
+        if valid_s == valid_end[i]:
+            valid_end[i] += 1
+    valid_centers = []
+    for c, v_s, v_e in zip(centers, valid_start, valid_end):
+        center_i = min(max(int(c), int(v_s)), int(v_e) - 1)
+        valid_centers.append(center_i)
+    return valid_centers
+
+
+def generate_pos_neg_label_crop_centers(spatial_size, num_samples: int, pos_ratio: float,
+                                        label_spatial_shape: Sequence[int], fg_indices, bg_indices,
+                                        rand_state: np.random.RandomState | None = None,
+                                        allow_smaller: bool = False) -> list[list[int]]:
+    """Random crop centers balancing foreground/background
+    (reference: transforms/utils.py:695)."""
+    if rand_state is None:
+        rand_state = np.random.random.__self__  # type: ignore
+    centers = []
+    fg_indices = np.asarray(fg_indices) if not isinstance(fg_indices, np.ndarray) else fg_indices
+    bg_indices = np.asarray(bg_indices) if not isinstance(bg_indices, np.ndarray) else bg_indices
+    if len(fg_indices) == 0 and len(bg_indices) == 0:
+        raise ValueError("No sampling location available.")
+    if len(fg_indices) == 0 or len(bg_indices) == 0:
+        pos_ratio = 0 if len(fg_indices) == 0 else 1
+    for _ in range(num_samples):
+        indices_to_use = fg_indices if rand_state.rand() < pos_ratio else bg_indices
+        random_int = rand_state.randint(len(indices_to_use))
+        idx = indices_to_use[random_int]
+        center = np.unravel_index(idx, label_spatial_shape)
+        centers.append(correct_crop_centers(list(center), spatial_size, label_spatial_shape, allow_smaller))
+    return centers
+
+
+def generate_label_classes_crop_centers(spatial_size, num_samples: int, label_spatial_shape: Sequence[int],
+                                        indices: Sequence, ratios: Sequence[float] | None = None,
+                                        rand_state: np.random.RandomState | None = None,
+                                        allow_smaller: bool = False,
+                                        warn: bool = True) -> list[list[int]]:
+    """Crop centers sampled per class ratio (reference: transforms/utils.py:-)."""
+    if rand_state is None:
+        rand_state = np.random.random.__self__  # type: ignore
+    if num_samples < 1:
+        raise ValueError(f"num_samples must be positive, got {num_samples}.")
+    ratios_ = [1] * len(indices) if ratios is None else list(ratios)
+    if len(ratios_) != len(indices):
+        raise ValueError(f"random crop ratios must match the number of indices of classes, got {len(ratios_)} and {len(indices)}.")
+    if any(i < 0 for i in ratios_):
+        raise ValueError(f"ratios should not contain negative number, got {ratios_}.")
+    for i, array in enumerate(indices):
+        if len(array) == 0:
+            if ratios_[i] != 0 and warn:
+                import warnings
+
+                warnings.warn(f"no available indices of class {i} to crop, setting the crop ratio of this class to zero.")
+            ratios_[i] = 0
+    centers = []
+    classes = rand_state.choice(len(ratios_), size=num_samples, p=np.asarray(ratios_) / np.sum(ratios_))
+    for i in classes:
+        indices_to_use = np.asarray(indices[i])
+        random_int = rand_state.randint(len(indices_to_use))
+        center = np.unravel_index(indices_to_use[random_int], label_spatial_shape)
+        centers.append(correct_crop_centers(list(center), spatial_size, label_spatial_shape, allow_smaller))
+    return centers
+
+
+def map_binary_to_indices(label: Any, image: Any = None, image_threshold: float = 0.0):
+    """Fg/bg flat indices for sampling (reference: transforms/utils.py:468)."""
+    label_np = to_numpy(label.data if hasattr(label, "data") and not isinstance(label, np.ndarray) else label)
+    label_flat = np.any(label_np, axis=0).ravel()
+    fg_indices = np.nonzero(label_flat)[0]
+    if image is not None:
+        img_np = to_numpy(image.data if hasattr(image, "data") and not isinstance(image, np.ndarray) else image)
+        img_flat = np.any(img_np > image_threshold, axis=0).ravel()
+        img_flat = img_flat & ~label_flat
+        bg_indices = np.nonzero(img_flat)[0]
+    else:
+        bg_indices = np.nonzero(~label_flat)[0]
+    return fg_indices, bg_indices
+
+
+def map_classes_to_indices(label: Any, num_classes: int | None = None, image: Any = None,
+                           image_threshold: float = 0.0, max_samples_per_class: int | None = None):
+    """Per-class flat indices (reference: transforms/utils.py:528)."""
+    img_flat = None
+    if image is not None:
+        img_np = to_numpy(image.data if hasattr(image, "data") and not isinstance(image, np.ndarray) else image)
+        img_flat = np.any(img_np > image_threshold, axis=0).ravel()
+    label_np = to_numpy(label.data if hasattr(label, "data") and not isinstance(label, np.ndarray) else label)
+    indices = []
+    if num_classes is not None:
+        channels = [(label_np[0] == c) for c in range(num_classes)]
+    else:
+        channels = [label_np[c].astype(bool) for c in range(label_np.shape[0])]
+    for channel in channels:
+        label_flat = channel.ravel()
+        if img_flat is not None:
+            label_flat = label_flat & img_flat
+        cls_indices = np.nonzero(label_flat)[0]
+        if max_samples_per_class and len(cls_indices) > max_samples_per_class:
+            cls_indices = cls_indices[:max_samples_per_class]
+        indices.append(cls_indices)
+    return indices
+
+
+def weighted_patch_samples(spatial_size, w: Any, n_samples: int = 1,
+                           r_state: np.random.RandomState | None = None) -> list:
+    """Sample patch centers with probability proportional to weight map
+    (reference: transforms/utils.py:392)."""
+    if r_state is None:
+        r_state = np.random.RandomState()
+    img_size = np.asarray(w.shape, dtype=int)
+    win_size = np.asarray(fall_back_tuple(spatial_size, img_size), dtype=int)
+    s = tuple(slice(w // 2, m - w + w // 2 + 1) for w, m in zip(win_size, img_size))
+    w = to_numpy(w.data if hasattr(w, "data") and not isinstance(w, np.ndarray) else w)
+    v = w[s]
+    v_flat = v.ravel().astype(np.float64)
+    v_min = v_flat.min()
+    if v_min < 0:
+        v_flat = v_flat - v_min
+    v_cum = np.cumsum(v_flat)
+    if v_cum[-1] == 0:
+        idx = r_state.randint(0, len(v_flat), size=n_samples)
+    else:
+        r = r_state.random(n_samples)
+        idx = np.searchsorted(v_cum, r * v_cum[-1], side="right")
+        idx = np.clip(idx, 0, len(v_flat) - 1)
+    centers = [np.unravel_index(i, v.shape) for i in idx]
+    return [[int(c) + int(w // 2) for c, w in zip(center, win_size)] for center in centers]
+
+
+def get_extreme_points(img: Any, rand_state: np.random.RandomState | None = None, background: int = 0,
+                       pert: float = 0.0) -> list[tuple[int, ...]]:
+    """Extreme points of foreground (reference: transforms/utils.py:1563)."""
+    if rand_state is None:
+        rand_state = np.random.random.__self__  # type: ignore
+    img_np = to_numpy(img.data if hasattr(img, "data") and not isinstance(img, np.ndarray) else img)
+    indices = np.where(img_np != background)
+    if np.size(indices[0]) == 0:
+        raise ValueError("get_extreme_points: no foreground object in mask!")
+
+    def _get_point(val, dim):
+        idx = np.where(indices[dim] == val)[0]
+        idx = idx.tolist()
+        np.random.shuffle(idx)
+        pt = [indices[j][idx[0]] for j in range(img_np.ndim)]
+        for j in range(img_np.ndim):
+            val_ = pt[j] + 2.0 * pert * (rand_state.rand() - 0.5)
+            val_ = max(val_, 0)
+            val_ = min(val_, img_np.shape[j] - 1)
+            pt[j] = int(round(val_))
+        return tuple(pt)
+
+    points = []
+    for i in range(img_np.ndim):
+        points.append(_get_point(indices[i].min(), i))
+        points.append(_get_point(indices[i].max(), i))
+    return points
+
+
+def extreme_points_to_image(points: list, label: Any, sigma=0.0, rescale_min: float = -1.0,
+                            rescale_max: float = 1.0):
+    """Gaussian heatmap channel from extreme points (reference: transforms/utils.py:1616)."""
+    from ..ops.gaussian import gaussian_filter
+
+    label_np = to_numpy(label.data if hasattr(label, "data") and not isinstance(label, np.ndarray) else label)
+    points_image = np.zeros(label_np.shape[1:], dtype=np.float32)
+    for p in points:
+        points_image[tuple(p)] = 1.0
+    if np.any(np.asarray(sigma) > 0):
+        points_image = np.asarray(gaussian_filter(points_image[None], sigma))[0]
+    min_intensity, max_intensity = np.min(points_image), np.max(points_image)
+    if max_intensity > min_intensity:
+        points_image = (points_image - min_intensity) / (max_intensity - min_intensity)
+    points_image = points_image * (rescale_max - rescale_min) + rescale_min
+    return points_image[None]
+
+
+def compute_divisible_spatial_size(spatial_shape: Sequence[int], k: Sequence[int] | int) -> tuple:
+    """Smallest size >= shape divisible by k (reference: transforms/utils.py:1721)."""
+    k = fall_back_tuple(k, (1,) * len(spatial_shape))
+    return tuple(int(np.ceil(dim / k_d) * k_d) if k_d > 0 else int(dim) for dim, k_d in zip(spatial_shape, k))
+
+
+def convert_pad_mode(dst: Any, mode: str | None):
+    """Normalize a pad-mode string for the backend of ``dst``."""
+    mapping = {"zeros": "constant", "border": "edge", "reflection": "reflect", "replicate": "edge",
+               "circular": "wrap"}
+    return mapping.get(str(mode), str(mode) if mode is not None else "constant")
+
+
+def check_non_lazy_pending_ops(input_array: Any, name: str | None = None, raise_error: bool = False) -> None:
+    """Warn/raise when data-dependent helpers see unevaluated pending ops
+    (reference: transforms/utils.py:2113)."""
+    from ..data.meta_image import MetaImage
+
+    if isinstance(input_array, MetaImage) and input_array.pending_operations:
+        msg = f"data-dependent helper {name or ''} called on an image with pending lazy operations"
+        if raise_error:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg)
+
+
+def resolves_modes(interp_mode, padding_mode):
+    """Normalize (mode, padding_mode) pairs to kernel args."""
+    from ..ops.resample import resolve_mode
+
+    m = resolve_mode(interp_mode if interp_mode is not None else 1)
+    pm = str(padding_mode) if padding_mode is not None else "zeros"
+    if pm in ("constant",):
+        pm = "zeros"
+    if pm in ("edge", "replicate"):
+        pm = "border"
+    if pm in ("reflect", "mirror"):
+        pm = "reflection"
+    return m, pm
+
+
+# ---------------------------------------------------------------------------
+# Morphology-ish helpers used by post transforms & metrics (host-side scipy)
+# ---------------------------------------------------------------------------
+
+def get_largest_connected_component_mask(img: Any, connectivity: int | None = None,
+                                         num_components: int = 1):
+    """Largest connected component(s) mask (reference: transforms/utils.py:1822 using cucim/skimage;
+    here scipy.ndimage.label on host — Pallas jump-flooding is a future optimization)."""
+    from scipy import ndimage as ndi
+
+    img_np = to_numpy(img.data if hasattr(img, "data") and not isinstance(img, np.ndarray) else img)
+    out = np.zeros_like(img_np, dtype=bool)
+    structure = None
+    if connectivity is not None:
+        structure = ndi.generate_binary_structure(img_np.ndim, connectivity)
+    labeled, num = ndi.label(img_np.astype(bool), structure=structure)
+    if num > 0:
+        sizes = np.bincount(labeled.ravel())
+        sizes[0] = 0
+        keep = np.argsort(sizes)[::-1][:num_components]
+        keep = keep[sizes[keep] > 0]
+        out = np.isin(labeled, keep)
+    from ..utils.type_conversion import convert_to_dst_type
+
+    res, *_ = convert_to_dst_type(out.astype(img_np.dtype), img, dtype=img_np.dtype)
+    return res
+
+
+def remove_small_objects(img: Any, min_size: int = 64, connectivity: int = 1,
+                         independent_channels: bool = True, by_measure: bool = False,
+                         pixdim=None):
+    """Remove components smaller than min_size (reference: post/array.py RemoveSmallObjects)."""
+    from scipy import ndimage as ndi
+
+    img_np = to_numpy(img.data if hasattr(img, "data") and not isinstance(img, np.ndarray) else img)
+    if by_measure and pixdim is not None:
+        vox = float(np.prod(pixdim))
+        min_size = int(np.ceil(min_size / max(vox, 1e-12)))
+
+    def _filter(arr):
+        structure = ndi.generate_binary_structure(arr.ndim, connectivity)
+        out = np.zeros_like(arr)
+        for val in np.unique(arr[arr != 0]):
+            mask = arr == val
+            labeled, _ = ndi.label(mask, structure=structure)
+            sizes = np.bincount(labeled.ravel())
+            keep_labels = np.where(sizes >= min_size)[0]
+            keep_labels = keep_labels[keep_labels != 0]
+            out[np.isin(labeled, keep_labels)] = val
+        return out
+
+    if independent_channels:
+        out_np = np.stack([_filter(c) for c in img_np])
+    else:
+        out_np = _filter(img_np)
+    from ..utils.type_conversion import convert_to_dst_type
+
+    res, *_ = convert_to_dst_type(out_np, img)
+    return res
+
+
+def fill_holes(img_arr: np.ndarray, applied_labels=None, connectivity: int | None = None) -> np.ndarray:
+    """Fill holes per channel/label (reference: transforms/utils.py:1876)."""
+    from scipy import ndimage as ndi
+
+    img_np = to_numpy(img_arr)
+    out = img_np.copy()
+    channels = img_np.shape[0]
+    structure = None
+    if connectivity is not None and img_np.ndim - 1 >= 1:
+        structure = ndi.generate_binary_structure(img_np.ndim - 1, connectivity)
+    for c in range(channels):
+        labels = applied_labels if applied_labels is not None else np.unique(img_np[c][img_np[c] != 0])
+        for lab in np.atleast_1d(labels):
+            mask = img_np[c] == lab
+            filled = ndi.binary_fill_holes(mask, structure=structure)
+            out[c][filled & ~mask] = lab
+    return out
+
+
+def distance_transform_edt(img: Any, sampling=None):
+    """Euclidean distance transform (reference: transforms/utils.py:2426 — cucim on GPU;
+    here scipy on host; a Pallas jump-flood is the future device path)."""
+    from scipy import ndimage as ndi
+
+    img_np = to_numpy(img.data if hasattr(img, "data") and not isinstance(img, np.ndarray) else img)
+    # channel-first convention: EDT per channel
+    out = np.stack([ndi.distance_transform_edt(c, sampling=sampling) for c in img_np])
+    from ..utils.type_conversion import convert_to_dst_type
+
+    res, *_ = convert_to_dst_type(out, img, dtype=np.float32)
+    return res
