@@ -1,0 +1,83 @@
+"""Data layer public API.
+
+Lazily resolved (PEP 562) so that low-level modules (``meta_image``, ``affine_utils``)
+can be imported by the transforms package without pulling in dataset/dataloader modules
+that themselves depend on transforms — breaking the data<->transforms import cycle.
+"""
+from __future__ import annotations
+
+import importlib
+
+# always-safe low-level exports (no transforms dependency)
+from .affine_utils import (
+    affine_to_spacing,
+    axcodes2ornt,
+    compute_shape_offset,
+    inv_ornt_aff,
+    io_orientation,
+    is_diagonal,
+    orientation_ras_lps,
+    ornt2axcodes,
+    ornt_transform,
+    reorient_spatial_axes,
+    scale_affine,
+    to_affine_nd,
+    zoom_affine,
+)
+from .meta_image import MetaImage, get_track_meta, set_track_meta
+from .nifti import NiftiHeader, read_nifti, write_nifti
+from .synthetic import create_test_image_2d, create_test_image_3d
+
+MetaTensor = MetaImage  # familiarity alias for reference users
+
+_LAZY_ATTRS = {
+    # dataloader
+    "DataLoader": ".dataloader", "ThreadBuffer": ".dataloader", "ThreadDataLoader": ".dataloader",
+    # dataset
+    "ArrayDataset": ".dataset", "CacheDataset": ".dataset", "CacheNTransDataset": ".dataset",
+    "CSVDataset": ".dataset", "Dataset": ".dataset", "DatasetFunc": ".dataset",
+    "NPZDictItemDataset": ".dataset", "PersistentDataset": ".dataset",
+    "SmartCacheDataset": ".dataset", "Subset": ".dataset", "ZipDataset": ".dataset",
+    # folder layout
+    "FolderLayout": ".folder_layout", "default_name_formatter": ".folder_layout",
+    # grid dataset
+    "GridPatchDataset": ".grid_dataset", "PatchDataset": ".grid_dataset",
+    "PatchIter": ".grid_dataset", "PatchIterd": ".grid_dataset",
+    # readers / writers
+    "ImageReader": ".image_reader", "ITKReader": ".image_reader", "NibabelReader": ".image_reader",
+    "NiftiReader": ".image_reader", "NumpyReader": ".image_reader", "PILReader": ".image_reader",
+    "ImageWriter": ".image_writer", "NibabelWriter": ".image_writer", "NiftiWriter": ".image_writer",
+    "PILWriter": ".image_writer", "register_writer": ".image_writer", "resolve_writer": ".image_writer",
+    # iterable
+    "CSVIterableDataset": ".iterable_dataset", "IterableDataset": ".iterable_dataset",
+    "ShuffleBuffer": ".iterable_dataset",
+    # samplers
+    "DistributedSampler": ".samplers", "DistributedWeightedRandomSampler": ".samplers",
+    # utils
+    "collate_meta_tensor": ".utils", "compute_importance_map": ".utils", "decollate_batch": ".utils",
+    "dense_patch_slices": ".utils", "get_random_patch": ".utils", "get_valid_patch_size": ".utils",
+    "iter_patch": ".utils", "iter_patch_position": ".utils", "iter_patch_slices": ".utils",
+    "json_hashing": ".utils", "list_data_collate": ".utils", "no_collation": ".utils",
+    "pad_list_data_collate": ".utils", "partition_dataset": ".utils",
+    "partition_dataset_classes": ".utils", "pickle_hashing": ".utils",
+    "select_cross_validation_folds": ".utils", "set_rnd": ".utils", "worker_init_fn": ".utils",
+    # datasets with downloads
+    "DatasetSummary": ".dataset_summary",
+    "TestTimeAugmentation": ".test_time_augmentation",
+    # boxes
+    "box_area": ".box_utils", "box_centers": ".box_utils", "box_giou": ".box_utils",
+    "box_iou": ".box_utils", "box_pair_giou": ".box_utils", "centers_in_boxes": ".box_utils",
+    "clip_boxes_to_image": ".box_utils", "convert_box_mode": ".box_utils",
+    "convert_box_to_standard_mode": ".box_utils", "non_max_suppression": ".box_utils",
+    "spatial_crop_boxes": ".box_utils", "standardize_empty_box": ".box_utils",
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY_ATTRS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    mod = importlib.import_module(target, __name__)
+    val = getattr(mod, name)
+    globals()[name] = val
+    return val

@@ -1,0 +1,110 @@
+"""Patch iteration datasets (reference: monai/data/grid_dataset.py:42,102,160,366)."""
+from __future__ import annotations
+
+from collections.abc import Callable, Generator, Hashable, Iterable, Mapping, Sequence
+from typing import Any
+
+import numpy as np
+
+from ..transforms.transform import apply_transform
+from ..utils.enums import NumpyPadMode, PatchKeys, WSIPatchKeys
+from ..utils.misc import ensure_tuple, first
+from .iterable_dataset import IterableDataset
+from .meta_image import MetaImage
+from .utils import iter_patch
+
+__all__ = ["PatchIter", "PatchIterd", "GridPatchDataset", "PatchDataset"]
+
+
+class PatchIter:
+    """Yield (patch, coords) over an array (reference: grid_dataset.py:42)."""
+
+    def __init__(self, patch_size: Sequence[int], start_pos: Sequence[int] = (),
+                 overlap: Sequence[float] | float = 0.0, mode: str | None = NumpyPadMode.WRAP,
+                 **pad_opts):
+        self.patch_size = (None,) + tuple(ensure_tuple(patch_size))
+        self.start_pos = ensure_tuple(start_pos)
+        self.overlap = overlap
+        self.mode = mode
+        self.pad_opts = pad_opts
+
+    def __call__(self, array: Any) -> Generator:
+        arr = array.data if isinstance(array, MetaImage) else array
+        yield from iter_patch(np.asarray(arr), patch_size=self.patch_size, start_pos=self.start_pos,
+                              overlap=self.overlap, copy_back=False, mode=self.mode, **self.pad_opts)
+
+
+class PatchIterd:
+    """Dict version of PatchIter (reference: grid_dataset.py:102)."""
+
+    coords_key = "patch_coords"
+    original_spatial_shape_key = "original_spatial_shape"
+    start_pos_key = "start_pos"
+
+    def __init__(self, keys, patch_size: Sequence[int], start_pos: Sequence[int] = (),
+                 mode: str | None = NumpyPadMode.WRAP, **pad_opts):
+        self.keys = ensure_tuple(keys)
+        self.patch_iter = PatchIter(patch_size=patch_size, start_pos=start_pos, mode=mode, **pad_opts)
+
+    def __call__(self, data: Mapping) -> Generator:
+        d = dict(data)
+        original_spatial_shape = (d[first(self.keys)]).shape[1:]
+        for patches in zip(*[self.patch_iter(d[key]) for key in self.keys]):
+            coords = patches[0][1]
+            ret = {k: v[0] for k, v in zip(self.keys, patches)}
+            for k in set(d.keys()).difference(set(self.keys)):
+                ret[k] = d[k]
+            ret[self.coords_key] = coords
+            ret[self.original_spatial_shape_key] = original_spatial_shape
+            ret[self.start_pos_key] = self.patch_iter.start_pos
+            yield ret, coords
+
+
+class GridPatchDataset(IterableDataset):
+    """Iterate patches of images from a dataset (reference: grid_dataset.py:160)."""
+
+    def __init__(self, data: Iterable | Sequence, patch_iter: Callable,
+                 transform: Callable | None = None, with_coordinates: bool = True):
+        super().__init__(data=data, transform=None)
+        self.patch_iter = patch_iter
+        self.patch_transform = transform
+        self.with_coordinates = with_coordinates
+
+    def __iter__(self):
+        for image in super().__iter__():
+            for patch, *others in self.patch_iter(image):
+                out_patch = patch
+                if self.patch_transform is not None:
+                    out_patch = apply_transform(self.patch_transform, patch, map_items=False)
+                if self.with_coordinates and len(others) > 0:
+                    yield out_patch, others[0]
+                else:
+                    yield out_patch
+
+
+class PatchDataset(IterableDataset):
+    """N patches per sample via a patch_func (reference: grid_dataset.py:366)."""
+
+    def __init__(self, data: Sequence, patch_func: Callable, samples_per_image: int = 1,
+                 transform: Callable | None = None):
+        super().__init__(data=data, transform=None)
+        self.patch_func = patch_func
+        if samples_per_image <= 0:
+            raise ValueError("sampler_per_image must be a positive integer.")
+        self.samples_per_image = samples_per_image
+        self.patch_transform = transform
+
+    def __len__(self) -> int:
+        return len(self.data) * self.samples_per_image
+
+    def __iter__(self):
+        for image in super().__iter__():
+            patches = self.patch_func(image)
+            if len(patches) != self.samples_per_image:
+                raise RuntimeWarning(
+                    f"`patch_func` must return a sequence of length: samples_per_image={self.samples_per_image}.")
+            for patch in patches:
+                out_patch = patch
+                if self.patch_transform is not None:
+                    out_patch = apply_transform(self.patch_transform, patch, map_items=False)
+                yield out_patch

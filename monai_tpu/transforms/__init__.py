@@ -1,0 +1,59 @@
+from .compose import Compose, OneOf, RandomOrder, SomeOf, execute_compose
+from .croppad_array import *  # noqa: F401,F403
+from .dictionary import *  # noqa: F401,F403
+from .intensity_array import *  # noqa: F401,F403
+from .inverse import InvertibleTransform, TraceableTransform
+from .io_array import LoadImage, SaveImage
+from .lazy_executor import apply_pending, apply_pending_transforms, apply_pending_transforms_in_order
+from .lazy_utils import (
+    affine_from_pending,
+    combine_transforms,
+    is_compatible_apply_kwargs,
+    kwargs_from_pending,
+    pending_op,
+    requires_interp,
+    resample,
+)
+from .post_array import *  # noqa: F401,F403
+from .spatial_array import *  # noqa: F401,F403
+from .traits import (
+    InvertibleTrait,
+    LazyTrait,
+    MultiSampleTrait,
+    RandomizableTrait,
+    ThreadUnsafe,
+)
+from .transform import (
+    LazyTransform,
+    MapTransform,
+    Randomizable,
+    RandomizableTransform,
+    Transform,
+    apply_transform,
+)
+from .utility_array import *  # noqa: F401,F403
+from .utils import (
+    check_non_lazy_pending_ops,
+    compute_divisible_spatial_size,
+    convert_pad_mode,
+    correct_crop_centers,
+    create_control_grid,
+    create_grid,
+    create_rotate,
+    create_scale,
+    create_shear,
+    create_translate,
+    distance_transform_edt,
+    fill_holes,
+    generate_label_classes_crop_centers,
+    generate_pos_neg_label_crop_centers,
+    generate_spatial_bounding_box,
+    get_extreme_points,
+    get_largest_connected_component_mask,
+    is_positive,
+    map_binary_to_indices,
+    map_classes_to_indices,
+    map_spatial_axes,
+    remove_small_objects,
+    weighted_patch_samples,
+)

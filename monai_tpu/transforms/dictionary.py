@@ -1,0 +1,1042 @@
+"""Dictionary (keyed) versions of all transform families.
+
+Parity targets: the ``dictionary.py`` of each reference family
+(monai/transforms/{spatial,croppad,intensity,utility,io,post}/dictionary.py).
+Naming convention matches the reference: ``<Name>d`` suffix, with ``D``/``Dict``
+aliases exported from the package ``__init__``.
+
+Randomized dict transforms randomize ONCE per call and apply the same parameters to
+every key (matching the reference's shared-randomness semantics).
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Hashable, Mapping, Sequence
+from typing import Any
+
+import numpy as np
+
+from ..config.type_definitions import KeysCollection
+from ..data.meta_image import MetaImage
+from ..utils.enums import PostFix, TraceKeys
+from ..utils.misc import ensure_tuple, ensure_tuple_rep, fall_back_tuple
+from .compose import Compose
+from .croppad_array import (
+    BorderPad,
+    BoundingRect,
+    CenterScaleCrop,
+    CenterSpatialCrop,
+    Crop,
+    CropForeground,
+    DivisiblePad,
+    Pad,
+    RandCropByLabelClasses,
+    RandCropByPosNegLabel,
+    RandScaleCrop,
+    RandSpatialCrop,
+    RandWeightedCrop,
+    ResizeWithPadOrCrop,
+    SpatialCrop,
+    SpatialPad,
+)
+from .intensity_array import (
+    AdjustContrast,
+    ClipIntensityPercentiles,
+    ComputeHoVerMaps,
+    DetectEnvelope,
+    ForegroundMask,
+    GaussianSharpen,
+    GaussianSmooth,
+    GibbsNoise,
+    HistogramNormalize,
+    KSpaceSpikeNoise,
+    MaskIntensity,
+    MedianSmooth,
+    NormalizeIntensity,
+    RandAdjustContrast,
+    RandBiasField,
+    RandCoarseDropout,
+    RandCoarseShuffle,
+    RandGaussianNoise,
+    RandGaussianSharpen,
+    RandGaussianSmooth,
+    RandGibbsNoise,
+    RandHistogramShift,
+    RandKSpaceSpikeNoise,
+    RandRicianNoise,
+    RandScaleIntensity,
+    RandShiftIntensity,
+    RandStdShiftIntensity,
+    SavitzkyGolaySmooth,
+    ScaleIntensity,
+    ScaleIntensityFixedMean,
+    ScaleIntensityRange,
+    ScaleIntensityRangePercentiles,
+    ShiftIntensity,
+    StdShiftIntensity,
+    ThresholdIntensity,
+)
+from .inverse import InvertibleTransform, TraceableTransform
+from .io_array import LoadImage, SaveImage
+from .post_array import (
+    Activations,
+    AsDiscrete,
+    DistanceTransformEDT,
+    Ensemble,
+    FillHoles,
+    KeepLargestConnectedComponent,
+    LabelToContour,
+    MeanEnsemble,
+    ProbNMS,
+    RemoveSmallObjects,
+    SobelGradients,
+    VoteEnsemble,
+)
+from .spatial_array import (
+    Affine,
+    Flip,
+    GridDistortion,
+    Orientation,
+    Rand2DElastic,
+    Rand3DElastic,
+    RandAffine,
+    RandAxisFlip,
+    RandFlip,
+    RandGridDistortion,
+    RandRotate,
+    RandRotate90,
+    RandSimulateLowResolution,
+    RandZoom,
+    Resize,
+    ResampleToMatch,
+    Rotate,
+    Rotate90,
+    SpatialResample,
+    Spacing,
+    Zoom,
+)
+from .transform import LazyTransform, MapTransform, Randomizable, RandomizableTransform
+from .traits import LazyTrait, MultiSampleTrait
+from .utility_array import (
+    AddCoordinateChannels,
+    AddExtremePointsChannel,
+    AsChannelLast,
+    CastToType,
+    ClassesToIndices,
+    ConvertToMultiChannelBasedOnBratsClasses,
+    DataStats,
+    EnsureChannelFirst,
+    EnsureType,
+    FgBgToIndices,
+    Identity,
+    IntensityStats,
+    LabelToMask,
+    Lambda,
+    MapLabelValue,
+    RemoveRepeatedChannel,
+    RepeatChannel,
+    SimulateDelay,
+    SplitDim,
+    SqueezeDim,
+    ToDevice,
+    ToJax,
+    ToNumpy,
+    Transpose,
+)
+
+__all__: list[str] = []  # populated at bottom
+
+
+class _MappedTransform(MapTransform, InvertibleTransform):
+    """Apply a per-key array transform; params may be per-key sequences."""
+
+    def __init__(self, keys: KeysCollection, transform, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.t = transform
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.t(d[key])
+        return d
+
+    def inverse(self, data: Mapping) -> dict:
+        d = dict(data)
+        if isinstance(self.t, InvertibleTransform):
+            for key in self.key_iterator(d):
+                d[key] = self.t.inverse(d[key])
+        return d
+
+
+def _mapped(name: str, array_cls, doc_ref: str = "", lazy: bool = False, call_kwargs: tuple = ()):
+    """Generate a ``<Name>d`` class wrapping ``array_cls`` one-instance-per-keys."""
+
+    per_key_args = set(call_kwargs)
+
+    class _D(MapTransform, InvertibleTransform):
+        def __init__(self, keys: KeysCollection, allow_missing_keys: bool = False, **kwargs):
+            MapTransform.__init__(self, keys, allow_missing_keys)
+            n = len(self.keys)
+            self._per_key = {}
+            for k in list(kwargs.keys()):
+                if k in per_key_args:
+                    self._per_key[k] = ensure_tuple_rep(kwargs.pop(k), n)
+            if lazy:
+                self._lazy_init = kwargs.pop("lazy", False)
+                self.t = array_cls(**kwargs, lazy=self._lazy_init)
+            else:
+                kwargs.pop("lazy", None)
+                self.t = array_cls(**kwargs)
+
+        @property
+        def lazy(self):
+            return getattr(self.t, "lazy", False)
+
+        @lazy.setter
+        def lazy(self, val):
+            if hasattr(self.t, "lazy"):
+                self.t.lazy = val
+
+        def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+            d = dict(data)
+            for i, key in enumerate(self.key_iterator(d)):
+                kw = {k: v[i] for k, v in self._per_key.items()}
+                if isinstance(self.t, LazyTrait):
+                    d[key] = self.t(d[key], lazy=lazy, **kw)
+                else:
+                    d[key] = self.t(d[key], **kw)
+            return d
+
+        def inverse(self, data: Mapping) -> dict:
+            d = dict(data)
+            if isinstance(self.t, InvertibleTransform):
+                for key in self.key_iterator(d):
+                    d[key] = self.t.inverse(d[key])
+            return d
+
+    _D.__name__ = name
+    _D.__qualname__ = name
+    _D.__doc__ = f"Dictionary wrapper of :class:`{array_cls.__name__}` ({doc_ref})."
+    return _D
+
+
+def _mapped_rand(name: str, array_cls, doc_ref: str = "", lazy: bool = False, call_kwargs: tuple = (),
+                 randomize_arg: bool = True):
+    """Generate a randomized ``<Name>d``: randomize once, apply to all keys."""
+
+    per_key_args = set(call_kwargs)
+
+    class _RD(MapTransform, RandomizableTransform, InvertibleTransform):
+        def __init__(self, keys: KeysCollection, allow_missing_keys: bool = False, **kwargs):
+            MapTransform.__init__(self, keys, allow_missing_keys)
+            n = len(self.keys)
+            self._per_key = {}
+            for k in list(kwargs.keys()):
+                if k in per_key_args:
+                    self._per_key[k] = ensure_tuple_rep(kwargs.pop(k), n)
+            if lazy:
+                kwargs.setdefault("lazy", False)
+            else:
+                kwargs.pop("lazy", None)
+            self.t = array_cls(**kwargs)
+
+        @property
+        def lazy(self):
+            return getattr(self.t, "lazy", False)
+
+        @lazy.setter
+        def lazy(self, val):
+            if hasattr(self.t, "lazy"):
+                self.t.lazy = val
+
+        def set_random_state(self, seed=None, state=None):
+            self.t.set_random_state(seed, state)
+            Randomizable.set_random_state(self, seed, state)
+            return self
+
+        def randomize(self, data=None) -> None:
+            self.t.randomize(data)
+
+        def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+            d = dict(data)
+            first_key = self.first_key(d)
+            if first_key == ():
+                return d
+            # randomize once using the first key's data
+            first_item = d[first_key]
+            try:
+                self.t.randomize(first_item.data if isinstance(first_item, MetaImage) else first_item)
+            except TypeError:
+                self.t.randomize(None)
+            for i, key in enumerate(self.key_iterator(d)):
+                kw = {k: v[i] for k, v in self._per_key.items()}
+                if isinstance(self.t, LazyTrait):
+                    d[key] = self.t(d[key], randomize=False, lazy=lazy, **kw)
+                else:
+                    d[key] = self.t(d[key], randomize=False, **kw)
+            return d
+
+        def inverse(self, data: Mapping) -> dict:
+            d = dict(data)
+            if isinstance(self.t, InvertibleTransform):
+                for key in self.key_iterator(d):
+                    d[key] = self.t.inverse(d[key])
+            return d
+
+    _RD.__name__ = name
+    _RD.__qualname__ = name
+    _RD.__doc__ = f"Dictionary wrapper of :class:`{array_cls.__name__}` ({doc_ref}); shared randomness across keys."
+    return _RD
+
+
+# ---------------------------------------------------------------------------
+# spatial dictionary transforms (reference: monai/transforms/spatial/dictionary.py)
+# ---------------------------------------------------------------------------
+
+Spacingd = _mapped("Spacingd", Spacing, "spatial/dictionary.py:305", lazy=True,
+                   call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+Orientationd = _mapped("Orientationd", Orientation, "spatial/dictionary.py:442", lazy=True)
+Flipd = _mapped("Flipd", Flip, "spatial/dictionary.py:683", lazy=True)
+Rotate90d = _mapped("Rotate90d", Rotate90, "spatial/dictionary.py:518", lazy=True)
+Resized = _mapped("Resized", Resize, "spatial/dictionary.py:782", lazy=True,
+                  call_kwargs=("mode", "align_corners"))
+Rotated = _mapped("Rotated", Rotate, "spatial/dictionary.py:1145", lazy=True,
+                  call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+Zoomd = _mapped("Zoomd", Zoom, "spatial/dictionary.py:1388", lazy=True,
+                call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+SpatialResampled = _mapped("SpatialResampled", SpatialResample, "spatial/dictionary.py:155", lazy=True,
+                           call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+
+RandFlipd = _mapped_rand("RandFlipd", RandFlip, "spatial/dictionary.py:715", lazy=True)
+RandAxisFlipd = _mapped_rand("RandAxisFlipd", RandAxisFlip, "spatial/dictionary.py:748", lazy=True)
+RandRotate90d = _mapped_rand("RandRotate90d", RandRotate90, "spatial/dictionary.py:556", lazy=True)
+RandRotated = _mapped_rand("RandRotated", RandRotate, "spatial/dictionary.py:1201", lazy=True,
+                           call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+RandZoomd = _mapped_rand("RandZoomd", RandZoom, "spatial/dictionary.py:1447", lazy=True,
+                         call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
+RandAffined = _mapped_rand("RandAffined", RandAffine, "spatial/dictionary.py:—", lazy=True,
+                           call_kwargs=("mode", "padding_mode"))
+Affined = _mapped("Affined", Affine, "spatial/dictionary.py:—", lazy=True,
+                  call_kwargs=("mode", "padding_mode"))
+RandGridDistortiond = _mapped_rand("RandGridDistortiond", RandGridDistortion, "spatial/dictionary.py:—",
+                                   call_kwargs=("mode", "padding_mode"))
+Rand2DElasticd = _mapped_rand("Rand2DElasticd", Rand2DElastic, "spatial/dictionary.py:—",
+                              call_kwargs=("mode", "padding_mode"))
+Rand3DElasticd = _mapped_rand("Rand3DElasticd", Rand3DElastic, "spatial/dictionary.py:—",
+                              call_kwargs=("mode", "padding_mode"))
+RandSimulateLowResolutiond = _mapped_rand("RandSimulateLowResolutiond", RandSimulateLowResolution,
+                                          "spatial/dictionary.py:—")
+
+
+class ResampleToMatchd(MapTransform, InvertibleTransform):
+    """Resample keys onto the grid of ``key_dst`` (reference: spatial/dictionary.py:236)."""
+
+    def __init__(self, keys: KeysCollection, key_dst: str, mode="bilinear", padding_mode="border",
+                 align_corners=False, dtype=np.float64, allow_missing_keys: bool = False, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.key_dst = key_dst
+        self.mode = ensure_tuple_rep(mode, len(self.keys))
+        self.padding_mode = ensure_tuple_rep(padding_mode, len(self.keys))
+        self.t = ResampleToMatch(lazy=lazy)
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+        d = dict(data)
+        dst = d[self.key_dst]
+        for key, m, pm in self.key_iterator(d, self.mode, self.padding_mode):
+            d[key] = self.t(d[key], img_dst=dst, mode=m, padding_mode=pm, lazy=lazy)
+        return d
+
+    def inverse(self, data):
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.t.inverse(d[key])
+        return d
+
+
+# ---------------------------------------------------------------------------
+# croppad dictionary transforms (reference: monai/transforms/croppad/dictionary.py)
+# ---------------------------------------------------------------------------
+
+SpatialPadd = _mapped("SpatialPadd", SpatialPad, "croppad/dictionary.py:140", lazy=True,
+                      call_kwargs=("mode",))
+BorderPadd = _mapped("BorderPadd", BorderPad, "croppad/dictionary.py:184", lazy=True,
+                     call_kwargs=("mode",))
+DivisiblePadd = _mapped("DivisiblePadd", DivisiblePad, "croppad/dictionary.py:229", lazy=True,
+                        call_kwargs=("mode",))
+SpatialCropd = _mapped("SpatialCropd", SpatialCrop, "croppad/dictionary.py:324", lazy=True)
+CenterSpatialCropd = _mapped("CenterSpatialCropd", CenterSpatialCrop, "croppad/dictionary.py:364", lazy=True)
+CenterScaleCropd = _mapped("CenterScaleCropd", CenterScaleCrop, "croppad/dictionary.py:398", lazy=True)
+ResizeWithPadOrCropd = _mapped("ResizeWithPadOrCropd", ResizeWithPadOrCrop, "croppad/dictionary.py:—",
+                               lazy=True, call_kwargs=("mode",))
+RandSpatialCropd = _mapped_rand("RandSpatialCropd", RandSpatialCrop, "croppad/dictionary.py:431", lazy=True)
+RandScaleCropd = _mapped_rand("RandScaleCropd", RandScaleCrop, "croppad/dictionary.py:487", lazy=True)
+
+
+class CropForegroundd(MapTransform, InvertibleTransform):
+    """Crop all keys by the foreground box of ``source_key``
+    (reference: croppad/dictionary.py:631)."""
+
+    def __init__(self, keys: KeysCollection, source_key: str, select_fn: Callable = None,
+                 channel_indices=None, margin=0, allow_smaller: bool = True, k_divisible=1,
+                 mode="constant", start_coord_key: str = "foreground_start_coord",
+                 end_coord_key: str = "foreground_end_coord", allow_missing_keys: bool = False,
+                 lazy: bool = False, **pad_kwargs):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        from .utils import is_positive
+
+        self.source_key = source_key
+        self.start_coord_key = start_coord_key
+        self.end_coord_key = end_coord_key
+        self.cropper = CropForeground(select_fn=select_fn or is_positive, channel_indices=channel_indices,
+                                      margin=margin, allow_smaller=allow_smaller, k_divisible=k_divisible,
+                                      lazy=lazy, **pad_kwargs)
+        self.mode = ensure_tuple_rep(mode, len(self.keys))
+
+    @property
+    def lazy(self):
+        return self.cropper.lazy
+
+    @lazy.setter
+    def lazy(self, value):
+        self.cropper.lazy = value
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+        d = dict(data)
+        box_start, box_end = self.cropper.compute_bounding_box(img=d[self.source_key])
+        if self.start_coord_key is not None:
+            d[self.start_coord_key] = box_start
+        if self.end_coord_key is not None:
+            d[self.end_coord_key] = box_end
+        for key, m in self.key_iterator(d, self.mode):
+            d[key] = self.cropper.crop_pad(img=d[key], box_start=box_start, box_end=box_end, mode=m,
+                                           lazy=lazy)
+        return d
+
+    def inverse(self, data):
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.cropper.inverse(d[key])
+        return d
+
+
+class RandSpatialCropSamplesd(Randomizable, MapTransform, MultiSampleTrait):
+    """N random crops over all keys (reference: croppad/dictionary.py:531)."""
+
+    def __init__(self, keys: KeysCollection, roi_size, num_samples: int, max_roi_size=None,
+                 random_center: bool = True, random_size: bool = False,
+                 allow_missing_keys: bool = False, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.num_samples = num_samples
+        self.cropper = RandSpatialCrop(roi_size, max_roi_size, random_center, random_size, lazy=lazy)
+
+    def set_random_state(self, seed=None, state=None):
+        super().set_random_state(seed, state)
+        self.cropper.set_random_state(state=self.R)
+        return self
+
+    def randomize(self, data=None) -> None:
+        pass
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> list[dict]:
+        d = dict(data)
+        ret: list[dict] = [dict(d) for _ in range(self.num_samples)]
+        first_key = self.first_key(d)
+        if first_key == ():
+            return ret
+        for i in range(self.num_samples):
+            first = d[first_key]
+            self.cropper.randomize(first.peek_pending_shape() if isinstance(first, MetaImage) else first.shape[1:])
+            for key in self.key_iterator(d):
+                cropped = self.cropper(d[key], randomize=False, lazy=lazy)
+                if isinstance(cropped, MetaImage):
+                    cropped.meta["patch_index"] = i
+                ret[i][key] = cropped
+        return ret
+
+
+class RandWeightedCropd(Randomizable, MapTransform, MultiSampleTrait):
+    """Weighted crops over all keys (reference: croppad/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, w_key: str, spatial_size, num_samples: int = 1,
+                 allow_missing_keys: bool = False, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.w_key = w_key
+        self.cropper = RandWeightedCrop(spatial_size, num_samples, lazy=lazy)
+
+    def set_random_state(self, seed=None, state=None):
+        super().set_random_state(seed, state)
+        self.cropper.set_random_state(state=self.R)
+        return self
+
+    def randomize(self, weight_map) -> None:
+        self.cropper.randomize(weight_map)
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> list[dict]:
+        d = dict(data)
+        self.randomize(d[self.w_key])
+        ret: list[dict] = [dict(d) for _ in range(self.cropper.num_samples)]
+        for key in self.key_iterator(d):
+            for i, im in enumerate(self.cropper(d[key], weight_map=d[self.w_key], randomize=False, lazy=lazy)):
+                ret[i][key] = im
+        return ret
+
+
+class RandCropByPosNegLabeld(Randomizable, MapTransform, MultiSampleTrait):
+    """Balanced crops over all keys (reference: croppad/dictionary.py:1075)."""
+
+    def __init__(self, keys: KeysCollection, label_key: str, spatial_size, pos: float = 1.0,
+                 neg: float = 1.0, num_samples: int = 1, image_key: str | None = None,
+                 image_threshold: float = 0.0, fg_indices_key: str | None = None,
+                 bg_indices_key: str | None = None, allow_smaller: bool = False,
+                 allow_missing_keys: bool = False, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.label_key = label_key
+        self.image_key = image_key
+        self.fg_indices_key = fg_indices_key
+        self.bg_indices_key = bg_indices_key
+        self.cropper = RandCropByPosNegLabel(spatial_size=spatial_size, pos=pos, neg=neg,
+                                             num_samples=num_samples, image_threshold=image_threshold,
+                                             allow_smaller=allow_smaller, lazy=lazy)
+
+    def set_random_state(self, seed=None, state=None):
+        super().set_random_state(seed, state)
+        self.cropper.set_random_state(state=self.R)
+        return self
+
+    def randomize(self, label, fg_indices=None, bg_indices=None, image=None) -> None:
+        self.cropper.randomize(label=label, fg_indices=fg_indices, bg_indices=bg_indices, image=image)
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> list[dict]:
+        d = dict(data)
+        fg_indices = d.pop(self.fg_indices_key, None) if self.fg_indices_key is not None else None
+        bg_indices = d.pop(self.bg_indices_key, None) if self.bg_indices_key is not None else None
+        self.randomize(d[self.label_key], fg_indices, bg_indices,
+                       d.get(self.image_key) if self.image_key else None)
+        ret: list[dict] = [dict(d) for _ in range(self.cropper.num_samples)]
+        for key in self.key_iterator(d):
+            for i, im in enumerate(self.cropper(d[key], label=d[self.label_key], randomize=False, lazy=lazy)):
+                ret[i][key] = im
+        return ret
+
+
+class RandCropByLabelClassesd(Randomizable, MapTransform, MultiSampleTrait):
+    """Class-balanced crops over all keys (reference: croppad/dictionary.py:1232)."""
+
+    def __init__(self, keys: KeysCollection, label_key: str, spatial_size, ratios=None,
+                 num_classes: int | None = None, num_samples: int = 1, image_key: str | None = None,
+                 image_threshold: float = 0.0, indices_key: str | None = None,
+                 allow_smaller: bool = False, allow_missing_keys: bool = False, warn: bool = True,
+                 max_samples_per_class: int | None = None, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.label_key = label_key
+        self.image_key = image_key
+        self.indices_key = indices_key
+        self.cropper = RandCropByLabelClasses(spatial_size=spatial_size, ratios=ratios,
+                                              num_classes=num_classes, num_samples=num_samples,
+                                              image_threshold=image_threshold, allow_smaller=allow_smaller,
+                                              warn=warn, max_samples_per_class=max_samples_per_class,
+                                              lazy=lazy)
+
+    def set_random_state(self, seed=None, state=None):
+        super().set_random_state(seed, state)
+        self.cropper.set_random_state(state=self.R)
+        return self
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> list[dict]:
+        d = dict(data)
+        indices = d.pop(self.indices_key, None) if self.indices_key is not None else None
+        self.cropper.randomize(d[self.label_key], indices,
+                               d.get(self.image_key) if self.image_key else None)
+        ret: list[dict] = [dict(d) for _ in range(self.cropper.num_samples)]
+        for key in self.key_iterator(d):
+            for i, im in enumerate(self.cropper(d[key], label=d[self.label_key], randomize=False, lazy=lazy)):
+                ret[i][key] = im
+        return ret
+
+
+# ---------------------------------------------------------------------------
+# intensity dictionary transforms
+# ---------------------------------------------------------------------------
+
+RandGaussianNoised = _mapped_rand("RandGaussianNoised", RandGaussianNoise, "intensity/dictionary.py:—")
+RandRicianNoised = _mapped_rand("RandRicianNoised", RandRicianNoise, "intensity/dictionary.py:—")
+ShiftIntensityd = _mapped("ShiftIntensityd", ShiftIntensity, "intensity/dictionary.py:—")
+RandShiftIntensityd = _mapped_rand("RandShiftIntensityd", RandShiftIntensity, "intensity/dictionary.py:—")
+StdShiftIntensityd = _mapped("StdShiftIntensityd", StdShiftIntensity, "intensity/dictionary.py:—")
+RandStdShiftIntensityd = _mapped_rand("RandStdShiftIntensityd", RandStdShiftIntensity, "")
+ScaleIntensityd = _mapped("ScaleIntensityd", ScaleIntensity, "intensity/dictionary.py:—")
+RandScaleIntensityd = _mapped_rand("RandScaleIntensityd", RandScaleIntensity, "")
+ScaleIntensityFixedMeand = _mapped("ScaleIntensityFixedMeand", ScaleIntensityFixedMean, "")
+RandBiasFieldd = _mapped_rand("RandBiasFieldd", RandBiasField, "")
+NormalizeIntensityd = _mapped("NormalizeIntensityd", NormalizeIntensity, "intensity/dictionary.py:—")
+ThresholdIntensityd = _mapped("ThresholdIntensityd", ThresholdIntensity, "")
+ScaleIntensityRanged = _mapped("ScaleIntensityRanged", ScaleIntensityRange, "intensity/dictionary.py:—")
+ClipIntensityPercentilesd = _mapped("ClipIntensityPercentilesd", ClipIntensityPercentiles, "")
+AdjustContrastd = _mapped("AdjustContrastd", AdjustContrast, "")
+RandAdjustContrastd = _mapped_rand("RandAdjustContrastd", RandAdjustContrast, "")
+ScaleIntensityRangePercentilesd = _mapped("ScaleIntensityRangePercentilesd", ScaleIntensityRangePercentiles, "")
+MaskIntensityd = _mapped("MaskIntensityd", MaskIntensity, "")
+GaussianSmoothd = _mapped("GaussianSmoothd", GaussianSmooth, "")
+RandGaussianSmoothd = _mapped_rand("RandGaussianSmoothd", RandGaussianSmooth, "")
+GaussianSharpend = _mapped("GaussianSharpend", GaussianSharpen, "")
+RandGaussianSharpend = _mapped_rand("RandGaussianSharpend", RandGaussianSharpen, "")
+RandHistogramShiftd = _mapped_rand("RandHistogramShiftd", RandHistogramShift, "")
+GibbsNoised = _mapped("GibbsNoised", GibbsNoise, "")
+RandGibbsNoised = _mapped_rand("RandGibbsNoised", RandGibbsNoise, "")
+KSpaceSpikeNoised = _mapped("KSpaceSpikeNoised", KSpaceSpikeNoise, "")
+RandKSpaceSpikeNoised = _mapped_rand("RandKSpaceSpikeNoised", RandKSpaceSpikeNoise, "")
+RandCoarseDropoutd = _mapped_rand("RandCoarseDropoutd", RandCoarseDropout, "")
+RandCoarseShuffled = _mapped_rand("RandCoarseShuffled", RandCoarseShuffle, "")
+HistogramNormalized = _mapped("HistogramNormalized", HistogramNormalize, "")
+ForegroundMaskd = _mapped("ForegroundMaskd", ForegroundMask, "")
+ComputeHoVerMapsd = _mapped("ComputeHoVerMapsd", ComputeHoVerMaps, "")
+MedianSmoothd = _mapped("MedianSmoothd", MedianSmooth, "")
+SavitzkyGolaySmoothd = _mapped("SavitzkyGolaySmoothd", SavitzkyGolaySmooth, "")
+
+
+# ---------------------------------------------------------------------------
+# utility dictionary transforms
+# ---------------------------------------------------------------------------
+
+Identityd = _mapped("Identityd", Identity, "utility/dictionary.py:—")
+AsChannelLastd = _mapped("AsChannelLastd", AsChannelLast, "")
+EnsureChannelFirstd = _mapped("EnsureChannelFirstd", EnsureChannelFirst, "utility/dictionary.py:—")
+RepeatChanneld = _mapped("RepeatChanneld", RepeatChannel, "")
+RemoveRepeatedChanneld = _mapped("RemoveRepeatedChanneld", RemoveRepeatedChannel, "")
+CastToTyped = _mapped("CastToTyped", CastToType, "utility/dictionary.py:—", call_kwargs=("dtype",))
+ToJaxd = _mapped("ToJaxd", ToJax, "")
+ToTensord = ToJaxd  # familiarity alias
+ToNumpyd = _mapped("ToNumpyd", ToNumpy, "")
+EnsureTyped = _mapped("EnsureTyped", EnsureType, "utility/dictionary.py:—")
+Transposed = _mapped("Transposed", Transpose, "")
+SqueezeDimd = _mapped("SqueezeDimd", SqueezeDim, "")
+DataStatsd = _mapped("DataStatsd", DataStats, "")
+SimulateDelayd = _mapped("SimulateDelayd", SimulateDelay, "")
+LabelToMaskd = _mapped("LabelToMaskd", LabelToMask, "")
+ConvertToMultiChannelBasedOnBratsClassesd = _mapped(
+    "ConvertToMultiChannelBasedOnBratsClassesd", ConvertToMultiChannelBasedOnBratsClasses, "")
+MapLabelValued = _mapped("MapLabelValued", MapLabelValue, "")
+AddCoordinateChannelsd = _mapped("AddCoordinateChannelsd", AddCoordinateChannels, "")
+ToDeviced = _mapped("ToDeviced", ToDevice, "")
+
+
+class Lambdad(MapTransform, InvertibleTransform):
+    """Apply callable(s) per key (reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, func, inv_func=None, overwrite: bool | str = True,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.func = ensure_tuple_rep(func, len(self.keys))
+        self.inv_func = ensure_tuple_rep(inv_func, len(self.keys))
+        self.overwrite = overwrite
+        self._lambd = Lambda()
+
+    def __call__(self, data):
+        d = dict(data)
+        for key, func in self.key_iterator(d, self.func):
+            ret = self._lambd(d[key], func=func)
+            if self.overwrite is True:
+                d[key] = ret
+            elif isinstance(self.overwrite, str):
+                d[self.overwrite] = ret
+        return d
+
+    def inverse(self, data):
+        d = dict(data)
+        for key, inv in self.key_iterator(d, self.inv_func):
+            if callable(inv):
+                d[key] = inv(d[key])
+        return d
+
+
+RandLambdad = Lambdad  # simplified: probability gating can wrap funcs
+
+
+class SplitDimd(MapTransform):
+    """Split a dim into new keys (reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, output_postfixes: Sequence[str] | None = None,
+                 dim: int = 0, keepdim: bool = True, update_meta: bool = True,
+                 list_output: bool = False, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.output_postfixes = output_postfixes
+        self.splitter = SplitDim(dim, keepdim, update_meta)
+        self.list_output = list_output
+
+    def __call__(self, data):
+        d = dict(data)
+        all_keys = list(set(self.key_iterator(d)))
+        if self.list_output:
+            output = []
+            results = [self.splitter(d[key]) for key in all_keys]
+            for row in zip(*results):
+                new_dict = dict(zip(all_keys, row))
+                for k in set(d.keys()).difference(set(all_keys)):
+                    new_dict[k] = d[k]
+                output.append(new_dict)
+            return output
+        for key in all_keys:
+            rets = self.splitter(d[key])
+            postfixes = tuple(f"{i}" for i in range(len(rets))) if self.output_postfixes is None else self.output_postfixes
+            if len(postfixes) != len(rets):
+                raise ValueError(f"count of splits must match output_postfixes, {len(postfixes)} != {len(rets)}.")
+            for i, r in enumerate(rets):
+                split_key = f"{key}_{postfixes[i]}"
+                if split_key in d:
+                    raise RuntimeError(f"input data already contains key {split_key}.")
+                d[split_key] = r
+        return d
+
+
+class FgBgToIndicesd(MapTransform):
+    """(reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, fg_postfix: str = "_fg_indices", bg_postfix: str = "_bg_indices",
+                 image_key: str | None = None, image_threshold: float = 0.0, output_shape=None,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.fg_postfix = fg_postfix
+        self.bg_postfix = bg_postfix
+        self.image_key = image_key
+        self.converter = FgBgToIndices(image_threshold, output_shape)
+
+    def __call__(self, data):
+        d = dict(data)
+        image = d[self.image_key] if self.image_key else None
+        for key in self.key_iterator(d):
+            d[f"{key}{self.fg_postfix}"], d[f"{key}{self.bg_postfix}"] = self.converter(d[key], image)
+        return d
+
+
+class ClassesToIndicesd(MapTransform):
+    def __init__(self, keys: KeysCollection, indices_postfix: str = "_cls_indices",
+                 num_classes: int | None = None, image_key: str | None = None,
+                 image_threshold: float = 0.0, output_shape=None, max_samples_per_class=None,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.indices_postfix = indices_postfix
+        self.image_key = image_key
+        self.converter = ClassesToIndices(num_classes, image_threshold, output_shape, max_samples_per_class)
+
+    def __call__(self, data):
+        d = dict(data)
+        image = d[self.image_key] if self.image_key else None
+        for key in self.key_iterator(d):
+            d[f"{key}{self.indices_postfix}"] = self.converter(d[key], image)
+        return d
+
+
+class DeleteItemsd(MapTransform):
+    """Remove keys (reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, sep: str = ".", use_re=False):
+        MapTransform.__init__(self, keys)
+        self.sep = sep
+        self.use_re = ensure_tuple_rep(use_re, len(self.keys))
+
+    def __call__(self, data):
+        import re
+
+        def _delete_item(keys, d, use_re: bool = False):
+            key = keys[0]
+            if len(keys) > 1:
+                d[key] = _delete_item(keys[1:], d[key], use_re)
+                return d
+            return {k: v for k, v in d.items() if (use_re and not re.search(key, f"{k}")) or (not use_re and k != key)}
+
+        d = dict(data)
+        for key, use_re in zip(self.keys, self.use_re):
+            d = _delete_item(str(key).split(self.sep), d, use_re)
+        return d
+
+
+class SelectItemsd(MapTransform):
+    """Keep only given keys (reference: utility/dictionary.py:—)."""
+
+    def __call__(self, data):
+        return {key: data[key] for key in self.key_iterator(data)}
+
+
+class CopyItemsd(MapTransform):
+    """Copy values to new keys (reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, times: int = 1, names: KeysCollection | None = None,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        if times < 1:
+            raise ValueError(f"times must be positive, got {times}.")
+        self.times = times
+        names = [f"{key}_{i}" for key in self.keys for i in range(self.times)] if names is None else ensure_tuple(names)
+        if len(names) != (len(self.keys) * times):
+            raise ValueError("len(names) must match len(keys) * times.")
+        self.names = names
+
+    def __call__(self, data):
+        import copy
+
+        d = dict(data)
+        key_len = len(self.keys)
+        for i in range(self.times):
+            for key, new_key in self.key_iterator(d, self.names[i * key_len:(i + 1) * key_len]):
+                if new_key in d:
+                    raise KeyError(f"Key {new_key} already exists in data.")
+                val = d[key]
+                d[new_key] = val.clone() if isinstance(val, MetaImage) else copy.deepcopy(val)
+        return d
+
+
+class ConcatItemsd(MapTransform):
+    """Concat several keys into one (reference: utility/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, name: str, dim: int = 0, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.name = name
+        self.dim = dim
+
+    def __call__(self, data):
+        d = dict(data)
+        output = []
+        data_type = None
+        for key in self.key_iterator(d):
+            if data_type is None:
+                data_type = type(d[key])
+            elif not isinstance(d[key], data_type):
+                raise TypeError("All items in data must have the same type.")
+            output.append(d[key])
+        if len(output) == 0:
+            return d
+        from ..utils.backend import xp
+
+        if isinstance(output[0], MetaImage):
+            arrs = [o.data for o in output]
+            d[self.name] = output[0].new_like(xp(arrs[0]).concatenate(arrs, axis=self.dim))
+        else:
+            d[self.name] = xp(output[0]).concatenate(output, axis=self.dim)
+        return d
+
+
+class IntensityStatsd(MapTransform):
+    def __init__(self, keys: KeysCollection, ops, key_prefix: str, mask_keys=None,
+                 channel_wise: bool = False, meta_keys=None, meta_key_postfix: str = "meta_dict",
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.stats = IntensityStats(ops=ops, key_prefix=key_prefix, channel_wise=channel_wise)
+        self.mask_keys = ensure_tuple_rep(None, len(self.keys)) if mask_keys is None else ensure_tuple(mask_keys)
+
+    def __call__(self, data):
+        d = dict(data)
+        for key, mask_key in self.key_iterator(d, self.mask_keys):
+            mask = d.get(mask_key) if mask_key is not None else None
+            d[key], _ = self.stats(d[key], mask=mask)
+        return d
+
+
+class AddExtremePointsChanneld(Randomizable, MapTransform):
+    def __init__(self, keys: KeysCollection, label_key: str, background: int = 0, pert: float = 0.0,
+                 sigma=3.0, rescale_min: float = -1.0, rescale_max: float = 1.0,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.background = background
+        self.pert = pert
+        self.points: list = []
+        self.label_key = label_key
+        self.sigma = sigma
+        self.rescale_min = rescale_min
+        self.rescale_max = rescale_max
+        self.converter = AddExtremePointsChannel(background=background, pert=pert)
+
+    def set_random_state(self, seed=None, state=None):
+        super().set_random_state(seed, state)
+        self.converter.set_random_state(seed, state)
+        return self
+
+    def __call__(self, data):
+        d = dict(data)
+        label = d[self.label_key]
+        for key in self.key_iterator(d):
+            d[key] = self.converter(d[key], label=label, sigma=self.sigma,
+                                    rescale_min=self.rescale_min, rescale_max=self.rescale_max)
+        return d
+
+
+# ---------------------------------------------------------------------------
+# IO dictionary transforms
+# ---------------------------------------------------------------------------
+
+class LoadImaged(MapTransform):
+    """Load image files per key (reference: io/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, reader=None, dtype=np.float32, meta_keys=None,
+                 meta_key_postfix: str = "meta_dict", overwriting: bool = False, image_only: bool = True,
+                 ensure_channel_first: bool = False, simple_keys: bool = False,
+                 prune_meta_pattern=None, prune_meta_sep: str = ".", allow_missing_keys: bool = False,
+                 expanduser: bool = True, *args, **kwargs):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self._loader = LoadImage(reader, image_only, dtype, ensure_channel_first, simple_keys,
+                                 prune_meta_pattern, prune_meta_sep, expanduser, *args, **kwargs)
+        self.meta_key_postfix = meta_key_postfix
+        self.meta_keys = ensure_tuple_rep(None, len(self.keys)) if meta_keys is None else ensure_tuple(meta_keys)
+        self.overwriting = overwriting
+
+    def register(self, reader):
+        self._loader.register(reader)
+
+    def __call__(self, data, reader=None):
+        d = dict(data)
+        for key, meta_key in self.key_iterator(d, self.meta_keys):
+            out = self._loader(d[key], reader)
+            if self._loader.image_only:
+                d[key] = out
+            else:
+                d[key] = out[0]
+                meta_key = meta_key or f"{key}_{self.meta_key_postfix}"
+                if meta_key in d and not self.overwriting:
+                    raise KeyError(f"Metadata with key {meta_key} already exists and overwriting=False.")
+                d[meta_key] = out[1]
+        return d
+
+
+class SaveImaged(MapTransform):
+    """Save images per key (reference: io/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, meta_keys=None, meta_key_postfix: str = "meta_dict",
+                 output_dir="./", output_postfix: str = "trans", output_ext: str = ".nii.gz",
+                 resample: bool = False, mode: str = "nearest", padding_mode="border",
+                 scale=None, dtype=np.float64, output_dtype=np.float32, allow_missing_keys: bool = False,
+                 squeeze_end_dims: bool = True, data_root_dir: str = "", separate_folder: bool = True,
+                 print_log: bool = True, output_format: str = "", writer=None,
+                 output_name_formatter=None, folder_layout=None, savepath_in_metadict: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.saver = SaveImage(output_dir=output_dir, output_postfix=output_postfix, output_ext=output_ext,
+                               resample=resample, mode=mode, padding_mode=padding_mode, scale=scale,
+                               dtype=dtype, output_dtype=output_dtype, squeeze_end_dims=squeeze_end_dims,
+                               data_root_dir=data_root_dir, separate_folder=separate_folder,
+                               print_log=print_log, output_format=output_format, writer=writer,
+                               output_name_formatter=output_name_formatter, folder_layout=folder_layout,
+                               savepath_in_metadict=savepath_in_metadict)
+        self.meta_keys = ensure_tuple_rep(meta_keys, len(self.keys))
+        self.meta_key_postfix = ensure_tuple_rep(meta_key_postfix, len(self.keys))
+
+    def __call__(self, data):
+        d = dict(data)
+        for key, meta_key, meta_key_postfix in self.key_iterator(d, self.meta_keys, self.meta_key_postfix):
+            if meta_key is None and meta_key_postfix is not None:
+                meta_key = f"{key}_{meta_key_postfix}"
+            meta_data = d.get(meta_key) if meta_key is not None else None
+            self.saver(img=d[key], meta_data=meta_data)
+        return d
+
+
+# ---------------------------------------------------------------------------
+# post dictionary transforms
+# ---------------------------------------------------------------------------
+
+Activationsd = _mapped("Activationsd", Activations, "post/dictionary.py:—",
+                       call_kwargs=("sigmoid", "softmax", "other"))
+AsDiscreted = _mapped("AsDiscreted", AsDiscrete, "post/dictionary.py:—",
+                      call_kwargs=("argmax", "to_onehot", "threshold", "rounding"))
+KeepLargestConnectedComponentd = _mapped("KeepLargestConnectedComponentd", KeepLargestConnectedComponent, "")
+RemoveSmallObjectsd = _mapped("RemoveSmallObjectsd", RemoveSmallObjects, "")
+FillHolesd = _mapped("FillHolesd", FillHoles, "")
+LabelToContourd = _mapped("LabelToContourd", LabelToContour, "")
+ProbNMSd = _mapped("ProbNMSd", ProbNMS, "")
+SobelGradientsd = _mapped("SobelGradientsd", SobelGradients, "")
+DistanceTransformEDTd = _mapped("DistanceTransformEDTd", DistanceTransformEDT, "")
+
+
+class MeanEnsembled(MapTransform):
+    """(reference: post/dictionary.py:—)."""
+
+    def __init__(self, keys: KeysCollection, output_key: str | None = None, weights=None):
+        MapTransform.__init__(self, keys)
+        self.output_key = output_key if output_key is not None else self.keys[0]
+        self.ensemble = MeanEnsemble(weights=weights)
+
+    def __call__(self, data):
+        d = dict(data)
+        items = [d[key] for key in self.key_iterator(d)]
+        d[self.output_key] = self.ensemble(items)
+        return d
+
+
+class VoteEnsembled(MapTransform):
+    def __init__(self, keys: KeysCollection, output_key: str | None = None, num_classes: int | None = None):
+        MapTransform.__init__(self, keys)
+        self.output_key = output_key if output_key is not None else self.keys[0]
+        self.ensemble = VoteEnsemble(num_classes=num_classes)
+
+    def __call__(self, data):
+        d = dict(data)
+        items = [d[key] for key in self.key_iterator(d)]
+        d[self.output_key] = self.ensemble(items)
+        return d
+
+
+class Invertd(MapTransform):
+    """Invert previously applied transforms on predictions
+    (reference: post/dictionary.py Invertd / post/array.py:833 Invert).
+
+    Applies ``transform.inverse`` using the applied_operations recorded on
+    ``orig_keys``' images.
+    """
+
+    def __init__(self, keys: KeysCollection, transform, orig_keys: KeysCollection | None = None,
+                 meta_keys=None, orig_meta_keys=None, meta_key_postfix: str = "meta_dict",
+                 nearest_interp: bool | Sequence[bool] = True, to_tensor: bool = True,
+                 device=None, post_func=None, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        if not isinstance(transform, InvertibleTransform):
+            raise ValueError("transform is not invertible, can't invert transform for the data.")
+        self.transform = transform
+        self.orig_keys = ensure_tuple_rep(orig_keys, len(self.keys)) if orig_keys is not None else self.keys
+        self.nearest_interp = ensure_tuple_rep(nearest_interp, len(self.keys))
+
+    def __call__(self, data):
+        d = dict(data)
+        for key, orig_key, nearest_interp in self.key_iterator(d, self.orig_keys, self.nearest_interp):
+            orig = d.get(orig_key)
+            pred = d[key]
+            pred = MetaImage.ensure_meta(pred)
+            if isinstance(orig, MetaImage):
+                # graft the recorded operation stack onto the prediction
+                pred = pred.new_like(pred.data)
+                pred.applied_operations = [dict(op) for op in orig.applied_operations]
+                pred.affine = np.asarray(orig.affine).copy()
+            if nearest_interp:
+                for op in pred.applied_operations:
+                    if "lazy_interpolation_mode" in op:
+                        op["lazy_interpolation_mode"] = 0
+            inverted = self.transform.inverse(pred)
+            d[key] = inverted
+        return d
+
+
+class Decollated(MapTransform):
+    """Decollate a batch dict into a list of sample dicts (reference:
+    inverse_batch_transform.py:114)."""
+
+    def __init__(self, keys=None, detach: bool = True, pad_batch: bool = True, fill_value=None,
+                 allow_missing_keys: bool = True):
+        MapTransform.__init__(self, keys if keys is not None else "_all_", allow_missing_keys)
+        self.detach = detach
+        self.pad_batch = pad_batch
+        self.fill_value = fill_value
+
+    def __call__(self, data):
+        from ..data.utils import decollate_batch
+
+        return decollate_batch(data, detach=self.detach, pad=self.pad_batch, fill_value=self.fill_value)
+
+
+# exported names
+__all__ = [n for n in dir() if n.endswith("d") and not n.startswith("_")] + [
+    "ToTensord", "RandLambdad", "Invertd", "Decollated",
+]
+
+# CamelCase D/Dict aliases (the reference exports XxxD and XxxDict as aliases)
+_g = globals()
+for _n in list(__all__):
+    obj = _g.get(_n)
+    if isinstance(obj, type):
+        _g[f"{_n[:-1]}D"] = obj
+        _g[f"{_n[:-1]}Dict"] = obj
+        __all__ += [f"{_n[:-1]}D", f"{_n[:-1]}Dict"]

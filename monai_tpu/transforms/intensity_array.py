@@ -1,0 +1,1325 @@
+"""Intensity transforms (array API).
+
+Parity targets: monai/transforms/intensity/array.py:86-2790 (58 classes; the ~40 most
+used are implemented here).  All are dual-backend (numpy/jax) elementwise or separable
+ops — inside jit these fuse into surrounding computation on TPU.
+"""
+from __future__ import annotations
+
+from abc import abstractmethod
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import numpy as np
+
+from ..data.meta_image import MetaImage
+from ..ops.gaussian import gaussian_filter, gaussian_1d, separable_filtering
+from ..utils.backend import is_jax, to_numpy, xp
+from ..utils.misc import ensure_tuple, ensure_tuple_rep, ensure_tuple_size, fall_back_tuple
+from ..utils.type_conversion import convert_to_dst_type
+from .transform import RandomizableTransform, Transform
+
+__all__ = [
+    "RandGaussianNoise",
+    "RandRicianNoise",
+    "ShiftIntensity",
+    "RandShiftIntensity",
+    "StdShiftIntensity",
+    "RandStdShiftIntensity",
+    "ScaleIntensity",
+    "RandScaleIntensity",
+    "ScaleIntensityFixedMean",
+    "RandBiasField",
+    "NormalizeIntensity",
+    "ThresholdIntensity",
+    "ScaleIntensityRange",
+    "ClipIntensityPercentiles",
+    "AdjustContrast",
+    "RandAdjustContrast",
+    "ScaleIntensityRangePercentiles",
+    "MaskIntensity",
+    "GaussianSmooth",
+    "RandGaussianSmooth",
+    "GaussianSharpen",
+    "RandGaussianSharpen",
+    "RandHistogramShift",
+    "GibbsNoise",
+    "RandGibbsNoise",
+    "KSpaceSpikeNoise",
+    "RandKSpaceSpikeNoise",
+    "RandCoarseDropout",
+    "RandCoarseShuffle",
+    "HistogramNormalize",
+    "ForegroundMask",
+    "ComputeHoVerMaps",
+    "IntensityRemap",
+    "RandIntensityRemap",
+    "MedianSmooth",
+    "SavitzkyGolaySmooth",
+    "DetectEnvelope",
+]
+
+
+def _apply(img: Any, fn: Callable) -> Any:
+    """Apply an array function, preserving MetaImage wrapping."""
+    if isinstance(img, MetaImage):
+        return img.new_like(fn(img.data))
+    return fn(img)
+
+
+class RandGaussianNoise(RandomizableTransform):
+    """Add gaussian noise (reference: intensity/array.py:86)."""
+
+    def __init__(self, prob: float = 0.1, mean: float = 0.0, std: float = 0.1, dtype=np.float32,
+                 sample_std: bool = True):
+        RandomizableTransform.__init__(self, prob)
+        self.mean = mean
+        self.std = std
+        self.dtype = dtype
+        self.sample_std = sample_std
+        self.noise: np.ndarray | None = None
+
+    def randomize(self, img: Any, mean: float | None = None) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        std = self.R.uniform(0, self.std) if self.sample_std else self.std
+        noise = self.R.normal(self.mean if mean is None else mean, std, size=img.shape)
+        self.noise = noise.astype(np.float32)
+
+    def __call__(self, img: Any, mean: float | None = None, randomize: bool = True):
+        if randomize:
+            self.randomize(img=img, mean=self.mean if mean is None else mean)
+        if not self._do_transform:
+            return img
+        if self.noise is None:
+            raise RuntimeError("please call the `randomize()` function first.")
+
+        def _add(x):
+            noise, *_ = convert_to_dst_type(self.noise, x, dtype=self.dtype)
+            return (x.astype(self.dtype) + noise).astype(self.dtype)
+
+        return _apply(img, _add)
+
+
+class RandRicianNoise(RandomizableTransform):
+    """Rician noise (reference: intensity/array.py:160)."""
+
+    def __init__(self, prob: float = 0.1, mean: float = 0.0, std: float = 1.0, channel_wise: bool = False,
+                 relative: bool = False, sample_std: bool = True, dtype=np.float32):
+        RandomizableTransform.__init__(self, prob)
+        self.prob = prob
+        self.mean = mean
+        self.std = std
+        self.channel_wise = channel_wise
+        self.relative = relative
+        self.sample_std = sample_std
+        self.dtype = dtype
+
+    def _add_noise(self, img_np: np.ndarray, mean: float, std: float) -> np.ndarray:
+        im_shape = img_np.shape
+        _std = self.R.uniform(0, std) if self.sample_std else std
+        noise1 = self.R.normal(mean, _std, size=im_shape)
+        noise2 = self.R.normal(mean, _std, size=im_shape)
+        return np.sqrt((img_np + noise1) ** 2 + noise2**2)
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            super().randomize(None)
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            x_np = to_numpy(x, dtype=np.float64)
+            if self.channel_wise:
+                for i, d in enumerate(x_np):
+                    std = self.std * d.std() if self.relative else self.std
+                    x_np[i] = self._add_noise(d, mean=self.mean, std=std)
+            else:
+                std = self.std * x_np.std() if self.relative else self.std
+                x_np = self._add_noise(x_np, mean=self.mean, std=std)
+            out, *_ = convert_to_dst_type(x_np, x, dtype=self.dtype)
+            return out
+
+        return _apply(img, _fn)
+
+
+class ShiftIntensity(Transform):
+    """img + offset (reference: intensity/array.py:249)."""
+
+    def __init__(self, offset: float, safe: bool = False):
+        self.offset = offset
+
+    def __call__(self, img: Any, offset: float | None = None):
+        offset = self.offset if offset is None else offset
+        return _apply(img, lambda x: (x + offset).astype(x.dtype))
+
+
+class RandShiftIntensity(RandomizableTransform):
+    """Random intensity shift (reference: intensity/array.py:279)."""
+
+    def __init__(self, offsets: tuple[float, float] | float, safe: bool = False, prob: float = 0.1,
+                 channel_wise: bool = False):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(offsets, (int, float)):
+            self.offsets = (min(-offsets, offsets), max(-offsets, offsets))
+        elif len(offsets) != 2:
+            raise ValueError(f"offsets should be a number or pair of numbers, got {offsets}.")
+        else:
+            self.offsets = (min(offsets), max(offsets))
+        self.channel_wise = channel_wise
+        self._offset = self.offsets[0]
+        self._shifter = ShiftIntensity(self._offset)
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        if self.channel_wise:
+            self._offset = [self.R.uniform(low=self.offsets[0], high=self.offsets[1])
+                            for _ in range(data.shape[0])]
+        else:
+            self._offset = self.R.uniform(low=self.offsets[0], high=self.offsets[1])
+
+    def __call__(self, img: Any, factor: float | None = None, randomize: bool = True):
+        if randomize:
+            self.randomize(img.data if isinstance(img, MetaImage) else img)
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            if self.channel_wise:
+                ns = xp(x)
+                outs = [self._shifter(d, offset=o if factor is None else o * factor)
+                        for d, o in zip(x, self._offset)]
+                return ns.stack(outs).astype(x.dtype)
+            offset = self._offset if factor is None else self._offset * factor
+            return self._shifter(x, offset=offset)
+
+        return _apply(img, _fn)
+
+
+class StdShiftIntensity(Transform):
+    """Shift by factor * std(img) (reference: intensity/array.py:349)."""
+
+    def __init__(self, factor: float, nonzero: bool = False, channel_wise: bool = False, dtype=np.float32):
+        self.factor = factor
+        self.nonzero = nonzero
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def _stdshift(self, img):
+        ns = xp(img)
+        slices = (img != 0) if self.nonzero else ns.ones(img.shape, dtype=bool)
+        if not is_jax(img) and not np.any(slices):
+            return img
+        if is_jax(img):
+            import jax.numpy as jnp
+
+            cnt = jnp.maximum(jnp.sum(slices), 1)
+            mean = jnp.sum(jnp.where(slices, img, 0)) / cnt
+            var = jnp.sum(jnp.where(slices, (img - mean) ** 2, 0)) / cnt
+            offset = self.factor * jnp.sqrt(var)
+            return jnp.where(slices, img + offset, img)
+        offset = self.factor * np.std(img[slices])
+        out = img.copy()
+        out[slices] = img[slices] + offset
+        return out
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x = x.astype(self.dtype)
+            if self.channel_wise:
+                return xp(x).stack([self._stdshift(d) for d in x])
+            return self._stdshift(x)
+
+        return _apply(img, _fn)
+
+
+class RandStdShiftIntensity(RandomizableTransform):
+    """Random std-scaled shift (reference: intensity/array.py:407)."""
+
+    def __init__(self, factors: tuple[float, float] | float, prob: float = 0.1, nonzero: bool = False,
+                 channel_wise: bool = False, dtype=np.float32):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(factors, (int, float)):
+            self.factors = (min(-factors, factors), max(-factors, factors))
+        elif len(factors) != 2:
+            raise ValueError(f"factors should be a number or pair of numbers, got {factors}.")
+        else:
+            self.factors = (min(factors), max(factors))
+        self.factor = self.factors[0]
+        self.nonzero = nonzero
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            self.factor = self.R.uniform(low=self.factors[0], high=self.factors[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+        shifter = StdShiftIntensity(factor=self.factor, nonzero=self.nonzero,
+                                    channel_wise=self.channel_wise, dtype=self.dtype)
+        return shifter(img)
+
+
+class ScaleIntensity(Transform):
+    """Linear rescale to [minv, maxv] or by factor (reference: intensity/array.py:463)."""
+
+    def __init__(self, minv: float | None = 0.0, maxv: float | None = 1.0, factor: float | None = None,
+                 channel_wise: bool = False, dtype=np.float32):
+        self.minv = minv
+        self.maxv = maxv
+        self.factor = factor
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def _rescale(self, x):
+        ns = xp(x)
+        if self.minv is not None or self.maxv is not None:
+            mina, maxa = ns.min(x), ns.max(x)
+            denom = maxa - mina
+            if is_jax(x):
+                import jax.numpy as jnp
+
+                norm = jnp.where(denom == 0, jnp.zeros_like(x), (x - mina) / jnp.where(denom == 0, 1, denom))
+            else:
+                norm = np.zeros_like(x) if denom == 0 else (x - mina) / denom
+            if self.minv is None:  # max only
+                return (norm * self.maxv).astype(self.dtype)
+            if self.maxv is None:
+                return (norm + self.minv).astype(self.dtype)
+            return (norm * (self.maxv - self.minv) + self.minv).astype(self.dtype)
+        return (x * (1 + (self.factor or 0.0))).astype(self.dtype)
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x = x.astype(self.dtype)
+            if self.channel_wise:
+                return xp(x).stack([self._rescale(d) for d in x])
+            return self._rescale(x)
+
+        return _apply(img, _fn)
+
+
+class RandScaleIntensity(RandomizableTransform):
+    """v = v * (1 + U(factors)) (reference: intensity/array.py:537)."""
+
+    def __init__(self, factors: tuple[float, float] | float, prob: float = 0.1,
+                 channel_wise: bool = False, dtype=np.float32):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(factors, (int, float)):
+            self.factors = (min(-factors, factors), max(-factors, factors))
+        elif len(factors) != 2:
+            raise ValueError(f"factors should be a number or pair of numbers, got {factors}.")
+        else:
+            self.factors = (min(factors), max(factors))
+        self.factor = self.factors[0]
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            if self.channel_wise and data is not None:
+                self.factor = [self.R.uniform(low=self.factors[0], high=self.factors[1])
+                               for _ in range(data.shape[0])]
+            else:
+                self.factor = self.R.uniform(low=self.factors[0], high=self.factors[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize(img.data if isinstance(img, MetaImage) else img)
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            if self.channel_wise and isinstance(self.factor, list):
+                outs = [ScaleIntensity(minv=None, maxv=None, factor=f, dtype=self.dtype)(d)
+                        for d, f in zip(x, self.factor)]
+                return xp(x).stack(outs)
+            return ScaleIntensity(minv=None, maxv=None, factor=self.factor, dtype=self.dtype)(x)
+
+        return _apply(img, _fn)
+
+
+class ScaleIntensityFixedMean(Transform):
+    """Scale then restore mean (reference: intensity/array.py:584)."""
+
+    def __init__(self, factor: float = 0, preserve_range: bool = False,
+                 fixed_mean: bool = True, dtype=np.float32):
+        self.factor = factor
+        self.preserve_range = preserve_range
+        self.fixed_mean = fixed_mean
+        self.dtype = dtype
+
+    def __call__(self, img: Any, factor=None):
+        factor = factor if factor is not None else self.factor
+
+        def _fn(x):
+            ns = xp(x)
+            x = x.astype(self.dtype)
+            if self.preserve_range:
+                mn, mx = ns.min(x), ns.max(x)
+            if self.fixed_mean:
+                mean = ns.mean(x)
+                x = x - mean
+            x = x * (1 + factor)
+            if self.fixed_mean:
+                x = x + mean
+            if self.preserve_range:
+                x = ns.clip(x, mn, mx)
+            return x.astype(self.dtype)
+
+        return _apply(img, _fn)
+
+
+class RandBiasField(RandomizableTransform):
+    """Random MR bias field via polynomial basis (reference: intensity/array.py:650)."""
+
+    def __init__(self, degree: int = 3, coeff_range: tuple[float, float] = (0.0, 0.1),
+                 dtype=np.float32, prob: float = 0.1):
+        RandomizableTransform.__init__(self, prob)
+        if degree < 1:
+            raise ValueError(f"degree should be no less than 1, got {degree}.")
+        self.degree = degree
+        self.coeff_range = coeff_range
+        self.dtype = dtype
+        self._coeff = [1.0]
+
+    def _generate_random_field(self, spatial_shape: Sequence[int], degree: int, coeff: Sequence[float]):
+        rank = len(spatial_shape)
+        coeff_mat = np.zeros((degree + 1,) * rank)
+        coords = [np.linspace(-1.0, 1.0, dim, dtype=np.float32) for dim in spatial_shape]
+        if rank == 2:
+            coeff_mat[np.tril_indices(degree + 1)] = coeff
+            return np.polynomial.legendre.leggrid2d(coords[0], coords[1], coeff_mat)
+        if rank == 3:
+            pts: list[list[int]] = [[0, 0, 0]]
+            for i in range(degree + 1):
+                for j in range(degree + 1 - i):
+                    for k in range(degree + 1 - i - j):
+                        pts.append([i, j, k])
+            if len(pts) > 1:
+                pts = pts[1:]
+            np_pts = np.stack(pts)
+            coeff_mat[np_pts[:, 0], np_pts[:, 1], np_pts[:, 2]] = coeff
+            return np.polynomial.legendre.leggrid3d(coords[0], coords[1], coords[2], coeff_mat)
+        raise NotImplementedError("only supports 2D or 3D fields")
+
+    def randomize(self, img_size: Sequence[int]) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        n_coeff = int(np.prod([(self.degree + k) / k for k in range(1, len(img_size) + 1)]))
+        self._coeff = self.R.uniform(*self.coeff_range, n_coeff).tolist()
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize(img_size=img.shape[1:])
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            num_channels, *spatial_shape = x.shape
+            _bias_fields = np.stack(
+                [self._generate_random_field(spatial_shape, self.degree, self._coeff)
+                 for _ in range(num_channels)], axis=0)
+            field = np.exp(_bias_fields).astype(self.dtype)
+            fld, *_ = convert_to_dst_type(field, x, dtype=self.dtype)
+            return (x.astype(self.dtype) * fld).astype(self.dtype)
+
+        return _apply(img, _fn)
+
+
+class NormalizeIntensity(Transform):
+    """(img - mean) / std, optionally nonzero-only / channel-wise
+    (reference: intensity/array.py:721)."""
+
+    def __init__(self, subtrahend=None, divisor=None, nonzero: bool = False, channel_wise: bool = False,
+                 dtype=np.float32):
+        self.subtrahend = subtrahend
+        self.divisor = divisor
+        self.nonzero = nonzero
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def _normalize(self, img, sub=None, div=None):
+        ns = xp(img)
+        if self.nonzero:
+            slices = img != 0
+        else:
+            slices = None
+        if sub is None:
+            sub = ns.mean(img[slices]) if slices is not None and not is_jax(img) else (
+                (ns.sum(ns.where(slices, img, 0)) / ns.maximum(ns.sum(slices), 1)) if slices is not None else ns.mean(img))
+        if div is None:
+            if slices is not None and not is_jax(img):
+                div = ns.std(img[slices])
+            elif slices is not None:
+                cnt = ns.maximum(ns.sum(slices), 1)
+                mean_ = ns.sum(ns.where(slices, img, 0)) / cnt
+                div = ns.sqrt(ns.sum(ns.where(slices, (img - mean_) ** 2, 0)) / cnt)
+            else:
+                div = ns.std(img)
+        div = ns.where(div == 0, ns.ones_like(div), div) if is_jax(img) else (1.0 if div == 0 else div)
+        if slices is not None:
+            out = ns.where(slices, (img - sub) / div, img)
+        else:
+            out = (img - sub) / div
+        return out
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x = x.astype(np.float32 if not is_jax(x) else x.dtype)
+            if self.channel_wise:
+                subs = self.subtrahend if self.subtrahend is not None else [None] * x.shape[0]
+                divs = self.divisor if self.divisor is not None else [None] * x.shape[0]
+                outs = [self._normalize(d, s, v) for d, s, v in zip(x, subs, divs)]
+                out = xp(x).stack(outs)
+            else:
+                out = self._normalize(x, self.subtrahend, self.divisor)
+            return out.astype(self.dtype)
+
+        return _apply(img, _fn)
+
+
+class ThresholdIntensity(Transform):
+    """Zero out values above/below threshold (reference: intensity/array.py:810)."""
+
+    def __init__(self, threshold: float, above: bool = True, cval: float = 0.0):
+        if not isinstance(threshold, (int, float)):
+            raise ValueError(f"threshold must be a float or int number, got {type(threshold)} {threshold}.")
+        self.threshold = threshold
+        self.above = above
+        self.cval = cval
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            mask = x > self.threshold if self.above else x < self.threshold
+            return xp(x).where(mask, x, self.cval).astype(x.dtype)
+
+        return _apply(img, _fn)
+
+
+class ScaleIntensityRange(Transform):
+    """Window [a_min,a_max] → [b_min,b_max] with clip (reference: intensity/array.py:846)."""
+
+    def __init__(self, a_min: float, a_max: float, b_min: float | None = None, b_max: float | None = None,
+                 clip: bool = False, dtype=np.float32):
+        self.a_min = a_min
+        self.a_max = a_max
+        self.b_min = b_min
+        self.b_max = b_max
+        self.clip = clip
+        self.dtype = dtype
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x = x.astype(np.float32 if not is_jax(x) else jnp_float(x))
+            if self.a_max - self.a_min == 0.0:
+                if self.b_min is None:
+                    return x - self.a_min
+                return x - self.a_min + self.b_min
+            x = (x - self.a_min) / (self.a_max - self.a_min)
+            if self.b_min is not None and self.b_max is not None:
+                x = x * (self.b_max - self.b_min) + self.b_min
+            if self.clip:
+                x = xp(x).clip(x, self.b_min, self.b_max)
+            return x.astype(self.dtype)
+
+        return _apply(img, _fn)
+
+
+def jnp_float(x):
+    import jax.numpy as jnp
+
+    return jnp.float32 if x.dtype not in (jnp.float64,) else x.dtype
+
+
+class ClipIntensityPercentiles(Transform):
+    """Clip to percentile bounds (reference: intensity/array.py:910)."""
+
+    def __init__(self, lower: float | None, upper: float | None, sharpness_factor: float | None = None,
+                 channel_wise: bool = False, return_clipping_values: bool = False, dtype=np.float32):
+        if lower is None and upper is None:
+            raise ValueError("lower or upper percentiles must be provided")
+        for p in (lower, upper):
+            if p is not None and (p < 0 or p > 100):
+                raise ValueError("Percentiles must be in the range [0, 100]")
+        if upper is not None and lower is not None and upper < lower:
+            raise ValueError("upper must be greater than or equal to lower")
+        if sharpness_factor is not None and sharpness_factor <= 0:
+            raise ValueError("sharpness_factor must be greater than 0")
+        self.lower = lower
+        self.upper = upper
+        self.sharpness_factor = sharpness_factor
+        self.channel_wise = channel_wise
+        self.return_clipping_values = return_clipping_values
+        self.dtype = dtype
+
+    def _clip(self, img):
+        ns = xp(img)
+        if self.sharpness_factor is not None:
+            lower_percentile = ns.percentile(img, self.lower) if self.lower is not None else None
+            upper_percentile = ns.percentile(img, self.upper) if self.upper is not None else None
+            if lower_percentile is not None and upper_percentile is not None:
+                img = lower_percentile + (upper_percentile - lower_percentile) * (
+                    0.5 + (1.0 / np.pi) * ns.arctan(self.sharpness_factor * (2 * (img - lower_percentile) /
+                                                                             (upper_percentile - lower_percentile + 1e-10) - 1)))
+            return img
+        lo = ns.percentile(img, self.lower) if self.lower is not None else ns.min(img)
+        hi = ns.percentile(img, self.upper) if self.upper is not None else ns.max(img)
+        return ns.clip(img, lo, hi)
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            if self.channel_wise:
+                out = xp(x).stack([self._clip(d) for d in x])
+            else:
+                out = self._clip(x)
+            return out.astype(self.dtype)
+
+        return _apply(img, _fn)
+
+
+class AdjustContrast(Transform):
+    """Gamma adjust: ((img-min)/range)^gamma * range + min (reference: intensity/array.py:971)."""
+
+    def __init__(self, gamma: float, invert_image: bool = False, retain_stats: bool = False):
+        if not isinstance(gamma, (int, float)):
+            raise ValueError(f"gamma must be a float or int number, got {type(gamma)} {gamma}.")
+        self.gamma = gamma
+        self.invert_image = invert_image
+        self.retain_stats = retain_stats
+
+    def __call__(self, img: Any, gamma=None):
+        gamma = self.gamma if gamma is None else gamma
+
+        def _fn(x):
+            ns = xp(x)
+            x = x.astype(np.float32) if not is_jax(x) else x
+            if self.invert_image:
+                x = -x
+            if self.retain_stats:
+                mn, sd = ns.mean(x), ns.std(x)
+            epsilon = 1e-7
+            img_min = ns.min(x)
+            img_range = ns.max(x) - img_min
+            out = ((x - img_min) / (img_range + epsilon)) ** gamma * img_range + img_min
+            if self.retain_stats:
+                out = out - ns.mean(out)
+                out = out / (ns.std(out) + 1e-8) * sd
+                out = out + mn
+            if self.invert_image:
+                out = -out
+            return out
+
+        return _apply(img, _fn)
+
+
+class RandAdjustContrast(RandomizableTransform):
+    """Random gamma (reference: intensity/array.py:1049)."""
+
+    def __init__(self, prob: float = 0.1, gamma: tuple[float, float] | float = (0.5, 4.5),
+                 invert_image: bool = False, retain_stats: bool = False):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(gamma, (int, float)):
+            if gamma <= 0.5:
+                raise ValueError(f"if gamma is a number, must greater than 0.5 and value is picked from (0.5, gamma), got {gamma}")
+            self.gamma = (0.5, gamma)
+        elif len(gamma) != 2:
+            raise ValueError("gamma should be a number or pair of numbers.")
+        else:
+            self.gamma = (min(gamma), max(gamma))
+        self.gamma_value: float | None = None
+        self.invert_image = invert_image
+        self.retain_stats = retain_stats
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            self.gamma_value = self.R.uniform(low=self.gamma[0], high=self.gamma[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+        if self.gamma_value is None:
+            raise RuntimeError("gamma_value is not set, please call `randomize` function first.")
+        return AdjustContrast(self.gamma_value, self.invert_image, self.retain_stats)(img)
+
+
+class ScaleIntensityRangePercentiles(Transform):
+    """Window by percentiles (reference: intensity/array.py:1117)."""
+
+    def __init__(self, lower: float, upper: float, b_min: float | None, b_max: float | None,
+                 clip: bool = False, relative: bool = False, channel_wise: bool = False, dtype=np.float32):
+        if lower < 0.0 or lower > 100.0:
+            raise ValueError("Percentiles must be in the range [0, 100]")
+        if upper < 0.0 or upper > 100.0:
+            raise ValueError("Percentiles must be in the range [0, 100]")
+        self.lower = lower
+        self.upper = upper
+        self.b_min = b_min
+        self.b_max = b_max
+        self.clip = clip
+        self.relative = relative
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def _normalize(self, img):
+        ns = xp(img)
+        a_min = ns.percentile(img, self.lower)
+        a_max = ns.percentile(img, self.upper)
+        b_min = self.b_min
+        b_max = self.b_max
+        if self.relative:
+            if (self.b_min is None) or (self.b_max is None):
+                raise ValueError("If it is relative, b_min and b_max should not be None.")
+            b_min = ((self.b_max - self.b_min) * (self.lower / 100.0)) + self.b_min
+            b_max = ((self.b_max - self.b_min) * (self.upper / 100.0)) + self.b_min
+        scalar = ScaleIntensityRange(a_min=float(a_min), a_max=float(a_max), b_min=b_min, b_max=b_max,
+                                     clip=self.clip, dtype=self.dtype)
+        return scalar(img)
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            if self.channel_wise:
+                return xp(x).stack([self._normalize(d) for d in x]).astype(self.dtype)
+            return self._normalize(x)
+
+        return _apply(img, _fn)
+
+
+class MaskIntensity(Transform):
+    """Zero where mask==0 (reference: intensity/array.py:1188)."""
+
+    def __init__(self, mask_data=None, select_fn: Callable = None):
+        self.mask_data = mask_data
+        self.select_fn = select_fn
+
+    def __call__(self, img: Any, mask_data=None):
+        mask = mask_data if mask_data is not None else self.mask_data
+        if mask is None:
+            raise ValueError("must provide the mask_data when initializing the transform or at runtime.")
+
+        def _fn(x):
+            m = mask.data if isinstance(mask, MetaImage) else mask
+            m_conv, *_ = convert_to_dst_type(m, x)
+            mask_bool = m_conv > 0 if self.select_fn is None else self.select_fn(m_conv)
+            if mask_bool.shape[0] != 1 and mask_bool.shape[0] != x.shape[0]:
+                raise ValueError(f"If mask has multiple channels, channels must match img: {mask_bool.shape[0]} vs {x.shape[0]}")
+            return (x * mask_bool.astype(x.dtype)).astype(x.dtype)
+
+        return _apply(img, _fn)
+
+
+class GaussianSmooth(Transform):
+    """Gaussian blur (reference: intensity/array.py:1251)."""
+
+    def __init__(self, sigma: Sequence[float] | float = 1.0, approx: str = "erf"):
+        self.sigma = sigma
+        self.approx = approx
+
+    def __call__(self, img: Any):
+        return _apply(img, lambda x: gaussian_filter(x, self.sigma, approx=self.approx).astype(x.dtype)
+                      if not is_jax(x) else gaussian_filter(x, self.sigma, approx=self.approx))
+
+
+class RandGaussianSmooth(RandomizableTransform):
+    """Random-sigma blur (reference: intensity/array.py:1290)."""
+
+    def __init__(self, sigma_x=(0.25, 1.5), sigma_y=(0.25, 1.5), sigma_z=(0.25, 1.5), prob: float = 0.1,
+                 approx: str = "erf"):
+        RandomizableTransform.__init__(self, prob)
+        self.sigma_x = sigma_x
+        self.sigma_y = sigma_y
+        self.sigma_z = sigma_z
+        self.approx = approx
+        self.x = self.y = self.z = 1.0
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            self.x = self.R.uniform(low=self.sigma_x[0], high=self.sigma_x[1])
+            self.y = self.R.uniform(low=self.sigma_y[0], high=self.sigma_y[1])
+            self.z = self.R.uniform(low=self.sigma_z[0], high=self.sigma_z[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+        ndim = (img.ndim if not isinstance(img, MetaImage) else img.data.ndim) - 1
+        sigma = [self.x, self.y, self.z][:ndim]
+        return GaussianSmooth(sigma=sigma, approx=self.approx)(img)
+
+
+class GaussianSharpen(Transform):
+    """Unsharp-mask sharpening (reference: intensity/array.py:1340)."""
+
+    def __init__(self, sigma1=3.0, sigma2=1.0, alpha: float = 30.0, approx: str = "erf"):
+        self.sigma1 = sigma1
+        self.sigma2 = sigma2
+        self.alpha = alpha
+        self.approx = approx
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            blur1 = gaussian_filter(x, self.sigma1, approx=self.approx)
+            blur2 = gaussian_filter(blur1, self.sigma2, approx=self.approx)
+            return (blur1 + (blur1 - blur2) * self.alpha).astype(x.dtype) if not is_jax(x) else blur1 + (blur1 - blur2) * self.alpha
+
+        return _apply(img, _fn)
+
+
+class RandGaussianSharpen(RandomizableTransform):
+    """Random sharpening (reference: intensity/array.py:1386)."""
+
+    def __init__(self, sigma1_x=(0.5, 1.0), sigma1_y=(0.5, 1.0), sigma1_z=(0.5, 1.0),
+                 sigma2_x=0.5, sigma2_y=0.5, sigma2_z=0.5, alpha=(10.0, 30.0), approx: str = "erf",
+                 prob: float = 0.1):
+        RandomizableTransform.__init__(self, prob)
+        self.sigma1_x, self.sigma1_y, self.sigma1_z = sigma1_x, sigma1_y, sigma1_z
+        self.sigma2_x, self.sigma2_y, self.sigma2_z = sigma2_x, sigma2_y, sigma2_z
+        self.alpha = alpha
+        self.approx = approx
+        self.x1 = self.y1 = self.z1 = 1.0
+        self.x2 = self.y2 = self.z2 = 0.5
+        self.a = 10.0
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        self.x1 = self.R.uniform(low=self.sigma1_x[0], high=self.sigma1_x[1])
+        self.y1 = self.R.uniform(low=self.sigma1_y[0], high=self.sigma1_y[1])
+        self.z1 = self.R.uniform(low=self.sigma1_z[0], high=self.sigma1_z[1])
+        sigma2_x = (self.sigma2_x, self.x1) if not isinstance(self.sigma2_x, Sequence) else self.sigma2_x
+        sigma2_y = (self.sigma2_y, self.y1) if not isinstance(self.sigma2_y, Sequence) else self.sigma2_y
+        sigma2_z = (self.sigma2_z, self.z1) if not isinstance(self.sigma2_z, Sequence) else self.sigma2_z
+        self.x2 = self.R.uniform(low=sigma2_x[0], high=sigma2_x[1])
+        self.y2 = self.R.uniform(low=sigma2_y[0], high=sigma2_y[1])
+        self.z2 = self.R.uniform(low=sigma2_z[0], high=sigma2_z[1])
+        self.a = self.R.uniform(low=self.alpha[0], high=self.alpha[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+        ndim = (img.ndim if not isinstance(img, MetaImage) else img.data.ndim) - 1
+        sigma1 = [self.x1, self.y1, self.z1][:ndim]
+        sigma2 = [self.x2, self.y2, self.z2][:ndim]
+        return GaussianSharpen(sigma1=sigma1, sigma2=sigma2, alpha=self.a, approx=self.approx)(img)
+
+
+class RandHistogramShift(RandomizableTransform):
+    """Random histogram remap via control points (reference: intensity/array.py:1442)."""
+
+    def __init__(self, num_control_points: tuple[int, int] | int = 10, prob: float = 0.1):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(num_control_points, int):
+            if num_control_points <= 2:
+                raise ValueError(f"num_control_points should be greater than or equal to 3, got {num_control_points}")
+            self.num_control_points = (num_control_points, num_control_points)
+        else:
+            if len(num_control_points) != 2:
+                raise ValueError("num_control points should be a number or a pair of numbers")
+            if min(num_control_points) <= 2:
+                raise ValueError("num_control_points should be greater than or equal to 3")
+            self.num_control_points = (min(num_control_points), max(num_control_points))
+        self.reference_control_points: np.ndarray
+        self.floating_control_points: np.ndarray
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        num_control_point = self.R.randint(self.num_control_points[0], self.num_control_points[1] + 1)
+        self.reference_control_points = np.linspace(0, 1, num_control_point)
+        self.floating_control_points = np.copy(self.reference_control_points)
+        for i in range(1, num_control_point - 1):
+            self.floating_control_points[i] = self.R.uniform(
+                self.floating_control_points[i - 1], self.floating_control_points[i + 1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            ns = xp(x)
+            img_min, img_max = ns.min(x), ns.max(x)
+            xm = (x - img_min) / max(float(img_max - img_min), 1e-10) if not is_jax(x) else (x - img_min) / (img_max - img_min + 1e-10)
+            ref = self.reference_control_points
+            flt = self.floating_control_points
+            ref_c, *_ = convert_to_dst_type(ref, x, dtype=np.float32)
+            flt_c, *_ = convert_to_dst_type(flt, x, dtype=np.float32)
+            out = ns.interp(xm.astype(np.float32) if not is_jax(x) else xm, ref_c, flt_c)
+            return (out * (img_max - img_min) + img_min).astype(x.dtype)
+
+        return _apply(img, _fn)
+
+
+def _fftn(x, ns, axes):
+    return ns.fft.fftshift(ns.fft.fftn(x, axes=axes), axes=axes)
+
+
+def _ifftn(k, ns, axes):
+    return ns.fft.ifftn(ns.fft.ifftshift(k, axes=axes), axes=axes)
+
+
+class GibbsNoise(Transform):
+    """Truncate k-space (Gibbs ringing) (reference: intensity/array.py:1991)."""
+
+    def __init__(self, alpha: float = 0.1):
+        if alpha > 1 or alpha < 0:
+            raise ValueError("alpha must take values in the interval [0, 1].")
+        self.alpha = alpha
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            ns = xp(x)
+            n_dims = len(x.shape[1:])
+            axes = tuple(range(1, n_dims + 1))
+            k = _fftn(x, ns, axes)
+            # build radial mask
+            spatial = x.shape[1:]
+            grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in spatial], indexing="ij")
+            dist = np.sqrt(sum(g**2 for g in grids))
+            mask = (dist <= self.alpha * np.sqrt(len(spatial))).astype(np.float32)
+            m, *_ = convert_to_dst_type(mask[None], x, dtype=np.float32)
+            k = k * m
+            out = ns.real(_ifftn(k, ns, axes))
+            return out.astype(x.dtype)
+
+        return _apply(img, _fn)
+
+
+class RandGibbsNoise(RandomizableTransform):
+    """Random Gibbs noise (reference: intensity/array.py:1935)."""
+
+    def __init__(self, prob: float = 0.1, alpha: Sequence[float] = (0.0, 1.0)):
+        if len(alpha) != 2:
+            raise ValueError("alpha length must be 2.")
+        if alpha[1] > 1 or alpha[0] < 0:
+            raise ValueError("alpha must take values in the interval [0, 1]")
+        if alpha[0] > alpha[1]:
+            raise ValueError("When alpha = [a,b] we need a < b.")
+        self.alpha = alpha
+        RandomizableTransform.__init__(self, prob=prob)
+        self.sampled_alpha = -1.0
+
+    def randomize(self, data: Any = None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            self.sampled_alpha = self.R.uniform(self.alpha[0], self.alpha[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize(None)
+        if not self._do_transform:
+            return img
+        return GibbsNoise(self.sampled_alpha)(img)
+
+
+class KSpaceSpikeNoise(Transform):
+    """Herringbone artifact: spike in k-space (reference: intensity/array.py:2085)."""
+
+    def __init__(self, loc, k_intensity=None):
+        self.loc = ensure_tuple(loc)
+        self.k_intensity = k_intensity
+        if isinstance(self.loc[0], Sequence):
+            if k_intensity is not None and not isinstance(ensure_tuple(k_intensity)[0], Sequence):
+                pass
+        else:
+            self.loc = (self.loc,)
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            ns = xp(x)
+            n_dims = len(x.shape[1:])
+            axes = tuple(range(1, n_dims + 1))
+            k = _fftn(x, ns, axes)
+            log_abs = np.log(np.absolute(to_numpy(k)) + 1e-10)
+            spatial_shape = x.shape
+            for loc in self.loc:
+                if len(loc) == len(spatial_shape):
+                    idx = tuple(loc)
+                else:
+                    idx = (slice(None),) + tuple(loc)
+                val = self.k_intensity if self.k_intensity is not None else 2.5 * log_abs.max()
+                log_abs[idx] = val
+            k_new = np.exp(log_abs) * np.exp(1j * np.angle(to_numpy(k)))
+            k_new_c, *_ = convert_to_dst_type(k_new, k)
+            out = ns.real(_ifftn(k_new_c, ns, axes))
+            return out.astype(x.dtype)
+
+        return _apply(img, _fn)
+
+
+class RandKSpaceSpikeNoise(RandomizableTransform):
+    """Random spike noise (reference: intensity/array.py:2207)."""
+
+    def __init__(self, prob: float = 0.1, intensity_range=None, channel_wise: bool = True):
+        self.intensity_range = intensity_range
+        self.channel_wise = channel_wise
+        self.sampled_k_intensity: list = []
+        self.sampled_locs: list = []
+        RandomizableTransform.__init__(self, prob=prob)
+
+    def randomize(self, img: np.ndarray, intensity_range) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        self.sampled_locs = []
+        self.sampled_k_intensity = []
+        shape = img.shape
+        if self.channel_wise:
+            for _ in range(shape[0]):
+                self.sampled_locs.append([self.R.randint(1, d - 1) if d > 2 else 0 for d in shape[1:]])
+        else:
+            loc = [self.R.randint(1, d - 1) if d > 2 else 0 for d in shape[1:]]
+            self.sampled_locs = [loc] * shape[0]
+        if intensity_range is not None:
+            self.sampled_k_intensity = [self.R.uniform(intensity_range[0], intensity_range[1])] * shape[0]
+
+    def __call__(self, img: Any, randomize: bool = True):
+        data = img.data if isinstance(img, MetaImage) else img
+        if randomize:
+            self.randomize(data, self.intensity_range)
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            out = to_numpy(x).copy()
+            for c in range(x.shape[0]):
+                intensity = self.sampled_k_intensity[c] if self.sampled_k_intensity else None
+                spike = KSpaceSpikeNoise([tuple(self.sampled_locs[c])], intensity)
+                out[c:c + 1] = to_numpy(spike(out[c:c + 1]))
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class RandCoarseTransform(RandomizableTransform):
+    """Shared coarse-region machinery (reference: intensity/array.py:2341)."""
+
+    def __init__(self, holes: int, spatial_size: Sequence[int] | int, max_holes: int | None = None,
+                 max_spatial_size=None, prob: float = 0.1):
+        RandomizableTransform.__init__(self, prob)
+        if holes < 1:
+            raise ValueError(f"number of holes must be greater than 0, got {holes}.")
+        self.holes = holes
+        self.spatial_size = spatial_size
+        self.max_holes = max_holes
+        self.max_spatial_size = max_spatial_size
+        self.hole_coords: list = []
+
+    def randomize(self, img_size: Sequence[int]) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        size = fall_back_tuple(self.spatial_size, img_size)
+        self.hole_coords = []
+        num_holes = self.holes if self.max_holes is None else self.R.randint(self.holes, self.max_holes + 1)
+        for _ in range(num_holes):
+            if self.max_spatial_size is not None:
+                max_size = fall_back_tuple(self.max_spatial_size, img_size)
+                size = tuple(self.R.randint(low=size[i], high=max_size[i] + 1) for i in range(len(img_size)))
+            valid_size = tuple(max(0, i - s) for i, s in zip(img_size, size))
+            corner = tuple(self.R.randint(0, v + 1) for v in valid_size)
+            self.hole_coords.append((slice(None),) + tuple(slice(c, c + s) for c, s in zip(corner, size)))
+
+    @abstractmethod
+    def _transform_holes(self, img: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize(img.shape[1:])
+        if not self._do_transform:
+            return img
+
+        def _fn(x):
+            out = self._transform_holes(to_numpy(x).copy())
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class RandCoarseDropout(RandCoarseTransform):
+    """Coarse dropout / cutout (reference: intensity/array.py:2414)."""
+
+    def __init__(self, holes: int, spatial_size, dropout_holes: bool = True, fill_value=None,
+                 max_holes=None, max_spatial_size=None, prob: float = 0.1):
+        super().__init__(holes, spatial_size, max_holes, max_spatial_size, prob)
+        self.dropout_holes = dropout_holes
+        if isinstance(fill_value, (tuple, list)) and len(fill_value) != 2:
+            raise ValueError("fill_value should contain 2 numbers if providing the `min` and `max`.")
+        self.fill_value = fill_value
+
+    def _fill(self, shape, dtype):
+        if self.fill_value is None:
+            return self.R.uniform(0, 1, size=shape).astype(dtype, copy=False)
+        if isinstance(self.fill_value, (tuple, list)):
+            return self.R.uniform(self.fill_value[0], self.fill_value[1], size=shape).astype(dtype, copy=False)
+        return np.full(shape, self.fill_value, dtype=dtype)
+
+    def _transform_holes(self, img: np.ndarray) -> np.ndarray:
+        if self.dropout_holes:
+            for coords in self.hole_coords:
+                img[coords] = self._fill(img[coords].shape, img.dtype)
+            return img
+        keep = np.zeros_like(img, dtype=bool)
+        bg = self._fill(img.shape, img.dtype)
+        for coords in self.hole_coords:
+            keep[coords] = True
+        return np.where(keep, img, bg)
+
+
+class RandCoarseShuffle(RandCoarseTransform):
+    """Shuffle pixels within coarse regions (reference: intensity/array.py:2499)."""
+
+    def _transform_holes(self, img: np.ndarray) -> np.ndarray:
+        for coords in self.hole_coords:
+            block = img[coords]
+            shape = block.shape
+            flat = block.reshape(shape[0], -1)
+            for c in range(flat.shape[0]):
+                self.R.shuffle(flat[c])
+            img[coords] = flat.reshape(shape)
+        return img
+
+
+class HistogramNormalize(Transform):
+    """Histogram equalization (reference: intensity/array.py:2554)."""
+
+    def __init__(self, num_bins: int = 256, min: float = 0, max: float = 255, mask=None, dtype=np.float32):
+        self.num_bins = num_bins
+        self.min = min
+        self.max = max
+        self.mask = mask
+        self.dtype = dtype
+
+    def __call__(self, img: Any, mask=None):
+        def _fn(x):
+            x_np = to_numpy(x)
+            mask_ = mask if mask is not None else self.mask
+            mask_np = to_numpy(mask_.data if isinstance(mask_, MetaImage) else mask_) if mask_ is not None else None
+            orig_shape = x_np.shape
+            flat = x_np.flatten()
+            sel = flat[mask_np.flatten() > 0] if mask_np is not None else flat
+            hist, bins = np.histogram(sel, self.num_bins)
+            cum = hist.cumsum()
+            cdf = (cum - cum.min()) / max(float(cum.max() - cum.min()), 1e-8)
+            cdf = cdf * (self.max - self.min) + self.min
+            out = np.interp(flat, bins[:-1], cdf).reshape(orig_shape)
+            res, *_ = convert_to_dst_type(out, x, dtype=self.dtype)
+            return res
+
+        return _apply(img, _fn)
+
+
+class ForegroundMask(Transform):
+    """Foreground mask via Otsu threshold (reference: intensity/array.py:2618)."""
+
+    def __init__(self, threshold="otsu", hsv_threshold=None, invert: bool = False):
+        self.threshold = threshold
+        self.invert = invert
+
+    def _otsu(self, x: np.ndarray) -> float:
+        hist, bin_edges = np.histogram(x.ravel(), bins=256)
+        bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+        w1 = np.cumsum(hist)
+        w2 = np.cumsum(hist[::-1])[::-1]
+        mu1 = np.cumsum(hist * bin_centers) / np.maximum(w1, 1)
+        mu2 = (np.cumsum((hist * bin_centers)[::-1]) / np.maximum(w2[::-1], 1))[::-1]
+        var_between = w1[:-1] * w2[1:] * (mu1[:-1] - mu2[1:]) ** 2
+        idx = np.argmax(var_between)
+        return float(bin_centers[idx])
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x_np = to_numpy(x)
+            masks = []
+            for c in x_np:
+                thr = self._otsu(c) if self.threshold == "otsu" else float(self.threshold)
+                m = c <= thr  # foreground is darker (pathology convention)
+                masks.append(m)
+            out = np.stack(masks).astype(x_np.dtype)
+            if self.invert:
+                out = 1 - out
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class ComputeHoVerMaps(Transform):
+    """Horizontal/vertical instance-center distance maps (reference: intensity/array.py:2730)."""
+
+    def __init__(self, dtype=np.float32):
+        self.dtype = dtype
+
+    def __call__(self, mask: Any):
+        def _fn(x):
+            instance_mask = to_numpy(x)
+            h_map = np.zeros(instance_mask.shape[1:], dtype=self.dtype)
+            v_map = np.zeros(instance_mask.shape[1:], dtype=self.dtype)
+            markers = np.unique(instance_mask[instance_mask > 0])
+            inst = instance_mask[0] if instance_mask.ndim > len(instance_mask.shape[1:]) else instance_mask
+            for value in markers:
+                mask_v = (inst == value)
+                coords = np.nonzero(mask_v)
+                if len(coords[0]) == 0:
+                    continue
+                cm = [c.mean() for c in coords]
+                h = (coords[-1] - cm[-1]).astype(self.dtype)
+                v = (coords[-2] - cm[-2]).astype(self.dtype)
+                if np.ptp(h) > 0:
+                    h_pos, h_neg = h > 0, h < 0
+                    if h_pos.any():
+                        h[h_pos] = h[h_pos] / h[h_pos].max()
+                    if h_neg.any():
+                        h[h_neg] = h[h_neg] / -h[h_neg].min()
+                if np.ptp(v) > 0:
+                    v_pos, v_neg = v > 0, v < 0
+                    if v_pos.any():
+                        v[v_pos] = v[v_pos] / v[v_pos].max()
+                    if v_neg.any():
+                        v[v_neg] = v[v_neg] / -v[v_neg].min()
+                h_map[coords] = h
+                v_map[coords] = v
+            out = np.stack([h_map, v_map])
+            res, *_ = convert_to_dst_type(out, x, dtype=self.dtype)
+            return res
+
+        if isinstance(mask, MetaImage):
+            return mask.new_like(_fn(mask.data))
+        return _fn(mask)
+
+
+class IntensityRemap(Transform):
+    """Random smooth monotone intensity remap (reference: intensity/array.py:—)."""
+
+    def __init__(self, kernel_size: int = 30, slope: float = 0.7):
+        self.kernel_size = kernel_size
+        self.slope = slope
+        self.R = np.random.RandomState()
+
+    def __call__(self, img: Any):
+        def _fn(x):
+            x_np = to_numpy(x).astype(np.float32)
+            vals = self.R.rand(self.kernel_size + 1)
+            kernel = np.ones(self.kernel_size) / self.kernel_size
+            curve = np.convolve(vals, kernel, mode="same")
+            curve = np.cumsum(curve + self.slope)
+            curve = (curve - curve.min()) / (curve.max() - curve.min())
+            mn, mx = x_np.min(), x_np.max()
+            grid = np.linspace(0, 1, len(curve))
+            out = np.interp((x_np - mn) / max(mx - mn, 1e-8), grid, curve)
+            out = out * (mx - mn) + mn
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class RandIntensityRemap(RandomizableTransform):
+    def __init__(self, prob: float = 0.1, kernel_size: int = 30, slope: float = 0.7, channel_wise: bool = True):
+        RandomizableTransform.__init__(self, prob=prob)
+        self.kernel_size = kernel_size
+        self.slope = slope
+        self.channel_wise = channel_wise
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            super().randomize(None)
+        if not self._do_transform:
+            return img
+        remap = IntensityRemap(self.kernel_size, self.slope)
+        remap.R = self.R
+
+        def _fn(x):
+            if self.channel_wise:
+                return xp(x).stack([remap(x[c]) for c in range(x.shape[0])])
+            return remap(x)
+
+        return _apply(img, _fn)
+
+
+class MedianSmooth(Transform):
+    """Median filter (reference: intensity/array.py:1220)."""
+
+    def __init__(self, radius: Sequence[int] | int = 1):
+        self.radius = radius
+
+    def __call__(self, img: Any):
+        from scipy.ndimage import median_filter
+
+        def _fn(x):
+            x_np = to_numpy(x)
+            r = ensure_tuple_rep(self.radius, x_np.ndim - 1)
+            size = (1,) + tuple(2 * int(ri) + 1 for ri in r)
+            out = median_filter(x_np, size=size)
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class SavitzkyGolaySmooth(Transform):
+    """Savitzky-Golay smoothing along an axis (reference: intensity/array.py:1620)."""
+
+    def __init__(self, window_length: int, order: int, axis: int = 1, mode: str = "zeros"):
+        if order >= window_length:
+            raise ValueError("order must be smaller than window_length.")
+        self.window_length = window_length
+        self.order = order
+        self.axis = axis
+        self.mode = mode
+
+    def __call__(self, img: Any):
+        from scipy.signal import savgol_filter
+
+        def _fn(x):
+            x_np = to_numpy(x).astype(np.float32)
+            out = savgol_filter(x_np, self.window_length, self.order, axis=self.axis,
+                                mode="constant" if self.mode == "zeros" else self.mode)
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)
+
+
+class DetectEnvelope(Transform):
+    """Hilbert-transform envelope (reference: intensity/array.py:1677)."""
+
+    def __init__(self, axis: int = 1, n: int | None = None):
+        if axis < 0:
+            raise ValueError("axis must be zero or positive.")
+        self.axis = axis
+        self.n = n
+
+    def __call__(self, img: Any):
+        from scipy.signal import hilbert
+
+        def _fn(x):
+            x_np = to_numpy(x).astype(np.float32)
+            out = np.abs(hilbert(x_np, N=self.n, axis=self.axis))
+            res, *_ = convert_to_dst_type(out, x)
+            return res
+
+        return _apply(img, _fn)

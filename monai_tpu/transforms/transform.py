@@ -40,7 +40,7 @@ class Randomizable(ThreadUnsafe, RandomizableTrait):
     def set_random_state(self, seed: int | None = None,
                          state: np.random.RandomState | None = None) -> "Randomizable":
         if seed is not None:
-            _seed = id(seed) if not isinstance(seed, (int, np.integer)) else seed
+            _seed = id(seed) if not isinstance(seed, (int, np.integer)) else int(seed)
             _seed = _seed % MAX_SEED
             self.R = np.random.RandomState(_seed)
             return self
