@@ -1,0 +1,96 @@
+"""Inferer classes (reference: monai/inferers/inferer.py:62 Inferer ABC, :373 SimpleInferer,
+:399 SlidingWindowInferer, :555 SlidingWindowInfererAdapt, :691 SliceInferer)."""
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import jax.numpy as jnp
+
+from ..utils.enums import BlendMode
+from .utils import sliding_window_inference
+
+__all__ = ["Inferer", "SimpleInferer", "SlidingWindowInferer", "SlidingWindowInfererAdapt",
+           "SliceInferer"]
+
+
+class Inferer(ABC):
+    """Inference execution strategy (reference: inferer.py:62)."""
+
+    @abstractmethod
+    def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        raise NotImplementedError(f"Subclass {self.__class__.__name__} must implement this method.")
+
+
+class SimpleInferer(Inferer):
+    """forward(inputs) (reference: inferer.py:373)."""
+
+    def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        return network(inputs, *args, **kwargs)
+
+
+class SlidingWindowInferer(Inferer):
+    """Window-batched sliding-window inference (reference: inferer.py:399)."""
+
+    def __init__(self, roi_size: Sequence[int] | int, sw_batch_size: int = 1,
+                 overlap: Sequence[float] | float = 0.25, mode: str = BlendMode.CONSTANT,
+                 sigma_scale: Sequence[float] | float = 0.125, padding_mode: str = "constant",
+                 cval: float = 0.0, sw_device=None, device=None, progress: bool = False,
+                 cache_roi_weight_map: bool = False, cpu_thresh: int | None = None,
+                 buffer_steps: int | None = None, buffer_dim: int = -1):
+        self.roi_size = roi_size
+        self.sw_batch_size = sw_batch_size
+        self.overlap = overlap
+        self.mode = mode
+        self.sigma_scale = sigma_scale
+        self.padding_mode = padding_mode
+        self.cval = cval
+        self.sw_device = sw_device
+        self.device = device
+        self.progress = progress
+        self.roi_weight_map = None
+        self.buffer_steps = buffer_steps
+        self.buffer_dim = buffer_dim
+
+    def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        return sliding_window_inference(
+            inputs, self.roi_size, self.sw_batch_size, network, overlap=self.overlap, mode=self.mode,
+            sigma_scale=self.sigma_scale, padding_mode=self.padding_mode, cval=self.cval,
+            sw_device=self.sw_device, device=self.device, progress=self.progress,
+            roi_weight_map=self.roi_weight_map, buffer_steps=self.buffer_steps,
+            buffer_dim=self.buffer_dim, *args, **kwargs)
+
+
+class SlidingWindowInfererAdapt(SlidingWindowInferer):
+    """The reference variant auto-falls-back to CPU stitching on GPU OOM
+    (inferer.py:555).  XLA on TPU allocates statically, so the adaptive retry is a
+    no-op here; kept for API parity."""
+
+
+class SliceInferer(SlidingWindowInferer):
+    """Run a 2D network over a 3D volume slice-wise (reference: inferer.py:691)."""
+
+    def __init__(self, spatial_dim: int = 0, *args, **kwargs):
+        self.spatial_dim = spatial_dim
+        super().__init__(*args, **kwargs)
+        self.orig_roi_size = self.roi_size
+
+    def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        if self.spatial_dim > 2:
+            raise ValueError("`spatial_dim` can only be `0, 1, 2` with `[H, W, D]` respectively.")
+        if inputs.ndim != 5:
+            raise RuntimeError("SliceInferer is designed for 3D inputs with shape (B, C, H, W, D).")
+        from ..utils.misc import ensure_tuple_rep
+
+        self.orig_roi_size = ensure_tuple_rep(self.orig_roi_size, 2) if not isinstance(self.orig_roi_size, (list, tuple)) else self.orig_roi_size
+        roi = list(self.orig_roi_size)
+        roi.insert(self.spatial_dim, 1)
+        self.roi_size = tuple(roi)
+
+        def network_wrapper(x, *a, **kw):
+            xs = jnp.squeeze(x, axis=self.spatial_dim + 2)
+            out = network(xs, *a, **kw)
+            return jnp.expand_dims(out, axis=self.spatial_dim + 2)
+
+        return super().__call__(inputs, network_wrapper, *args, **kwargs)

@@ -1,0 +1,182 @@
+"""sliding_window_inference — TPU-native window-batched patch inference.
+
+Parity target: monai/inferers/utils.py:42-321.
+
+TPU design (vs the reference's Python loop over window batches):
+- the scan grid is precomputed on host (dense_patch_slices);
+- the whole stitch runs inside ONE jit: `lax.scan` over window chunks, each chunk
+  gathered with `dynamic_slice`, batched through the network, weighted by the
+  (constant-folded) Gaussian importance map and accumulated with
+  `dynamic_update_slice` read-modify-write;
+- window count is padded to a multiple of sw_batch_size with zero-weight dummy
+  windows, keeping shapes static (one compilation per image-shape bucket).
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.meta_image import MetaImage
+from ..data.utils import compute_importance_map, dense_patch_slices, get_valid_patch_size
+from ..utils.backend import to_jax
+from ..utils.enums import BlendMode
+from ..utils.misc import ensure_tuple_rep, fall_back_tuple
+
+__all__ = ["sliding_window_inference", "compute_scan_interval"]
+
+
+def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], num_spatial_dims: int,
+                          overlap: Sequence[float]) -> tuple:
+    """Scan interval per dim (reference: inferers/utils.py:—)."""
+    scan_interval = []
+    for i, o in zip(range(num_spatial_dims), overlap):
+        if roi_size[i] == image_size[i]:
+            scan_interval.append(int(roi_size[i]))
+        else:
+            interval = int(roi_size[i] * (1 - o))
+            scan_interval.append(interval if interval > 0 else 1)
+    return tuple(scan_interval)
+
+
+def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batch_size: int,
+                             predictor: Callable, overlap: Sequence[float] | float = 0.25,
+                             mode: str = BlendMode.CONSTANT, sigma_scale: Sequence[float] | float = 0.125,
+                             padding_mode: str = "constant", cval: float = 0.0, sw_device=None,
+                             device=None, progress: bool = False, roi_weight_map=None,
+                             process_fn=None, buffer_steps: int | None = None, buffer_dim: int = -1,
+                             *args, **kwargs):
+    """Run ``predictor`` over sliding windows and stitch (reference: inferers/utils.py:42)."""
+    is_meta = isinstance(inputs, MetaImage)
+    x = to_jax(inputs.data if is_meta else inputs)
+    num_spatial_dims = x.ndim - 2
+    batch_size = x.shape[0]
+    image_size_ = x.shape[2:]
+    overlap_ = ensure_tuple_rep(overlap, num_spatial_dims)
+    for o in overlap_:
+        if o < 0 or o >= 1:
+            raise ValueError(f"overlap must be >= 0 and < 1, got {overlap}.")
+    roi_size_ = fall_back_tuple(roi_size, image_size_)
+
+    # pad input if roi is larger than image (symmetric, reference :164-170)
+    image_size = tuple(max(image_size_[i], roi_size_[i]) for i in range(num_spatial_dims))
+    pad_width = [(0, 0), (0, 0)]
+    any_pad = False
+    for k in range(num_spatial_dims):
+        diff = max(roi_size_[k] - image_size_[k], 0)
+        half = diff // 2
+        pad_width.append((half, diff - half))
+        any_pad = any_pad or diff > 0
+    if any_pad:
+        np_mode = {"constant": "constant", "zeros": "constant", "edge": "edge", "replicate": "edge",
+                   "reflect": "reflect", "reflection": "reflect", "circular": "wrap"}.get(str(padding_mode), "constant")
+        if np_mode == "constant":
+            x = jnp.pad(x, pad_width, mode="constant", constant_values=cval)
+        else:
+            x = jnp.pad(x, pad_width, mode=np_mode)
+
+    scan_interval = compute_scan_interval(image_size, roi_size_, num_spatial_dims, overlap_)
+    slices = dense_patch_slices(image_size, roi_size_, scan_interval, return_slice=False)
+    starts = np.asarray([[s[0] for s in sl] for sl in slices], dtype=np.int32)  # (N, D)
+    num_win = starts.shape[0]
+
+    # importance map (host-constant)
+    valid_patch = get_valid_patch_size(image_size, roi_size_)
+    if roi_weight_map is not None and tuple(roi_weight_map.shape) == tuple(valid_patch):
+        imp = np.asarray(roi_weight_map, dtype=np.float32)
+    else:
+        imp = compute_importance_map(valid_patch, mode=mode, sigma_scale=sigma_scale, dtype=np.float32)
+    imp = np.clip(imp, a_min=max(np.min(imp), 1e-3) if str(mode) == str(BlendMode.GAUSSIAN) else np.min(imp),
+                  a_max=None)
+
+    # pad window list to a multiple of sw_batch_size with zero-weight dummies
+    n_chunks = -(-num_win // sw_batch_size)
+    pad_n = n_chunks * sw_batch_size - num_win
+    win_mask = np.ones(num_win + pad_n, dtype=np.float32)
+    if pad_n:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], pad_n, axis=0)], axis=0)
+        win_mask[num_win:] = 0.0
+    starts_j = jnp.asarray(starts.reshape(n_chunks, sw_batch_size, num_spatial_dims))
+    mask_j = jnp.asarray(win_mask.reshape(n_chunks, sw_batch_size))
+    imp_j = jnp.asarray(imp)
+
+    # infer output channels/shape with eval_shape (no FLOPs)
+    win_shape = (batch_size * sw_batch_size, x.shape[1]) + tuple(roi_size_)
+    out_aval = jax.eval_shape(lambda w: predictor(w, *args, **kwargs),
+                              jax.ShapeDtypeStruct(win_shape, x.dtype))
+    if not hasattr(out_aval, "shape"):
+        raise NotImplementedError("sliding_window_inference currently supports single-array predictors.")
+    out_channels = out_aval.shape[1]
+    out_roi = out_aval.shape[2:]
+    if tuple(out_roi) != tuple(roi_size_):
+        zoom = [o / r for o, r in zip(out_roi, roi_size_)]
+    else:
+        zoom = None
+
+    out_spatial = tuple(int(round(s * (out_roi[i] / roi_size_[i]))) for i, s in enumerate(image_size)) \
+        if zoom else image_size
+
+    compute_dtype = out_aval.dtype
+
+    def _run(x_in):
+        out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
+        count = jnp.zeros((1, 1) + out_spatial, dtype=jnp.float32)
+
+        def chunk_body(carry, chunk):
+            out_acc, cnt_acc = carry
+            starts_c, mask_c = chunk  # (sw, D), (sw,)
+
+            def gather_one(st):
+                idx = (0, 0) + tuple(st[d] for d in range(num_spatial_dims))
+                return jax.lax.dynamic_slice(x_in, idx, (batch_size, x_in.shape[1]) + tuple(roi_size_))
+
+            wins = jax.vmap(gather_one)(starts_c)  # (sw, B, C, *roi)
+            wins = wins.reshape((sw_batch_size * batch_size, x_in.shape[1]) + tuple(roi_size_))
+            preds = predictor(wins, *args, **kwargs)
+            preds = preds.reshape((sw_batch_size, batch_size, out_channels) + tuple(out_roi))
+            imp_w = imp_j
+            if zoom:
+                imp_w = jax.image.resize(imp_j, out_roi, method="linear")
+            weighted = preds * imp_w[None, None, None].astype(compute_dtype) * mask_c.reshape(
+                (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(compute_dtype)
+
+            def scatter_one(i, carry2):
+                out_a, cnt_a = carry2
+                st = starts_c[i]
+                if zoom:
+                    o_idx = tuple(jnp.round(st[d] * zoom[d]).astype(jnp.int32) for d in range(num_spatial_dims))
+                else:
+                    o_idx = tuple(st[d] for d in range(num_spatial_dims))
+                idx_full = (0, 0) + o_idx
+                cur = jax.lax.dynamic_slice(out_a, idx_full, (batch_size, out_channels) + tuple(out_roi))
+                out_a = jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
+                cur_c = jax.lax.dynamic_slice(cnt_a, idx_full[:2] + o_idx, (1, 1) + tuple(out_roi))
+                contrib_c = (imp_w * mask_c[i]).astype(jnp.float32)[None, None]
+                cnt_a = jax.lax.dynamic_update_slice(cnt_a, cur_c + contrib_c, idx_full[:2] + o_idx)
+                return out_a, cnt_a
+
+            out_acc, cnt_acc = jax.lax.fori_loop(0, sw_batch_size, scatter_one, (out_acc, cnt_acc))
+            return (out_acc, cnt_acc), None
+
+        (out_img, count), _ = jax.lax.scan(chunk_body, (out_img, count), (starts_j, mask_j))
+        return out_img / jnp.maximum(count, 1e-8).astype(compute_dtype)
+
+    output = _run(x)
+
+    # crop away the symmetric pad
+    if any_pad:
+        crop_slices = [slice(None), slice(None)]
+        for k in range(num_spatial_dims):
+            lo = pad_width[2 + k][0]
+            crop_slices.append(slice(int(round(lo * (zoom[k] if zoom else 1))),
+                                     int(round((lo + image_size_[k]) * (zoom[k] if zoom else 1)))))
+        output = output[tuple(crop_slices)]
+
+    if is_meta:
+        out_m = inputs.new_like(output)
+        out_m.is_batch = inputs.is_batch
+        return out_m
+    return output

@@ -1,0 +1,47 @@
+from .confusion_matrix import (
+    ConfusionMatrixMetric,
+    compute_confusion_matrix_metric,
+    get_confusion_matrix,
+)
+from .meandice import (
+    DiceHelper,
+    DiceMetric,
+    GeneralizedDiceScore,
+    MeanIoU,
+    compute_dice,
+    compute_generalized_dice,
+    compute_iou,
+)
+from .metric import Cumulative, CumulativeIterationMetric, IterationMetric, Metric
+from .regression import (
+    AveragePrecisionMetric,
+    CumulativeAverage,
+    FIDMetric,
+    MAEMetric,
+    MMDMetric,
+    MSEMetric,
+    PSNRMetric,
+    RegressionMetric,
+    RMSEMetric,
+    ROCAUCMetric,
+    SSIMMetric,
+    compute_average_precision,
+    compute_frechet_distance,
+    compute_roc_auc,
+)
+from .surface_metrics import (
+    HausdorffDistanceMetric,
+    SurfaceDiceMetric,
+    SurfaceDistanceMetric,
+    compute_average_surface_distance,
+    compute_hausdorff_distance,
+    compute_surface_dice,
+)
+from .utils import (
+    do_metric_reduction,
+    get_mask_edges,
+    get_surface_distance,
+    ignore_background,
+    is_binary_tensor,
+    remap_instance_id,
+)

@@ -1,0 +1,352 @@
+"""Regression metrics: MSE/MAE/RMSE/PSNR/SSIM + ROC-AUC/AP + FID/MMD + CumulativeAverage.
+
+Parity targets: monai/metrics/regression.py, rocauc.py, average_precision.py,
+fid.py, mmd.py, cumulative_average.py.
+"""
+from __future__ import annotations
+
+from abc import abstractmethod
+from collections.abc import Sequence
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+from ..utils.backend import to_numpy
+from ..utils.enums import Average, MetricReduction
+from ..utils.module import look_up_option
+from .metric import Cumulative, CumulativeIterationMetric, Metric
+from .utils import do_metric_reduction
+
+__all__ = ["RegressionMetric", "MSEMetric", "MAEMetric", "RMSEMetric", "PSNRMetric", "SSIMMetric",
+           "ROCAUCMetric", "compute_roc_auc", "AveragePrecisionMetric", "compute_average_precision",
+           "CumulativeAverage", "FIDMetric", "compute_frechet_distance", "MMDMetric"]
+
+
+class RegressionMetric(CumulativeIterationMetric):
+    """Base regression metric (reference: regression.py:—)."""
+
+    def __init__(self, reduction: str = MetricReduction.MEAN, get_not_nans: bool = False):
+        super().__init__()
+        self.reduction = reduction
+        self.get_not_nans = get_not_nans
+
+    def aggregate(self, reduction=None):
+        data = self.get_buffer()
+        f, not_nans = do_metric_reduction(data, reduction or self.reduction)
+        return (f, not_nans) if self.get_not_nans else f
+
+    def _check_shape(self, y_pred, y) -> None:
+        if y_pred.shape != y.shape:
+            raise ValueError(f"y_pred and y shapes dont match, received y_pred: [{y_pred.shape}] and y: [{y.shape}]")
+        if len(y_pred.shape) < 2:
+            raise ValueError("either channel or spatial dimensions required, found only batch dimension")
+
+    @abstractmethod
+    def _compute_metric(self, y_pred, y):
+        raise NotImplementedError
+
+    def _compute_tensor(self, y_pred, y=None, **kwargs):
+        if y is None:
+            raise ValueError("y must be provided.")
+        self._check_shape(y_pred, y)
+        return self._compute_metric(to_numpy(y_pred).astype(np.float64), to_numpy(y).astype(np.float64))
+
+
+def _flat_mean(x):
+    return x.reshape(x.shape[0], -1).mean(axis=1, keepdims=True)
+
+
+class MSEMetric(RegressionMetric):
+    def _compute_metric(self, y_pred, y):
+        return _flat_mean((y_pred - y) ** 2)
+
+
+class MAEMetric(RegressionMetric):
+    def _compute_metric(self, y_pred, y):
+        return _flat_mean(np.abs(y_pred - y))
+
+
+class RMSEMetric(RegressionMetric):
+    def _compute_metric(self, y_pred, y):
+        return np.sqrt(_flat_mean((y_pred - y) ** 2))
+
+
+class PSNRMetric(RegressionMetric):
+    def __init__(self, max_val: float, reduction: str = MetricReduction.MEAN, get_not_nans: bool = False):
+        super().__init__(reduction, get_not_nans)
+        self.max_val = max_val
+
+    def _compute_metric(self, y_pred, y):
+        mse = _flat_mean((y_pred - y) ** 2)
+        return 20 * np.log10(self.max_val) - 10 * np.log10(np.maximum(mse, 1e-12))
+
+
+class SSIMMetric(RegressionMetric):
+    """(reference: regression.py SSIMMetric)."""
+
+    def __init__(self, spatial_dims: int, data_range: float = 1.0, kernel_type: str = "gaussian",
+                 win_size: int = 11, kernel_sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03,
+                 reduction: str = MetricReduction.MEAN, get_not_nans: bool = False):
+        super().__init__(reduction, get_not_nans)
+        self.spatial_dims = spatial_dims
+        self.data_range = data_range
+        self.kernel_sigma = kernel_sigma
+        self.k1, self.k2 = k1, k2
+
+    def _compute_metric(self, y_pred, y):
+        from ..ops.gaussian import gaussian_filter
+
+        c1 = (self.k1 * self.data_range) ** 2
+        c2 = (self.k2 * self.data_range) ** 2
+
+        def filt(v):
+            return np.stack([np.asarray(gaussian_filter(vi, self.kernel_sigma)) for vi in v])
+
+        mu_x, mu_y = filt(y_pred), filt(y)
+        mu_xx, mu_yy, mu_xy = filt(y_pred * y_pred), filt(y * y), filt(y_pred * y)
+        sx, sy, sxy = mu_xx - mu_x**2, mu_yy - mu_y**2, mu_xy - mu_x * mu_y
+        num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
+        den = (mu_x**2 + mu_y**2 + c1) * (sx + sy + c2)
+        ssim = num / den
+        return _flat_mean(ssim)
+
+
+def compute_roc_auc(y_pred, y, average: str = Average.MACRO):
+    """ROC AUC (reference: rocauc.py:—)."""
+    y_pred = to_numpy(y_pred).astype(np.float64)
+    y = to_numpy(y).astype(np.float64)
+    y_pred_ndim = y_pred.ndim
+    y_ndim = y.ndim
+    if y_pred_ndim not in (1, 2):
+        raise ValueError(f"Predictions should be of shape (batch_size, num_classes) or (batch_size, ), got {y_pred.shape}.")
+    if y_ndim not in (1, 2):
+        raise ValueError(f"Targets should be of shape (batch_size, num_classes) or (batch_size, ), got {y.shape}.")
+    if y_pred_ndim == 2 and y_pred.shape[1] == 1:
+        y_pred = y_pred[:, 0]
+        y_pred_ndim = 1
+    if y_ndim == 2 and y.shape[1] == 1:
+        y = y[:, 0]
+    if y_pred_ndim == 1:
+        return _calculate(y_pred, y)
+    if y.shape != y_pred.shape:
+        raise ValueError(f"data shapes of y_pred and y do not match, got {y_pred.shape} and {y.shape}.")
+    average = look_up_option(average, Average)
+    if average == Average.MICRO:
+        return _calculate(y_pred.flatten(), y.flatten())
+    y, y_pred = y.T, y_pred.T
+    auc_values = [_calculate(y_pred_, y_) for y_pred_, y_ in zip(y_pred, y)]
+    if average == Average.NONE:
+        return auc_values
+    if average == Average.MACRO:
+        return float(np.mean(auc_values))
+    if average == Average.WEIGHTED:
+        weights = [np.sum(y_) for y_ in y]
+        return float(np.average(auc_values, weights=weights))
+    raise ValueError(f'Unsupported average: {average}.')
+
+
+def _calculate(y_pred: np.ndarray, y: np.ndarray) -> float:
+    """Single-class AUC with tie handling (reference: rocauc.py:—)."""
+    if not (np.all((y == 0) | (y == 1))):
+        import warnings
+
+        warnings.warn("y values must be 0 or 1; assuming binarized.")
+    n = len(y)
+    indices = np.argsort(y_pred)
+    y = y[indices]
+    y_pred = y_pred[indices]
+    nneg = auc = tmp_pos = tmp_neg = 0.0
+    for i in range(n):
+        y_i = y[i]
+        if i + 1 < n and y_pred[i] == y_pred[i + 1]:
+            tmp_pos += y_i
+            tmp_neg += 1 - y_i
+            continue
+        if tmp_pos + tmp_neg > 0:
+            tmp_pos += y_i
+            tmp_neg += 1 - y_i
+            nneg += tmp_neg
+            auc += tmp_pos * (nneg - tmp_neg / 2)
+            tmp_pos = tmp_neg = 0
+            continue
+        if y_i == 1:
+            auc += nneg
+        else:
+            nneg += 1
+    denom = nneg * (n - nneg)
+    return auc / denom if denom > 0 else float("nan")
+
+
+class ROCAUCMetric(Cumulative, Metric):
+    """Cumulative AUC (reference: rocauc.py ROCAUCMetric)."""
+
+    def __init__(self, average: str = Average.MACRO):
+        super().__init__()
+        self.average = average
+
+    def __call__(self, y_pred, y):
+        self.extend(np.atleast_1d(to_numpy(y_pred)), np.atleast_1d(to_numpy(y)))
+
+    def aggregate(self, average=None):
+        buf = self.get_buffer()
+        y_pred, y = buf
+        return compute_roc_auc(y_pred, y, average or self.average)
+
+
+def compute_average_precision(y_pred, y, average: str = Average.MACRO):
+    """AP (reference: average_precision.py:—)."""
+    y_pred = to_numpy(y_pred).astype(np.float64)
+    y = to_numpy(y).astype(np.float64)
+    if y_pred.ndim == 2 and y_pred.shape[1] == 1:
+        y_pred = y_pred[:, 0]
+    if y.ndim == 2 and y.shape[1] == 1:
+        y = y[:, 0]
+    if y_pred.ndim == 1:
+        return _calculate_ap(y_pred, y)
+    average = look_up_option(average, Average)
+    if average == Average.MICRO:
+        return _calculate_ap(y_pred.flatten(), y.flatten())
+    y, y_pred = y.T, y_pred.T
+    ap_values = [_calculate_ap(y_pred_, y_) for y_pred_, y_ in zip(y_pred, y)]
+    if average == Average.NONE:
+        return ap_values
+    if average == Average.MACRO:
+        return float(np.mean(ap_values))
+    if average == Average.WEIGHTED:
+        weights = [np.sum(y_) for y_ in y]
+        return float(np.average(ap_values, weights=weights))
+    raise ValueError(f'Unsupported average: {average}.')
+
+
+def _calculate_ap(y_pred: np.ndarray, y: np.ndarray) -> float:
+    order = np.argsort(-y_pred, kind="stable")
+    y = y[order]
+    tps = np.cumsum(y)
+    fps = np.cumsum(1 - y)
+    precision = tps / np.maximum(tps + fps, 1e-12)
+    n_pos = y.sum()
+    if n_pos == 0:
+        return float("nan")
+    return float(np.sum(precision * y) / n_pos)
+
+
+class AveragePrecisionMetric(Cumulative, Metric):
+    def __init__(self, average: str = Average.MACRO):
+        super().__init__()
+        self.average = average
+
+    def __call__(self, y_pred, y):
+        self.extend(np.atleast_1d(to_numpy(y_pred)), np.atleast_1d(to_numpy(y)))
+
+    def aggregate(self, average=None):
+        y_pred, y = self.get_buffer()
+        return compute_average_precision(y_pred, y, average or self.average)
+
+
+class CumulativeAverage:
+    """Running average with cross-process sync (reference: cumulative_average.py:23)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.sum = None
+        self.count = None
+
+    def get_current(self, to_numpy_out: bool = True):
+        if self.val is None:
+            return 0
+        val = np.where(np.isnan(self.val), 0, self.val)
+        return val
+
+    def append(self, val, count=1) -> None:
+        val = np.asarray(to_numpy(val), dtype=np.float64)
+        count = np.asarray(to_numpy(count), dtype=np.float64)
+        self.val = val
+        nfin = np.isfinite(val)
+        count = np.where(nfin, count, 0)
+        val = np.where(nfin, val, 0)
+        if self.sum is None:
+            self.sum = val * count
+            self.count = count.astype(np.float64)
+        else:
+            self.sum = self.sum + val * count
+            self.count = self.count + count
+
+    def aggregate(self, to_numpy_out: bool = True):
+        if self.sum is None:
+            return 0
+        from ..utils.dist import evenly_divisible_all_gather
+
+        import jax
+
+        if jax.process_count() > 1:
+            sums = evenly_divisible_all_gather(self.sum[None], concat=True)
+            counts = evenly_divisible_all_gather(self.count[None], concat=True)
+            total_sum, total_count = sums.sum(0), counts.sum(0)
+        else:
+            total_sum, total_count = self.sum, self.count
+        return np.where(total_count > 0, total_sum / np.maximum(total_count, 1), 0.0)
+
+    val = None
+
+
+def compute_frechet_distance(mu_x: np.ndarray, sigma_x: np.ndarray, mu_y: np.ndarray,
+                             sigma_y: np.ndarray, epsilon: float = 1e-6) -> float:
+    """FID core (reference: fid.py:—)."""
+    from scipy import linalg
+
+    diff = mu_x - mu_y
+    covmean, _ = linalg.sqrtm(sigma_x.dot(sigma_y), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma_x.shape[0]) * epsilon
+        covmean = linalg.sqrtm((sigma_x + offset).dot(sigma_y + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma_x) + np.trace(sigma_y) - 2 * np.trace(covmean))
+
+
+class FIDMetric(Metric):
+    """Frechet inception distance over feature vectors (reference: fid.py:—)."""
+
+    def __call__(self, y_pred, y):
+        y_pred = to_numpy(y_pred).astype(np.float64)
+        y = to_numpy(y).astype(np.float64)
+        if y_pred.ndim != 2 or y.ndim != 2:
+            raise ValueError("Inputs should have (number images, number of features) shape.")
+        mu_y_pred = y_pred.mean(0)
+        sigma_y_pred = np.cov(y_pred, rowvar=False)
+        mu_y = y.mean(0)
+        sigma_y = np.cov(y, rowvar=False)
+        return compute_frechet_distance(mu_y_pred, sigma_y_pred, mu_y, sigma_y)
+
+
+class MMDMetric(Metric):
+    """Maximum mean discrepancy (reference: mmd.py:—)."""
+
+    def __init__(self, y_mapping=None):
+        self.y_mapping = y_mapping
+
+    def __call__(self, y, y_pred):
+        y = to_numpy(y).astype(np.float64)
+        y_pred = to_numpy(y_pred).astype(np.float64)
+        if self.y_mapping is not None:
+            y = np.asarray(self.y_mapping(y))
+            y_pred = np.asarray(self.y_mapping(y_pred))
+        if y_pred.shape != y.shape:
+            raise ValueError(f"y_pred and y shapes dont match after being processed by their transforms, received y_pred: {y_pred.shape} and y: {y.shape}")
+        y = y.reshape(y.shape[0], -1)
+        y_pred = y_pred.reshape(y_pred.shape[0], -1)
+        y_y = y @ y.T
+        y_pred_y_pred = y_pred @ y_pred.T
+        y_pred_y = y_pred @ y.T
+        m = y.shape[0]
+        n = y_pred.shape[0]
+        c1 = 1 / (m * (m - 1)) if m > 1 else 1.0 / m
+        a = y_y.sum() - np.trace(y_y)
+        c2 = 1 / (n * (n - 1)) if n > 1 else 1.0 / n
+        b = y_pred_y_pred.sum() - np.trace(y_pred_y_pred)
+        c3 = 2 / (m * n)
+        c = y_pred_y.sum()
+        return float(c1 * a + c2 * b - c3 * c)

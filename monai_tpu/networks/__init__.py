@@ -1,0 +1,2 @@
+from . import blocks, layers, nets
+from .utils import copy_model_state, count_params, meshgrid_ij, one_hot, pixelshuffle

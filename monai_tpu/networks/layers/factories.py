@@ -1,0 +1,321 @@
+"""Layer factories: dimension-parametrized layer construction.
+
+Parity targets: monai/networks/layers/factories.py (LayerFactory:76, Conv/Norm/Act/
+Pool/Dropout factories :198-204, split_args:—).
+
+Networks in this framework are flax NNX modules.  Public net APIs take channel-first
+(B, C, *spatial) arrays (reference convention); internally everything is channel-last —
+the TPU-native layout where channels ride the 128-wide lane dimension.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ...utils.misc import ensure_tuple_rep
+
+__all__ = ["LayerFactory", "Conv", "ConvTrans", "Norm", "Act", "Pool", "Dropout", "split_args",
+           "get_act_fn", "get_norm_layer", "get_act_layer", "get_dropout_layer", "get_pool_layer"]
+
+
+class LayerFactory:
+    """Name → constructor registry with dimension argument (reference: factories.py:76)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.factories: dict[str, Callable] = {}
+
+    @property
+    def names(self) -> tuple[str, ...]:
+        return tuple(self.factories)
+
+    def add_factory_callable(self, name: str, func: Callable) -> None:
+        self.factories[name.upper()] = func
+
+    def factory_function(self, name: str) -> Callable:
+        def _add(func: Callable) -> Callable:
+            self.add_factory_callable(name, func)
+            return func
+
+        return _add
+
+    def get_constructor(self, factory_name: str, *args) -> Any:
+        if not isinstance(factory_name, str):
+            raise TypeError(f"factory_name must a str but is {type(factory_name).__name__}.")
+        func = self.factories[factory_name.upper()]
+        return func(*args)
+
+    def __getitem__(self, args) -> Any:
+        if callable(args):
+            return args
+        if isinstance(args, str):
+            name_obj, args = args, ()
+        else:
+            name_obj, *args = args
+        return self.get_constructor(name_obj, *args)
+
+    def __getattr__(self, key):
+        if key.upper() in self.factories:
+            return key.upper()
+        raise AttributeError(f"{self.name} has no factory {key}")
+
+
+def split_args(args):
+    """Split ("name", {kwargs}) specs (reference: factories.py:—)."""
+    if isinstance(args, str) or callable(args):
+        return args, {}
+    name_obj, name_args = args
+    if not (isinstance(name_obj, str) or callable(name_obj)) or not isinstance(name_args, dict):
+        raise TypeError("Layer specifiers must be single strings or pairs of the form (name/object-types, argument dict)")
+    return name_obj, name_args
+
+
+Conv = LayerFactory("Conv")
+ConvTrans = LayerFactory("ConvTrans")
+Norm = LayerFactory("Norm")
+Act = LayerFactory("Act")
+Pool = LayerFactory("Pool")
+Dropout = LayerFactory("Dropout")
+
+
+@Conv.factory_function("conv")
+def conv_factory(dim: int):
+    def make(in_channels, out_channels, kernel_size=3, strides=1, dilation=1, groups=1, bias=True,
+             padding="SAME", rngs=None, **kw):
+        ks = ensure_tuple_rep(kernel_size, dim)
+        st = ensure_tuple_rep(strides, dim)
+        dl = ensure_tuple_rep(dilation, dim)
+        if isinstance(padding, int):
+            padding = [(padding, padding)] * dim
+        return nnx.Conv(in_channels, out_channels, kernel_size=ks, strides=st,
+                        kernel_dilation=dl, feature_group_count=groups, use_bias=bias,
+                        padding=padding, rngs=rngs or nnx.Rngs(0), **kw)
+
+    return make
+
+
+@Conv.factory_function("convtrans")
+@ConvTrans.factory_function("convtrans")
+def convtrans_factory(dim: int):
+    def make(in_channels, out_channels, kernel_size=3, strides=1, bias=True, padding="SAME",
+             rngs=None, **kw):
+        ks = ensure_tuple_rep(kernel_size, dim)
+        st = ensure_tuple_rep(strides, dim)
+        if isinstance(padding, int):
+            padding = [(padding, padding)] * dim
+        return nnx.ConvTranspose(in_channels, out_channels, kernel_size=ks, strides=st,
+                                 use_bias=bias, padding=padding, rngs=rngs or nnx.Rngs(0), **kw)
+
+    return make
+
+
+@Norm.factory_function("instance")
+def instance_factory(dim: int):
+    def make(num_features, affine: bool = True, eps: float = 1e-5, rngs=None, **kw):
+        return nnx.GroupNorm(num_features=num_features, num_groups=num_features, epsilon=eps,
+                             use_bias=affine, use_scale=affine, rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+@Norm.factory_function("batch")
+def batch_factory(dim: int):
+    def make(num_features, eps: float = 1e-5, momentum: float = 0.9, rngs=None, **kw):
+        return nnx.BatchNorm(num_features=num_features, epsilon=eps, momentum=momentum,
+                             rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+@Norm.factory_function("group")
+def group_factory(dim: int):
+    def make(num_features=None, num_groups: int = 8, num_channels: int | None = None, eps: float = 1e-5,
+             affine: bool = True, rngs=None, **kw):
+        nf = num_channels if num_channels is not None else num_features
+        return nnx.GroupNorm(num_features=nf, num_groups=num_groups, epsilon=eps,
+                             use_bias=affine, use_scale=affine, rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+@Norm.factory_function("layer")
+def layer_factory(dim: int):
+    def make(num_features, eps: float = 1e-6, rngs=None, **kw):
+        return nnx.LayerNorm(num_features=num_features, epsilon=eps, rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+class _ActModule(nnx.Module):
+    """Stateless activation wrapper so activations compose like layers."""
+
+    def __init__(self, fn: Callable, **kwargs):
+        self.fn = fn
+        self.kwargs = kwargs
+
+    def __call__(self, x):
+        return self.fn(x, **self.kwargs)
+
+
+_ACTS: dict[str, Callable] = {
+    "RELU": jax.nn.relu,
+    "LEAKYRELU": jax.nn.leaky_relu,
+    "PRELU": jax.nn.leaky_relu,  # parametric slope approximated; a learned PReLU can be added
+    "ELU": jax.nn.elu,
+    "GELU": jax.nn.gelu,
+    "SIGMOID": jax.nn.sigmoid,
+    "TANH": jnp.tanh,
+    "SOFTMAX": jax.nn.softmax,
+    "LOGSOFTMAX": jax.nn.log_softmax,
+    "SWISH": jax.nn.swish,
+    "SILU": jax.nn.silu,
+    "MISH": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "RELU6": jax.nn.relu6,
+    "SELU": jax.nn.selu,
+    "CELU": jax.nn.celu,
+    "HARDSWISH": jax.nn.hard_swish,
+    "SOFTPLUS": jax.nn.softplus,
+    "IDENTITY": lambda x: x,
+}
+
+for _name, _fn in _ACTS.items():
+    def _act_closure(fn=_fn):
+        def make(negative_slope=None, alpha=None, inplace=None, approximate=None, **kwargs):
+            kw = {}
+            if negative_slope is not None:
+                kw["negative_slope"] = negative_slope
+            if alpha is not None and fn in (jax.nn.elu, jax.nn.celu):
+                kw["alpha"] = alpha
+            return _ActModule(fn, **kw)
+
+        return make
+
+    Act.add_factory_callable(_name, _act_closure())
+
+
+def get_act_fn(name) -> Callable:
+    """Resolve an activation spec to a plain function."""
+    if callable(name):
+        return name
+    name_obj, args = split_args(name)
+    return Act.factories[str(name_obj).upper()](**args)
+
+
+class _PoolModule(nnx.Module):
+    def __init__(self, fn: Callable, window: tuple, strides: tuple, padding="VALID"):
+        self.fn = fn
+        self.window = window
+        self.strides = strides
+        self.padding = padding
+
+    def __call__(self, x):
+        return self.fn(x, self.window, strides=self.strides, padding=self.padding)
+
+
+class _AdaptivePool(nnx.Module):
+    """Adaptive avg/max pool to a target output size (channel-last)."""
+
+    def __init__(self, output_size: tuple, mode: str = "avg"):
+        self.output_size = output_size
+        self.mode = mode
+
+    def __call__(self, x):
+        spatial = x.shape[1:-1]
+        if all(o == 1 for o in self.output_size):
+            red = jnp.mean if self.mode == "avg" else jnp.max
+            return red(x, axis=tuple(range(1, x.ndim - 1)), keepdims=True)
+        win = tuple(s // o for s, o in zip(spatial, self.output_size))
+        fn = nnx.avg_pool if self.mode == "avg" else nnx.max_pool
+        return fn(x, win, strides=win, padding="VALID")
+
+
+@Pool.factory_function("max")
+def maxpool_factory(dim: int):
+    def make(kernel_size, stride=None, padding=0, rngs=None, **kw):
+        ks = ensure_tuple_rep(kernel_size, dim)
+        st = ensure_tuple_rep(stride if stride is not None else kernel_size, dim)
+        pad = "VALID" if padding in (0, None) else [(padding, padding)] * dim
+        return _PoolModule(nnx.max_pool, ks, st, pad)
+
+    return make
+
+
+@Pool.factory_function("avg")
+def avgpool_factory(dim: int):
+    def make(kernel_size, stride=None, padding=0, rngs=None, **kw):
+        ks = ensure_tuple_rep(kernel_size, dim)
+        st = ensure_tuple_rep(stride if stride is not None else kernel_size, dim)
+        pad = "VALID" if padding in (0, None) else [(padding, padding)] * dim
+        return _PoolModule(nnx.avg_pool, ks, st, pad)
+
+    return make
+
+
+@Pool.factory_function("adaptiveavg")
+def adaptive_avgpool_factory(dim: int):
+    def make(output_size, rngs=None, **kw):
+        return _AdaptivePool(ensure_tuple_rep(output_size, dim), mode="avg")
+
+    return make
+
+
+@Pool.factory_function("adaptivemax")
+def adaptive_maxpool_factory(dim: int):
+    def make(output_size, rngs=None, **kw):
+        return _AdaptivePool(ensure_tuple_rep(output_size, dim), mode="max")
+
+    return make
+
+
+@Dropout.factory_function("dropout")
+def dropout_factory(dim: int):
+    def make(p: float = 0.5, rngs=None, **kw):
+        return nnx.Dropout(rate=p, rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+@Dropout.factory_function("alphadropout")
+def alpha_dropout_factory(dim: int):
+    def make(p: float = 0.5, rngs=None, **kw):
+        return nnx.Dropout(rate=p, rngs=rngs or nnx.Rngs(0))
+
+    return make
+
+
+def get_norm_layer(name, spatial_dims: int = 1, channels: int | None = None, rngs=None):
+    """Create a norm layer from a spec (reference: utils.py get_norm_layer)."""
+    if name == "":
+        return _ActModule(lambda x: x)
+    norm_name, norm_args = split_args(name)
+    kw = dict(norm_args)
+    if channels is not None and "num_features" not in kw and "num_channels" not in kw:
+        kw["num_features"] = channels
+    return Norm[norm_name, spatial_dims](rngs=rngs, **kw)
+
+
+def get_act_layer(name):
+    if name in ("", None):
+        return _ActModule(lambda x: x)
+    if callable(name) and not isinstance(name, str):
+        return _ActModule(name)
+    act_name, act_args = split_args(name)
+    return Act.factories[str(act_name).upper()](**act_args)
+
+
+def get_dropout_layer(name, dropout_dim: int = 1, rngs=None):
+    if name in ("", None):
+        return _ActModule(lambda x: x)
+    if isinstance(name, (int, float)):
+        return Dropout["dropout", dropout_dim](p=float(name), rngs=rngs)
+    drop_name, drop_args = split_args(name)
+    return Dropout[drop_name, dropout_dim](rngs=rngs, **drop_args)
+
+
+def get_pool_layer(name, spatial_dims: int = 1, rngs=None):
+    pool_name, pool_args = split_args(name)
+    return Pool[pool_name, spatial_dims](rngs=rngs, **pool_args)
