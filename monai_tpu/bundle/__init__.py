@@ -1,0 +1,22 @@
+from .config_item import (
+    ComponentLocator,
+    ConfigComponent,
+    ConfigExpression,
+    ConfigItem,
+    Instantiable,
+)
+from .config_parser import ConfigParser
+from .properties import InferProperties, MetaProperties, TrainProperties
+from .reference_resolver import ReferenceResolver
+from .scripts import (
+    ckpt_export,
+    download,
+    init_bundle,
+    load,
+    run,
+    run_workflow,
+    update_kwargs,
+    verify_metadata,
+    verify_net_in_out,
+)
+from .workflows import BundleWorkflow, ConfigWorkflow

@@ -1,0 +1,191 @@
+"""Dependency-ordered lazy resolution of config references.
+
+Parity target: monai/bundle/reference_resolver.py:26 — `@id` references resolved
+recursively with cycle detection.
+"""
+from __future__ import annotations
+
+import re
+import warnings
+from collections.abc import Sequence
+from typing import Any
+
+from ..utils.misc import ensure_tuple
+from .config_item import ConfigComponent, ConfigExpression, ConfigItem
+
+__all__ = ["ReferenceResolver"]
+
+
+class ReferenceResolver:
+    """Resolve `@`-references between ConfigItems (reference: reference_resolver.py:26)."""
+
+    _vars = "__local_refs"
+    sep = "::"
+    ref = "@"
+    id_matcher = re.compile(rf"{ref}(?:\w*)(?:{sep}\w*)*")
+    allow_missing_reference = False
+
+    def __init__(self, items: Sequence[ConfigItem] | None = None):
+        self.items: dict[str, ConfigItem] = {} if items is None else {i.get_id(): i for i in items}
+        self.resolved_content: dict[str, Any] = {}
+
+    def reset(self):
+        self.items = {}
+        self.resolved_content = {}
+
+    def is_resolved(self) -> bool:
+        return bool(self.resolved_content)
+
+    def add_item(self, item: ConfigItem) -> None:
+        id_ = item.get_id()
+        if id_ in self.items:
+            return
+        self.items[id_] = item
+
+    def get_item(self, id: str, resolve: bool = False, **kwargs):
+        id = self.normalize_id(id)
+        if resolve and id not in self.resolved_content:
+            self._resolve_one_item(id=id, **kwargs)
+        return self.items.get(id)
+
+    def _resolve_one_item(self, id: str, waiting_list: set[str] | None = None, **kwargs):
+        id = self.normalize_id(id)
+        if id in self.resolved_content:
+            return self.resolved_content[id]
+        try:
+            item = self.items[id]
+        except KeyError as err:
+            msg = f"id='{id}' is not found in the config resolver."
+            if self.allow_missing_reference:
+                warnings.warn(msg)
+                return None
+            raise KeyError(msg) from err
+        item_config = item.get_config()
+
+        if waiting_list is None:
+            waiting_list = set()
+        waiting_list.add(id)
+
+        for t, v in self.items.items():
+            if (t not in self.resolved_content and isinstance(v, ConfigExpression)
+                    and v.is_import_statement(v.get_config())):
+                self.resolved_content[t] = v.evaluate() if kwargs.get("eval_expr", True) else v
+        for d in self.find_refs_in_config(config=item_config, id=id):
+            # if current item has a reference already in the waiting list, that's a circle
+            if d in waiting_list:
+                raise ValueError(f"detected circular references '{d}' for id='{id}' in the config content.")
+            if d not in self.resolved_content:
+                try:
+                    look_up_option_exists = d in self.items
+                except Exception:
+                    look_up_option_exists = False
+                if not look_up_option_exists:
+                    msg = f"the referring item `@{d}` is not defined in the config content."
+                    if self.allow_missing_reference:
+                        warnings.warn(msg)
+                        continue
+                    raise ValueError(msg)
+                self._resolve_one_item(id=d, waiting_list=waiting_list, **kwargs)
+                waiting_list.discard(d)
+
+        new_config = self.update_config_with_refs(config=item_config, id=id, refs=self.resolved_content)
+        item.update_config(config=new_config)
+        if isinstance(item, ConfigComponent):
+            self.resolved_content[id] = item.instantiate() if kwargs.get("instantiate", True) else item
+        elif isinstance(item, ConfigExpression):
+            run_eval = kwargs.get("eval_expr", True)
+            self.resolved_content[id] = (
+                item.evaluate(globals={f"{self._vars}": self.resolved_content}) if run_eval else item)
+        else:
+            self.resolved_content[id] = new_config
+        return self.resolved_content[id]
+
+    def get_resolved_content(self, id: str, **kwargs):
+        return self._resolve_one_item(id=id, **kwargs)
+
+    @classmethod
+    def normalize_id(cls, id: str | int) -> str:
+        return str(id).replace("#", cls.sep)  # accept both `#` and `::` separators
+
+    @classmethod
+    def split_id(cls, id: str | int, last: bool = False) -> list[str]:
+        if not last:
+            return cls.normalize_id(id).split(cls.sep)
+        res = cls.normalize_id(id).rsplit(cls.sep, 1)
+        return ["".join(res[:-1]), res[-1]]
+
+    @classmethod
+    def iter_subconfigs(cls, id: str, config: Any):
+        for k, v in config.items() if isinstance(config, dict) else enumerate(config):
+            sub_id = f"{id}{cls.sep}{k}" if id != "" else f"{k}"
+            yield k, sub_id, v
+
+    @classmethod
+    def match_refs_pattern(cls, value: str) -> dict[str, int]:
+        """Find `@` references in a string value (reference: reference_resolver.py:—)."""
+        refs: dict[str, int] = {}
+        value = cls.normalize_id(value)
+        result = cls.id_matcher.findall(value)
+        value_is_expr = ConfigExpression.is_expression(value)
+        for item in result:
+            if value_is_expr or value == item:
+                ref_obj_id = item[len(cls.ref):]
+                refs[ref_obj_id] = refs.get(ref_obj_id, 0) + 1
+        return refs
+
+    @classmethod
+    def update_refs_pattern(cls, value: str, refs: dict) -> str:
+        """Substitute resolved references into a string value."""
+        value = cls.normalize_id(value)
+        result = cls.id_matcher.findall(value)
+        # sort by length to replace the longest matches first
+        result.sort(key=len, reverse=True)
+        value_is_expr = ConfigExpression.is_expression(value)
+        for item in result:
+            ref_id = item[len(cls.ref):]
+            if value_is_expr:
+                if ref_id in refs:
+                    value = value.replace(item, f"{cls._vars}['{ref_id}']")
+            elif value == item:
+                if ref_id not in refs:
+                    msg = f"can not find expected ID '{ref_id}' in the references."
+                    if cls.allow_missing_reference:
+                        warnings.warn(msg)
+                        continue
+                    raise KeyError(msg)
+                return refs[ref_id]
+        return value
+
+    @classmethod
+    def find_refs_in_config(cls, config: Any, id: str, refs: dict[str, int] | None = None) -> dict[str, int]:
+        """All `@` references (+ nested instantiable sub-items) in a config."""
+        refs_: dict[str, int] = refs or {}
+        if isinstance(config, str):
+            for id_, count in cls.match_refs_pattern(value=config).items():
+                refs_[id_] = refs_.get(id_, 0) + count
+        if not isinstance(config, (list, dict)):
+            return refs_
+        for _, sub_id, v in cls.iter_subconfigs(id, config):
+            if ConfigComponent.is_instantiable(v) or ConfigExpression.is_expression(v) and sub_id not in refs_:
+                refs_[sub_id] = 1
+            refs_ = cls.find_refs_in_config(v, sub_id, refs_)
+        return refs_
+
+    @classmethod
+    def update_config_with_refs(cls, config: Any, id: str, refs: dict | None = None):
+        """Substitute resolved references throughout a config tree."""
+        refs_: dict = refs or {}
+        if isinstance(config, str):
+            return cls.update_refs_pattern(config, refs_)
+        if not isinstance(config, (list, dict)):
+            return config
+        ret = type(config)()
+        for idx, sub_id, v in cls.iter_subconfigs(id, config):
+            if ConfigComponent.is_instantiable(v) or ConfigExpression.is_expression(v):
+                updated = refs_[sub_id]
+                if ConfigComponent.is_instantiable(v) and updated is None:
+                    continue
+            else:
+                updated = cls.update_config_with_refs(v, sub_id, refs_)
+            ret.update({idx: updated}) if isinstance(ret, dict) else ret.append(updated)
+        return ret

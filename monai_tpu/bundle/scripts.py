@@ -1,0 +1,221 @@
+"""Bundle CLI verbs (reference: monai/bundle/scripts.py: run:926, run_workflow:1018,
+download:448, verify_metadata:1049, verify_net_in_out:1160, ckpt_export:1439,
+init_bundle:—, update_kwargs:75)."""
+from __future__ import annotations
+
+import json
+import os
+import warnings
+from collections.abc import Sequence
+from pathlib import Path
+from typing import Any
+
+from ..utils.misc import ensure_tuple
+from .config_parser import ConfigParser
+from .workflows import ConfigWorkflow
+
+__all__ = ["run", "run_workflow", "verify_metadata", "verify_net_in_out", "ckpt_export",
+           "init_bundle", "update_kwargs", "download", "load"]
+
+
+def update_kwargs(args: str | dict | None = None, ignore_none: bool = True, **kwargs) -> dict:
+    """Merge an args file/dict with kwargs (reference: scripts.py:75)."""
+    args_: dict = {}
+    if isinstance(args, str):
+        args_ = dict(ConfigParser.load_config_file(args))
+    elif isinstance(args, dict):
+        args_ = dict(args)
+    for k, v in kwargs.items():
+        if ignore_none and v is None:
+            continue
+        args_[k] = v
+    return args_
+
+
+def run(run_id: str | None = None, init_id: str | None = None, final_id: str | None = None,
+        meta_file: str | Sequence[str] | None = None, config_file: str | Sequence[str] | None = None,
+        logging_file: str | None = None, tracking: str | dict | None = None, args_file: str | None = None,
+        **override: Any):
+    """`python -m monai_tpu.bundle run ...` (reference: scripts.py:926)."""
+    _args = update_kwargs(args=args_file, run_id=run_id, init_id=init_id, final_id=final_id,
+                          meta_file=meta_file, config_file=config_file, logging_file=logging_file,
+                          tracking=tracking, **override)
+    if "config_file" not in _args:
+        raise ValueError("`config_file` is required for `run`.")
+    init_id_ = _args.pop("init_id", None) or "initialize"
+    run_id_ = _args.pop("run_id", None) or "run"
+    final_id_ = _args.pop("final_id", None) or "finalize"
+    cf = _args.pop("config_file")
+    mf = _args.pop("meta_file", None)
+    lf = _args.pop("logging_file", None)
+    _args.pop("tracking", None)
+    workflow = ConfigWorkflow(config_file=cf, meta_file=mf, logging_file=lf, init_id=init_id_,
+                              run_id=run_id_, final_id=final_id_, workflow_type=None, **_args)
+    workflow.initialize()
+    ret = workflow.run()
+    workflow.finalize()
+    return ret
+
+
+def run_workflow(workflow_name: str | None = None, config_file: str | Sequence[str] | None = None,
+                 args_file: str | None = None, **kwargs):
+    """Create + run a named workflow class (reference: scripts.py:1018)."""
+    from ..utils.module import locate
+
+    _args = update_kwargs(args=args_file, workflow_name=workflow_name, config_file=config_file, **kwargs)
+    name = _args.pop("workflow_name", None)
+    cls = ConfigWorkflow if name is None else (locate(name) if isinstance(name, str) else name)
+    workflow = cls(**_args)
+    workflow.initialize()
+    workflow.run()
+    workflow.finalize()
+    return workflow
+
+
+def verify_metadata(meta_file: str | Sequence[str] | None = None, filepath: str | None = None,
+                    create_dir: bool | None = None, hash_val: str | None = None, args_file=None,
+                    **kwargs):
+    """Validate bundle metadata against its JSON schema (reference: scripts.py:1049).
+
+    Zero-egress note: the schema must already be on disk (schema download is gated).
+    """
+    _args = update_kwargs(args=args_file, meta_file=meta_file, filepath=filepath, **kwargs)
+    meta = ConfigParser.load_config_files(_args["meta_file"])
+    schema_path = _args.get("filepath")
+    if schema_path and os.path.exists(schema_path):
+        try:
+            import jsonschema
+
+            with open(schema_path) as f:
+                schema = json.load(f)
+            jsonschema.validate(instance=meta, schema=schema)
+            print("metadata is verified with no error.")
+            return True
+        except ImportError:
+            warnings.warn("jsonschema is not installed; only structural checks performed.")
+    required = ["version", "monai_version", "numpy_version"]
+    missing = [k for k in required if k not in meta]
+    if missing:
+        raise ValueError(f"metadata missing required keys: {missing}")
+    print("metadata is verified with no error.")
+    return True
+
+
+def verify_net_in_out(net_id: str | None = None, meta_file=None, config_file=None, device=None,
+                      p: int | None = None, n: int | None = None, any: int | None = None,
+                      extra_forward_args: dict | None = None, args_file=None, **override):
+    """Fake-shape forward check of the bundle network (reference: scripts.py:1160)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    _args = update_kwargs(args=args_file, net_id=net_id, meta_file=meta_file, config_file=config_file,
+                          **override)
+    parser = ConfigParser()
+    parser.read_config(_args["config_file"])
+    if _args.get("meta_file"):
+        parser.read_meta(_args["meta_file"])
+    net = parser.get_parsed_content(_args.get("net_id") or "network_def")
+    meta = parser.get(parser.meta_key, {})
+    fmt = meta.get("network_data_format", {})
+    input_info = fmt.get("inputs", {}).get("image", {})
+    output_info = fmt.get("outputs", {}).get("pred", {})
+    input_channels = len(input_info.get("channel_def", {"0": "image"}))
+    output_channels = len(output_info.get("channel_def", {"0": "bg", "1": "fg"}))
+    spatial_shape = tuple(input_info.get("spatial_shape", (32, 32, 32)))
+    spatial_shape = tuple(32 if not isinstance(s, int) else s for s in spatial_shape)
+    x = jnp.asarray(np.random.rand(1, input_channels, *spatial_shape).astype(np.float32))
+    y = net(x)
+    if y.shape[1] != output_channels:
+        raise ValueError(f"output channel number `{y.shape[1]}` doesn't match: `{output_channels}`.")
+    print("data shape of network is verified with no error.")
+    return net
+
+
+def ckpt_export(net_id=None, filepath=None, ckpt_file=None, meta_file=None, config_file=None,
+                key_in_ckpt=None, args_file=None, **override):
+    """Export a bundle: orbax params + configs packaged into a directory
+    (the reference exports TorchScript, scripts.py:1439; the jax-native equivalent is
+    an orbax checkpoint + a serialized jax export when available)."""
+    from ..handlers.checkpoint import save_checkpoint
+
+    _args = update_kwargs(args=args_file, net_id=net_id, filepath=filepath, ckpt_file=ckpt_file,
+                          meta_file=meta_file, config_file=config_file, **override)
+    parser = ConfigParser()
+    parser.read_config(_args["config_file"])
+    if _args.get("meta_file"):
+        parser.read_meta(_args["meta_file"])
+    net = parser.get_parsed_content(_args.get("net_id") or "network_def")
+    out = Path(_args["filepath"])
+    out.mkdir(parents=True, exist_ok=True)
+    save_checkpoint({"model": net}, str(out / "model"))
+    ConfigParser.export_config_file(parser.get(), str(out / "config.json"), fmt="json", indent=2)
+    print(f"exported bundle to {out}")
+    return str(out)
+
+
+def init_bundle(bundle_dir: str, ckpt_file=None, network=None, dataset_license: bool = False,
+                metadata_str=None, inference_str=None):
+    """Create an empty bundle skeleton (reference: scripts.py:—)."""
+    bundle_path = Path(bundle_dir)
+    configs_dir = bundle_path / "configs"
+    models_dir = bundle_path / "models"
+    docs_dir = bundle_path / "docs"
+    for d in (configs_dir, models_dir, docs_dir):
+        d.mkdir(parents=True, exist_ok=True)
+    metadata = metadata_str or {
+        "version": "0.0.1",
+        "changelog": {"0.0.1": "Initial version"},
+        "monai_version": "0.1.0",
+        "pytorch_version": "n/a (monai_tpu bundle)",
+        "numpy_version": "1.26.0",
+        "required_packages_version": {},
+        "task": "Describe what the network predicts",
+        "description": "A longer description of what the network does",
+        "authors": "Your Name Here",
+        "copyright": "Copyright (c) Your Name Here",
+        "network_data_format": {"inputs": {}, "outputs": {}},
+    }
+    inference = inference_str or {
+        "imports": ["$import glob"],
+        "device": "$None",
+        "ckpt_path": "$@bundle_root + '/models/model'",
+        "network_def": {"_target_": "???", "spatial_dims": 3},
+        "preprocessing": {"_target_": "Compose", "transforms": []},
+        "postprocessing": {"_target_": "Compose", "transforms": []},
+        "inferer": {"_target_": "SimpleInferer"},
+    }
+    with open(configs_dir / "metadata.json", "w") as f:
+        json.dump(metadata, f, indent=2)
+    with open(configs_dir / "inference.json", "w") as f:
+        json.dump(inference, f, indent=2)
+    with open(docs_dir / "README.md", "w") as f:
+        f.write("# Your Model Name\n\nDescribe your model here and how to run it.\n")
+    return str(bundle_path)
+
+
+def download(name: str | None = None, version: str | None = None, bundle_dir: str | None = None,
+             source: str = "github", repo: str | None = None, url: str | None = None, **kwargs):
+    """Bundle download (reference: scripts.py:448).  This environment is zero-egress;
+    only pre-staged local paths are supported."""
+    if url and os.path.exists(url):
+        return url
+    raise RuntimeError(
+        "network downloads are unavailable in this environment; place the bundle locally and pass "
+        "`url=<local path>`.")
+
+
+def load(name: str, version: str | None = None, bundle_dir: str | None = None, **kwargs):
+    """Load a local bundle's network + weights (reference: scripts.py:630)."""
+    bundle_dir_ = Path(bundle_dir or ".") / name
+    config = bundle_dir_ / "configs" / "inference.json"
+    if not config.exists():
+        raise FileNotFoundError(f"bundle config not found: {config}")
+    parser = ConfigParser()
+    parser.read_config(str(config))
+    net = parser.get_parsed_content("network_def")
+    model_path = bundle_dir_ / "models" / "model"
+    if model_path.exists():
+        from ..handlers.checkpoint import load_checkpoint
+
+        load_checkpoint({"model": net}, str(model_path), strict=False)
+    return net

@@ -35,12 +35,15 @@ def do_metric_reduction(f: np.ndarray, reduction: str = MetricReduction.MEAN):
         return f, not_nans
     f = np.where(nans, 0.0, f)
     if str(reduction) == str(MetricReduction.MEAN):
-        # 2 steps: channel first then batch (reference semantics)
+        # 2 steps: channel first then batch (reference semantics); trailing dims
+        # (e.g. the [tp,fp,tn,fn] axis of confusion matrices) are preserved
         not_nans_c = not_nans.sum(axis=1)
         f_c = np.where(not_nans_c > 0, f.sum(axis=1) / np.maximum(not_nans_c, 1), np.nan)
-        not_nans_b = (not_nans_c > 0).astype(np.float64).sum()
-        f_out = np.nansum(f_c) / max(not_nans_b, 1) if not_nans_b > 0 else np.float64("nan")
-        return np.float64(f_out), not_nans_b
+        not_nans_b = (not_nans_c > 0).astype(np.float64).sum(axis=0)
+        f_out = np.where(not_nans_b > 0, np.nansum(f_c, axis=0) / np.maximum(not_nans_b, 1), np.nan)
+        if np.ndim(f_out) == 0:
+            return np.float64(f_out), not_nans_b
+        return f_out, not_nans_b
     if str(reduction) == str(MetricReduction.SUM):
         return f.sum(), not_nans.sum()
     if str(reduction) == str(MetricReduction.MEAN_BATCH):

@@ -1,0 +1,9 @@
+from .mesh import (
+    create_mesh,
+    get_default_mesh,
+    shard_batch,
+    replicate,
+    with_sharding,
+)
+from .halo import halo_exchange, spatial_shard_conv_forward
+from .train import make_sharded_train_step, shard_module
