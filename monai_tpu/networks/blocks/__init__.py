@@ -1,2 +1,21 @@
+from .attention import (
+    CrossAttentionBlock,
+    MLPBlock,
+    PatchEmbed,
+    PatchEmbeddingBlock,
+    SABlock,
+    TransformerBlock,
+)
 from .convolutions import Convolution, ResidualUnit, same_padding, stride_minus_kernel_padding
+from .dynunet_block import (
+    UnetBasicBlock,
+    UnetOutBlock,
+    UnetResBlock,
+    UnetrBasicBlock,
+    UnetrPrUpBlock,
+    UnetrUpBlock,
+    UnetUpBlock,
+    get_conv_layer,
+)
 from .upsample import SubpixelUpsample, UpSample, interpolate
+from .warp import DVF2DDF, Warp

@@ -136,7 +136,10 @@ def group_factory(dim: int):
     def make(num_features=None, num_groups: int = 8, num_channels: int | None = None, eps: float = 1e-5,
              affine: bool = True, rngs=None, **kw):
         nf = num_channels if num_channels is not None else num_features
-        return nnx.GroupNorm(num_features=nf, num_groups=num_groups, epsilon=eps,
+        g = num_groups
+        while nf % g != 0:  # clamp to the largest divisor ≤ requested groups
+            g -= 1
+        return nnx.GroupNorm(num_features=nf, num_groups=g, epsilon=eps,
                              use_bias=affine, use_scale=affine, rngs=rngs or nnx.Rngs(0))
 
     return make

@@ -1,0 +1,192 @@
+"""Simple layers (reference: monai/networks/layers/simplelayers.py).
+
+GaussianFilter:542, MedianFilter:501, SavitzkyGolayFilter:303, HilbertTransform:370,
+SkipConnection:131, Flatten, Reshape, separable_filtering:313, apply_filter:—,
+ChannelPad:—.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ...ops.gaussian import gaussian_1d, separable_filtering
+from ...utils.misc import ensure_tuple_rep
+
+__all__ = ["SkipConnection", "Flatten", "Reshape", "GaussianFilter", "MedianFilter",
+           "SavitzkyGolayFilter", "HilbertTransform", "ChannelPad", "apply_filter"]
+
+from ..nets.unet import SkipConnection  # noqa: F401 (canonical definition)
+
+
+class Flatten(nnx.Module):
+    def __call__(self, x):
+        return x.reshape(x.shape[0], -1)
+
+
+class Reshape(nnx.Module):
+    def __init__(self, *shape: int):
+        self.shape = (1,) + tuple(shape)
+
+    def __call__(self, x):
+        shape = list(self.shape)
+        shape[0] = x.shape[0]
+        return x.reshape(shape)
+
+
+class ChannelPad(nnx.Module):
+    """Pad or project channels for residual shortcuts (reference: simplelayers.py)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int, mode: str = "pad",
+                 *, rngs: nnx.Rngs | None = None):
+        self.project = None
+        self.pad = None
+        if in_channels == out_channels:
+            return
+        if mode == "project":
+            from ..layers.factories import Conv
+
+            self.project = Conv["conv", spatial_dims](in_channels, out_channels, kernel_size=1,
+                                                      padding=[(0, 0)] * spatial_dims,
+                                                      rngs=rngs or nnx.Rngs(0))
+        elif mode == "pad":
+            if in_channels > out_channels:
+                raise ValueError('Incompatible values: channel_matching="pad" and in_channels > out_channels.')
+            pad_1 = (out_channels - in_channels) // 2
+            pad_2 = out_channels - in_channels - pad_1
+            self.pad = (pad_1, pad_2)
+
+    def __call__(self, x):
+        if self.project is not None:
+            return self.project(x)
+        if self.pad is not None:
+            pads = [(0, 0)] * (x.ndim - 1) + [self.pad]
+            return jnp.pad(x, pads)
+        return x
+
+
+class GaussianFilter(nnx.Module):
+    """Separable gaussian smoothing, optionally with trainable sigma
+    (reference: simplelayers.py:542).  Channel-first (B, C, *spatial) input."""
+
+    def __init__(self, spatial_dims: int, sigma: Sequence[float] | float, truncated: float = 4.0,
+                 approx: str = "erf", requires_grad: bool = False):
+        sigmas = ensure_tuple_rep(sigma, spatial_dims)
+        self.spatial_dims = spatial_dims
+        self.truncated = truncated
+        self.approx = approx
+        if requires_grad:
+            self.sigma = nnx.Param(jnp.asarray(sigmas, dtype=jnp.float32))
+        else:
+            self.sigma = jnp.asarray(sigmas, dtype=jnp.float32)
+
+    def __call__(self, x):
+        sig = self.sigma[...] if isinstance(self.sigma, nnx.Param) else self.sigma
+        kernels = [np.asarray(gaussian_1d(float(s), self.truncated, self.approx)) for s in np.asarray(sig)]
+
+        def _one(sample):
+            return separable_filtering(sample, kernels)
+
+        return jax.vmap(_one)(x)
+
+
+class MedianFilter(nnx.Module):
+    """Median filter via reduce_window sort-free approximation — exact median through
+    sorting the unfolded neighborhood (reference: simplelayers.py:501)."""
+
+    def __init__(self, radius: Sequence[int] | int = 1, spatial_dims: int = 3):
+        self.radius = ensure_tuple_rep(radius, spatial_dims)
+        self.spatial_dims = spatial_dims
+
+    def __call__(self, x):
+        # build neighborhood stack by shifting (static number of shifts)
+        import itertools
+
+        sd = self.spatial_dims
+        offsets = list(itertools.product(*[range(-r, r + 1) for r in self.radius]))
+        pads = [(0, 0), (0, 0)] + [(r, r) for r in self.radius]
+        xp_ = jnp.pad(x, pads, mode="edge")
+        stacks = []
+        spatial = x.shape[2:]
+        for off in offsets:
+            slicer = [slice(None), slice(None)]
+            for d, o in enumerate(off):
+                start = o + self.radius[d]
+                slicer.append(slice(start, start + spatial[d]))
+            stacks.append(xp_[tuple(slicer)])
+        stacked = jnp.stack(stacks, axis=0)
+        return jnp.median(stacked, axis=0)
+
+
+class SavitzkyGolayFilter(nnx.Module):
+    """Polynomial smoothing filter (reference: simplelayers.py:303)."""
+
+    def __init__(self, window_length: int, order: int, axis: int = 2, mode: str = "zeros"):
+        if order >= window_length:
+            raise ValueError("order must be less than window_length.")
+        if window_length % 2 == 0:
+            raise ValueError("window_length must be odd.")
+        self.axis = axis
+        self.mode = mode
+        # least-squares smoothing kernel: first row of pinv of the Vandermonde design
+        idx = np.arange(-(window_length // 2), window_length // 2 + 1, dtype=np.float64)
+        a = np.vander(idx, order + 1, increasing=True)  # (window, order+1)
+        self.coeffs = jnp.asarray(np.linalg.pinv(a)[0], dtype=jnp.float32)
+
+    def __call__(self, x):
+        from ...ops.gaussian import separable_filtering
+
+        sd = x.ndim - 2
+        kernels = [np.ones(1, dtype=np.float32)] * sd
+        kernels[self.axis - 2] = np.asarray(self.coeffs)
+
+        def _one(sample):
+            return separable_filtering(sample, kernels)
+
+        return jax.vmap(_one)(x)
+
+
+class HilbertTransform(nnx.Module):
+    """Analytic signal via FFT (reference: simplelayers.py:370)."""
+
+    def __init__(self, axis: int = 2, n: int | None = None):
+        self.axis = axis
+        self.n = n
+
+    def __call__(self, x):
+        ax = self.axis
+        n = x.shape[ax] if self.n is None else self.n
+        f = jnp.fft.fft(x, n=n, axis=ax)
+        h = np.zeros(n)
+        if n % 2 == 0:
+            h[0] = h[n // 2] = 1
+            h[1:n // 2] = 2
+        else:
+            h[0] = 1
+            h[1:(n + 1) // 2] = 2
+        shape = [1] * x.ndim
+        shape[ax] = n
+        return jnp.fft.ifft(f * jnp.asarray(h).reshape(shape), axis=ax)
+
+
+def apply_filter(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Apply an N-D filter kernel to (B, C, *spatial) input (reference: simplelayers.py)."""
+    sd = x.ndim - 2
+    k = kernel.astype(x.dtype)
+    while k.ndim < sd:
+        k = k[None]
+    # depthwise conv: move to channel-last, conv with feature_group_count=C
+    perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+    x_cl = jnp.transpose(x, perm_in)
+    c = x_cl.shape[-1]
+    kern = jnp.broadcast_to(k[..., None, None], k.shape + (1, c))
+    pads = [(s // 2, s - 1 - s // 2) for s in k.shape]
+    dn_spec = ("NHWC", "HWIO", "NHWC") if sd == 2 else (("NDHWC", "DHWIO", "NDHWC") if sd == 3 else ("NWC", "WIO", "NWC"))
+    dn = jax.lax.conv_dimension_numbers(x_cl.shape, kern.shape, dn_spec)
+    out = jax.lax.conv_general_dilated(x_cl, kern, (1,) * sd, pads, dimension_numbers=dn,
+                                       feature_group_count=c)
+    perm_out = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))
+    return jnp.transpose(out, perm_out)

@@ -1,4 +1,7 @@
+from .attentionunet import AttentionUnet
+from .autoencoder import AutoEncoder, VarAutoEncoder
 from .basic_unet import BasicUNet, BasicUnet, Basicunet
+from .classifier import Classifier, Critic, Discriminator, Generator, Regressor
 from .densenet import (
     DenseNet,
     DenseNet121,
@@ -10,4 +13,23 @@ from .densenet import (
     densenet201,
     densenet264,
 )
+from .dynunet import DynUNet
+from .resnet import (
+    ResNet,
+    ResNetBlock,
+    ResNetBottleneck,
+    resnet10,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+    resnet152,
+    resnet200,
+)
+from .segresnet import SegResNet, SegResNetVAE
+from .swin_unetr import SwinTransformer, SwinUNETR
 from .unet import UNet, Unet
+from .unetr import UNETR
+from .vit import ViT, ViTAutoEnc
+from .vnet import VNet
+from .voxelmorph import VoxelMorph, VoxelMorphUNet
