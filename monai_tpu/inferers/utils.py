@@ -28,6 +28,8 @@ from ..utils.misc import ensure_tuple_rep, fall_back_tuple
 
 __all__ = ["sliding_window_inference", "compute_scan_interval"]
 
+_SW_JIT_CACHE: dict = {}
+
 
 def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], num_spatial_dims: int,
                           overlap: Sequence[float]) -> tuple:
@@ -121,6 +123,11 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
 
     compute_dtype = out_aval.dtype
 
+    # the whole gather→forward→stitch pipeline must be ONE compiled program: eager
+    # per-op dispatch (especially via a remote TPU tunnel) is orders of magnitude slower
+    cache_key = (id(predictor), x.shape, x.dtype.name, tuple(roi_size_), sw_batch_size,
+                 tuple(overlap_), str(mode), num_win)
+
     def _run(x_in):
         out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
         count = jnp.zeros((1, 1) + out_spatial, dtype=jnp.float32)
@@ -164,7 +171,13 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
         (out_img, count), _ = jax.lax.scan(chunk_body, (out_img, count), (starts_j, mask_j))
         return out_img / jnp.maximum(count, 1e-8).astype(compute_dtype)
 
-    output = _run(x)
+    jitted = _SW_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        jitted = jax.jit(_run)
+        _SW_JIT_CACHE[cache_key] = jitted
+        if len(_SW_JIT_CACHE) > 32:
+            _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
+    output = jitted(x)
 
     # crop away the symmetric pad
     if any_pad:

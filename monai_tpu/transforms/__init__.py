@@ -15,6 +15,14 @@ from .lazy_utils import (
     resample,
 )
 from .post_array import *  # noqa: F401,F403
+from .regularization_array import CutMix, CutOut, MixUp
+from .signal_array import *  # noqa: F401,F403
+from .smooth_field_array import (
+    RandSmoothDeform,
+    RandSmoothFieldAdjustContrast,
+    RandSmoothFieldAdjustIntensity,
+    SmoothField,
+)
 from .spatial_array import *  # noqa: F401,F403
 from .traits import (
     InvertibleTrait,
