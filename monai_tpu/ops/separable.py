@@ -40,7 +40,11 @@ def _cubic_w(t: np.ndarray) -> list[np.ndarray]:
 @lru_cache(maxsize=512)
 def interp_matrix(n_in: int, n_out: int, scale: float, offset: float, order: int, bound: str,
                   align_corners: bool = False) -> np.ndarray:
-    """Dense (n_out, n_in) 1-D interpolation matrix for in_coord = scale*out + offset."""
+    """Dense (n_out, n_in) 1-D interpolation matrix for in_coord = scale*out + offset.
+
+    Coordinates are float64; exact .5-tie voxels may differ from a float32 gather path —
+    inherent floating-point tie-breaking, not a correctness issue.
+    """
     coords = scale * np.arange(n_out, dtype=np.float64) + offset
     W = np.zeros((n_out, n_in), dtype=np.float32)
 

@@ -122,12 +122,25 @@ def requires_interp(matrix: np.ndarray, atol: float = 1e-5):
 def apply_affine_to_data(data: Any, matrix: np.ndarray, out_shape: Sequence[int],
                          mode: Any = 1, padding_mode: str = "zeros", align_corners: bool = False,
                          cval: float = 0.0):
-    """Apply an output→input voxel affine to channel-first data, taking the integer
-    fast path (transpose/flip/slice/pad — no interpolation) when exact."""
+    """Apply an output→input voxel affine to channel-first data.
+
+    Three execution tiers, fastest applicable wins:
+    1. integer signed-permutation → pure slicing/flip/pad (no FLOPs);
+    2. diagonal (axis-aligned scale+translate: Spacing/Resize/Zoom) → separable per-axis
+       matmuls on the MXU (ops/separable.py);
+    3. general affine → fused gather-interpolate (ops/resample.py).
+    """
     desc = requires_interp(matrix)
     if desc is not None:
         return _apply_integer_affine(data, desc, tuple(int(s) for s in out_shape), padding_mode, cval)
     pm = padding_mode if padding_mode in ("zeros", "border", "reflection") else "zeros"
+    from ..ops.resample import resolve_mode
+    from ..ops.separable import is_separable, separable_affine_resample
+
+    m = np.asarray(matrix, dtype=np.float64)
+    if m.shape[0] - 1 == len(out_shape) and is_separable(m):
+        return separable_affine_resample(data, m, out_shape, order=resolve_mode(mode), bound=pm,
+                                         align_corners=align_corners)
     return affine_resample(data, matrix, out_shape, mode=mode, padding_mode=pm, align_corners=align_corners)
 
 
