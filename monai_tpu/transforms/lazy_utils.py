@@ -141,6 +141,14 @@ def apply_affine_to_data(data: Any, matrix: np.ndarray, out_shape: Sequence[int]
     if m.shape[0] - 1 == len(out_shape) and is_separable(m):
         return separable_affine_resample(data, m, out_shape, order=resolve_mode(mode), bound=pm,
                                          align_corners=align_corners)
+    order = resolve_mode(mode)
+    if isinstance(data, np.ndarray) and data.dtype == np.float32 and order in (0, 1):
+        # host pipeline: multithreaded C++ kernel (csrc/resample_cpu.cpp), ~30x numpy
+        from ..ops.native import native_affine_resample
+
+        out = native_affine_resample(data, m, out_shape, order=order, bound=pm)
+        if out is not None:
+            return out
     return affine_resample(data, matrix, out_shape, mode=mode, padding_mode=pm, align_corners=align_corners)
 
 
