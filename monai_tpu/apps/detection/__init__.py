@@ -1,0 +1,5 @@
+from .networks.retinanet import RetinaNet, RetinaNetDetector, RetinaNetHead
+from .utils.anchor_utils import AnchorGenerator, AnchorGeneratorWithAnchorShape
+from .utils.box_coder import BoxCoder
+from .utils.matchers import ATSSMatcher, Matcher
+from .utils.sampler import HardNegativeSampler

@@ -1,0 +1,56 @@
+"""Box encoding/decoding for detection (reference: monai/apps/detection/utils/box_coder.py)."""
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+
+__all__ = ["BoxCoder"]
+
+
+class BoxCoder:
+    """Encode gt boxes as regression targets relative to anchors and back
+    (reference: box_coder.py BoxCoder)."""
+
+    def __init__(self, weights: Sequence[float], boxes_xform_clip: float | None = None):
+        self.weights = np.asarray(weights, dtype=np.float32)
+        self.boxes_xform_clip = boxes_xform_clip if boxes_xform_clip is not None else math.log(1000.0 / 16)
+        self.spatial_dims = len(weights) // 2
+
+    def encode(self, gt_boxes: Sequence[np.ndarray], proposals: Sequence[np.ndarray]) -> tuple:
+        boxes_per_image = [len(b) for b in gt_boxes]
+        targets = self.encode_single(np.concatenate(gt_boxes), np.concatenate(proposals))
+        return tuple(np.split(targets, np.cumsum(boxes_per_image)[:-1]))
+
+    def encode_single(self, gt_boxes: np.ndarray, proposals: np.ndarray) -> np.ndarray:
+        d = self.spatial_dims
+        gt = np.asarray(gt_boxes, dtype=np.float32)
+        pr = np.asarray(proposals, dtype=np.float32)
+        pr_sizes = pr[:, d:] - pr[:, :d]
+        pr_ctr = pr[:, :d] + 0.5 * pr_sizes
+        gt_sizes = np.maximum(gt[:, d:] - gt[:, :d], 1e-6)
+        gt_ctr = gt[:, :d] + 0.5 * gt_sizes
+        w_ctr = self.weights[:d]
+        w_size = self.weights[d:]
+        t_ctr = w_ctr * (gt_ctr - pr_ctr) / np.maximum(pr_sizes, 1e-6)
+        t_size = w_size * np.log(gt_sizes / np.maximum(pr_sizes, 1e-6))
+        return np.concatenate([t_ctr, t_size], axis=1)
+
+    def decode(self, rel_codes: np.ndarray, reference_boxes: Sequence[np.ndarray]) -> np.ndarray:
+        boxes = np.concatenate(reference_boxes, axis=0)
+        return self.decode_single(rel_codes, boxes)
+
+    def decode_single(self, rel_codes: np.ndarray, reference_boxes: np.ndarray) -> np.ndarray:
+        d = self.spatial_dims
+        ref = np.asarray(reference_boxes, dtype=np.float32)
+        codes = np.asarray(rel_codes, dtype=np.float32)
+        sizes = ref[:, d:] - ref[:, :d]
+        ctr = ref[:, :d] + 0.5 * sizes
+        w_ctr = self.weights[:d]
+        w_size = self.weights[d:]
+        dctr = codes[..., :d] / w_ctr
+        dsize = np.clip(codes[..., d:] / w_size, None, self.boxes_xform_clip)
+        pred_ctr = dctr * sizes + ctr
+        pred_size = np.exp(dsize) * sizes
+        return np.concatenate([pred_ctr - 0.5 * pred_size, pred_ctr + 0.5 * pred_size], axis=-1)

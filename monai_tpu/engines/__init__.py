@@ -1,5 +1,6 @@
 from .evaluator import EnsembleEvaluator, Evaluator, SupervisedEvaluator
 from .events import EventEmitter, Events, IterationEvents
+from .gan_trainer import AdversarialTrainer, GanTrainer
 from .trainer import SupervisedTrainer, Trainer
 from .utils import (
     PrepareBatch,

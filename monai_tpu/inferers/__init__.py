@@ -1,3 +1,8 @@
+from .diffusion_inferer import (
+    ControlNetDiffusionInferer,
+    DiffusionInferer,
+    LatentDiffusionInferer,
+)
 from .inferer import (
     Inferer,
     SimpleInferer,
@@ -5,4 +10,7 @@ from .inferer import (
     SlidingWindowInferer,
     SlidingWindowInfererAdapt,
 )
+from .merger import AvgMerger, Merger
+from .patch_inferer import PatchInferer
+from .splitter import SlidingWindowSplitter, Splitter
 from .utils import compute_scan_interval, sliding_window_inference

@@ -30,3 +30,10 @@ from .other import (
     TverskyLoss,
     soft_skel,
 )
+from .adversarial_loss import (
+    BoxGIoULoss,
+    JukeboxLoss,
+    PatchAdversarialLoss,
+    SURELoss,
+    giou,
+)

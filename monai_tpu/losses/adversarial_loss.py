@@ -1,0 +1,139 @@
+"""Adversarial + spectral losses (reference: monai/losses/adversarial_loss.py
+PatchAdversarialLoss; monai/losses/spectral_loss.py JukeboxLoss;
+monai/losses/sure_loss.py SURELoss; monai/losses/giou_loss.py BoxGIoULoss)."""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.enums import LossReduction
+from ..utils.module import look_up_option
+
+__all__ = ["PatchAdversarialLoss", "JukeboxLoss", "SURELoss", "BoxGIoULoss", "giou"]
+
+
+def _reduce(x, reduction):
+    r = str(reduction)
+    if r == "mean":
+        return jnp.mean(x)
+    if r == "sum":
+        return jnp.sum(x)
+    return x
+
+
+class PatchAdversarialLoss:
+    """Adversarial criterion over patch-discriminator outputs
+    (reference: adversarial_loss.py PatchAdversarialLoss)."""
+
+    def __init__(self, reduction: str = LossReduction.MEAN, criterion: str = "least_squares",
+                 no_activation_leastsq: bool = False):
+        if criterion not in ("bce", "hinge", "least_squares"):
+            raise ValueError("Unrecognised criterion. Must be one of: bce, hinge, least_squares")
+        self.criterion = criterion
+        self.reduction = look_up_option(str(reduction), LossReduction)
+        self.real_label = 1.0
+        self.fake_label = 0.0 if criterion != "hinge" else -1.0
+        self.no_activation_leastsq = no_activation_leastsq
+
+    def _single(self, logits: jnp.ndarray, target_is_real: bool, for_discriminator: bool):
+        target = self.real_label if target_is_real else self.fake_label
+        if self.criterion == "bce":
+            probs = logits
+            t = jnp.full_like(logits, target)
+            loss = jnp.maximum(probs, 0) - probs * t + jax.nn.softplus(-jnp.abs(probs))
+        elif self.criterion == "hinge":
+            if for_discriminator:
+                loss = jax.nn.relu(1.0 - logits) if target_is_real else jax.nn.relu(1.0 + logits)
+            else:
+                loss = -logits
+        else:  # least squares
+            probs = logits if self.no_activation_leastsq else jax.nn.tanh(logits)
+            loss = (probs - target) ** 2
+        return _reduce(loss, self.reduction)
+
+    def __call__(self, input, target_is_real: bool, for_discriminator: bool):
+        if not for_discriminator and not target_is_real:
+            target_is_real = True  # generator loss always drives towards "real"
+        if isinstance(input, (list, tuple)):
+            losses = [self._single(i, target_is_real, for_discriminator) for i in input]
+            if str(self.reduction) == "mean":
+                return jnp.mean(jnp.stack(losses))
+            if str(self.reduction) == "sum":
+                return jnp.sum(jnp.stack(losses))
+            return losses
+        return self._single(input, target_is_real, for_discriminator)
+
+
+class JukeboxLoss:
+    """Spectral magnitude loss via FFT (reference: spectral_loss.py JukeboxLoss)."""
+
+    def __init__(self, spatial_dims: int, fft_signal_size=None, fft_norm: str = "ortho",
+                 reduction: str = LossReduction.MEAN):
+        self.spatial_dims = spatial_dims
+        self.fft_signal_size = fft_signal_size
+        self.fft_norm = fft_norm
+        self.reduction = look_up_option(str(reduction), LossReduction)
+
+    def _amplitude(self, x):
+        dims = tuple(range(2, 2 + self.spatial_dims))
+        f = jnp.fft.fftn(x, s=self.fft_signal_size, axes=dims, norm=self.fft_norm)
+        return jnp.sqrt(f.real**2 + f.imag**2 + 1e-12)
+
+    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        inp_amp = self._amplitude(input)
+        tgt_amp = self._amplitude(target)
+        return _reduce((inp_amp - tgt_amp) ** 2, self.reduction)
+
+
+class SURELoss:
+    """Stein's unbiased risk estimate for denoising without clean targets
+    (reference: sure_loss.py SURELoss)."""
+
+    def __init__(self, perturb_noise=None, eps: float | None = None):
+        self.eps = eps
+        self.perturb_noise = perturb_noise
+
+    def __call__(self, operator, x: jnp.ndarray, y_pseudo_gt: jnp.ndarray, y_ref=None,
+                 key=None, complex_input: bool = False):
+        key = jax.random.PRNGKey(0) if key is None else key
+        eps = self.eps
+        if eps is None:
+            eps = float(jnp.maximum(jnp.max(jnp.abs(x)), 1e-3)) * 1e-3
+        b = jax.random.normal(key, x.shape, dtype=x.dtype) if self.perturb_noise is None else self.perturb_noise
+        y_ref = operator(x) if y_ref is None else y_ref
+        y_perturbed = operator(x + eps * b)
+        n = x.size
+        divergence = jnp.sum(b * (y_perturbed - y_ref)) / eps
+        mse = jnp.sum((y_ref - y_pseudo_gt) ** 2)
+        return (mse + 2.0 * divergence) / n
+
+
+def giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Paired generalized IoU in jnp (differentiable; reference: giou_loss.py)."""
+    d = boxes1.shape[-1] // 2
+    lt = jnp.maximum(boxes1[..., :d], boxes2[..., :d])
+    rb = jnp.minimum(boxes1[..., d:], boxes2[..., d:])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = jnp.prod(wh, axis=-1)
+    area1 = jnp.prod(boxes1[..., d:] - boxes1[..., :d], axis=-1)
+    area2 = jnp.prod(boxes2[..., d:] - boxes2[..., :d], axis=-1)
+    union = area1 + area2 - inter
+    iou = inter / jnp.clip(union, 1e-8, None)
+    lt_e = jnp.minimum(boxes1[..., :d], boxes2[..., :d])
+    rb_e = jnp.maximum(boxes1[..., d:], boxes2[..., d:])
+    enc = jnp.prod(jnp.clip(rb_e - lt_e, 0, None), axis=-1)
+    return iou - (enc - union) / jnp.clip(enc, 1e-8, None)
+
+
+class BoxGIoULoss:
+    """1 - GIoU for paired boxes (reference: giou_loss.py BoxGIoULoss)."""
+
+    def __init__(self, reduction: str = LossReduction.MEAN):
+        self.reduction = look_up_option(str(reduction), LossReduction)
+
+    def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        if target.shape != input.shape:
+            raise ValueError(f"ground truth has different shape ({target.shape}) from input ({input.shape})")
+        return _reduce(1.0 - giou(input, target), self.reduction)

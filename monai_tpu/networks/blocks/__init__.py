@@ -6,6 +6,7 @@ from .attention import (
     SABlock,
     TransformerBlock,
 )
+from .crf import CRF
 from .convolutions import Convolution, ResidualUnit, same_padding, stride_minus_kernel_padding
 from .dynunet_block import (
     UnetBasicBlock,

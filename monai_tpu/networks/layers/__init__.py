@@ -13,3 +13,22 @@ from .factories import (
     get_pool_layer,
     split_args,
 )
+from .filtering import (
+    BilateralFilter,
+    PHLFilter,
+    TrainableBilateralFilter,
+    TrainableJointBilateralFilter,
+)
+from .gmm import GaussianMixtureModel
+from .simplelayers import (
+    ChannelPad,
+    Flatten,
+    GaussianFilter,
+    HilbertTransform,
+    MedianFilter,
+    Reshape,
+    SavitzkyGolayFilter,
+    SkipConnection,
+    apply_filter,
+)
+from .vector_quantizer import EMAQuantizer, VectorQuantizer

@@ -19,7 +19,25 @@ from ...utils.misc import ensure_tuple_rep
 __all__ = ["SkipConnection", "Flatten", "Reshape", "GaussianFilter", "MedianFilter",
            "SavitzkyGolayFilter", "HilbertTransform", "ChannelPad", "apply_filter"]
 
-from ..nets.unet import SkipConnection  # noqa: F401 (canonical definition)
+
+class SkipConnection(nnx.Module):
+    """Concatenate/add/multiply input with submodule output
+    (reference: monai/networks/layers/simplelayers.py:131)."""
+
+    def __init__(self, submodule, dim: int = -1, mode: str = "cat"):
+        self.submodule = submodule
+        self.dim = dim
+        self.mode = mode
+
+    def __call__(self, x):
+        y = self.submodule(x)
+        if self.mode == "cat":
+            return jnp.concatenate([x, y], axis=self.dim)
+        if self.mode == "add":
+            return x + y
+        if self.mode == "mul":
+            return x * y
+        raise NotImplementedError(f"Unsupported mode {self.mode}.")
 
 
 class Flatten(nnx.Module):

@@ -1,4 +1,10 @@
 from .attentionunet import AttentionUnet
+from .autoencoderkl import AutoencoderKL
+from .controlnet import ControlNet
+from .diffusion_model_unet import DiffusionModelUNet
+from .patchgan_discriminator import MultiScalePatchDiscriminator, PatchDiscriminator
+from .transformer import DecoderOnlyTransformer
+from .vqvae import VQVAE
 from .autoencoder import AutoEncoder, VarAutoEncoder
 from .basic_unet import BasicUNet, BasicUnet, Basicunet
 from .classifier import Classifier, Critic, Discriminator, Generator, Regressor
