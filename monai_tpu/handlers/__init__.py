@@ -24,3 +24,16 @@ from .ignite_metric import (
     SurfaceDistance,
     from_engine,
 )
+from .extra_handlers import (
+    DecollateBatch,
+    MLFlowHandler,
+    ParamSchedulerHandler,
+    PostProcessing,
+    ProbMapProducer,
+    SmartCacheHandler,
+)
+from .tensorboard_handlers import (
+    TensorBoardHandler,
+    TensorBoardImageHandler,
+    TensorBoardStatsHandler,
+)

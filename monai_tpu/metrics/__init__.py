@@ -45,3 +45,13 @@ from .utils import (
     is_binary_tensor,
     remap_instance_id,
 )
+from .extra_metrics import (
+    FBetaScore,
+    LabelQualityScore,
+    LossMetric,
+    PanopticQualityMetric,
+    VarianceMetric,
+    compute_panoptic_quality,
+    compute_variance,
+    label_quality_score,
+)
