@@ -20,3 +20,11 @@ from .dynunet_block import (
 )
 from .upsample import SubpixelUpsample, UpSample, interpolate
 from .warp import DVF2DDF, Warp
+from .squeeze_and_excitation import (
+    ChannelSELayer,
+    ResidualSELayer,
+    SEBlock,
+    SEBottleneck,
+    SEResNetBottleneck,
+    SEResNeXtBottleneck,
+)

@@ -7,6 +7,10 @@ from .transformer import DecoderOnlyTransformer
 from .vqvae import VQVAE
 from .autoencoder import AutoEncoder, VarAutoEncoder
 from .basic_unet import BasicUNet, BasicUnet, Basicunet
+from .basic_unetplusplus import BasicUNetPlusPlus, BasicUnetPlusPlus
+from .highresnet import HighResBlock, HighResNet
+from .regunet import GlobalNet, LocalNet, RegUNet
+from .segresnet_ds import SegResNetDS
 from .classifier import Classifier, Critic, Discriminator, Generator, Regressor
 from .densenet import (
     DenseNet,

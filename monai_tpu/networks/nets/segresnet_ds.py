@@ -1,0 +1,86 @@
+"""SegResNetDS — deep-supervision SegResNet (reference: monai/networks/nets/segresnet_ds.py)."""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..layers.factories import Conv, get_act_layer, get_norm_layer
+from .segresnet import ResBlock, _conv
+
+__all__ = ["SegResNetDS"]
+
+
+class SegResNetDS(nnx.Module):
+    """(reference: segresnet_ds.py SegResNetDS).  Returns a list of outputs at multiple
+    scales when deep supervision is enabled (training), or the full-res logits."""
+
+    def __init__(self, spatial_dims: int = 3, init_filters: int = 32, in_channels: int = 1,
+                 out_channels: int = 2, act=("RELU", {}), norm=("GROUP", {"num_groups": 8}),
+                 blocks_down: Sequence[int] = (1, 2, 2, 4), blocks_up: Sequence[int] | None = None,
+                 dsdepth: int = 1, preprocess=None, upsample_mode: str = "deconv",
+                 resolution=None, *, rngs: nnx.Rngs):
+        self.dsdepth = max(dsdepth, 1)
+        self.spatial_dims = spatial_dims
+        n_levels = len(blocks_down)
+        blocks_up = blocks_up or (1,) * (n_levels - 1)
+        self.conv_init = _conv(spatial_dims, in_channels, init_filters, rngs=rngs)
+
+        downs = []
+        ch = init_filters
+        for i, nb in enumerate(blocks_down):
+            level = []
+            if i > 0:
+                level.append(_conv(spatial_dims, ch, ch * 2, stride=2, rngs=rngs))
+                ch = ch * 2
+            for _ in range(nb):
+                level.append(ResBlock(spatial_dims, ch, norm, act=act, rngs=rngs))
+            downs.append(nnx.List(level))
+        self.down_layers = nnx.List(downs)
+
+        ups = []
+        heads = []
+        for i, nb in enumerate(blocks_up):
+            level = []
+            level.append(Conv["convtrans", spatial_dims](ch, ch // 2, kernel_size=2, strides=2,
+                                                         rngs=rngs))
+            ch = ch // 2
+            for _ in range(nb):
+                level.append(ResBlock(spatial_dims, ch, norm, act=act, rngs=rngs))
+            ups.append(nnx.List(level))
+            if len(blocks_up) - i <= self.dsdepth:
+                heads.append(_conv(spatial_dims, ch, out_channels, kernel_size=1, bias=True, rngs=rngs))
+            else:
+                heads.append(None)
+        self.up_layers = nnx.List(ups)
+        self.heads = nnx.List([h for h in heads if h is not None])
+        self._head_levels = [i for i, h in enumerate(heads) if h is not None]
+
+    def __call__(self, x, with_ds: bool = False):
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        h = jnp.transpose(x, perm_in)
+        h = self.conv_init(h)
+        skips = []
+        for level in self.down_layers:
+            for blk in level:
+                h = blk(h)
+            skips.append(h)
+        outputs = []
+        head_idx = 0
+        for i, level in enumerate(self.up_layers):
+            mods = list(level)
+            h = mods[0](h)
+            h = h + skips[-(i + 2)]
+            for blk in mods[1:]:
+                h = blk(h)
+            if i in self._head_levels:
+                o = self.heads[head_idx](h)
+                head_idx += 1
+                perm_out = (0, o.ndim - 1) + tuple(range(1, o.ndim - 1))
+                outputs.append(jnp.transpose(o, perm_out))
+        if with_ds and len(outputs) > 1:
+            return outputs[::-1]  # full-res first
+        return outputs[-1]
