@@ -1,0 +1,2 @@
+from .inferer import point_based_window_inferer
+from .sampler import sample_prompt_pairs

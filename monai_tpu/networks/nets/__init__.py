@@ -36,6 +36,9 @@ from .resnet import (
     resnet152,
     resnet200,
 )
+from .hovernet import HoVerNet
+from .masked_autoencoder_vit import MaskedAutoEncoderViT
+from .milmodel import MILModel
 from .segresnet import SegResNet, SegResNetVAE
 from .swin_unetr import SwinTransformer, SwinUNETR
 from .unet import UNet, Unet
