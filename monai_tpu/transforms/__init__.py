@@ -1,4 +1,6 @@
+from .adaptors import FunctionSignature, adaptor, apply_alias, to_kwargs
 from .compose import Compose, OneOf, RandomOrder, SomeOf, execute_compose
+from .grid_ops import GridPatch, GridSplit, RandGridPatch
 from .croppad_array import *  # noqa: F401,F403
 from .dictionary import *  # noqa: F401,F403
 from .intensity_array import *  # noqa: F401,F403

@@ -119,6 +119,7 @@ from .traits import LazyTrait, MultiSampleTrait
 from .utility_array import (
     AddCoordinateChannels,
     AddExtremePointsChannel,
+    ApplyTransformToPoints,
     AsChannelLast,
     CastToType,
     ClassesToIndices,
@@ -1025,6 +1026,115 @@ class Decollated(MapTransform):
         from ..data.utils import decollate_batch
 
         return decollate_batch(data, detach=self.detach, pad=self.pad_batch, fill_value=self.fill_value)
+
+
+class GridSplitd(MapTransform, MultiSampleTrait):
+    """Split each keyed image into a uniform grid of sub-images, producing one dict per
+    grid cell (reference: spatial/dictionary.py:2292)."""
+
+    def __init__(self, keys: KeysCollection, grid=(2, 2), size=None, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        from .grid_ops import GridSplit
+
+        self.grid = tuple(grid)
+        self.size = size if isinstance(size, dict) else {k: size for k in self.keys}
+        self.splitter = GridSplit(grid=self.grid)
+
+    def __call__(self, data: Mapping) -> list[dict]:
+        d = dict(data)
+        n_out = int(np.prod(self.grid))
+        outputs = [dict(d) for _ in range(n_out)]
+        for key in self.key_iterator(d):
+            for i, cell in enumerate(self.splitter(d[key], self.size.get(key))):
+                outputs[i][key] = cell
+        return outputs
+
+
+class GridPatchd(MapTransform, MultiSampleTrait):
+    """Extract all grid patches from each keyed image (reference: spatial/dictionary.py:2342)."""
+
+    def __init__(self, keys: KeysCollection, patch_size, offset=None, num_patches=None,
+                 overlap: float = 0.0, sort_fn=None, threshold=None, pad_mode=None,
+                 allow_missing_keys: bool = False, **pad_kwargs):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        from .grid_ops import GridPatch
+
+        self.patcher = GridPatch(patch_size=patch_size, offset=offset, num_patches=num_patches,
+                                 overlap=overlap, sort_fn=sort_fn, threshold=threshold,
+                                 pad_mode=pad_mode, **pad_kwargs)
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.patcher(d[key])
+        return d
+
+
+class RandGridPatchd(RandomizableTransform, MapTransform, MultiSampleTrait):
+    """Grid patches with a random offset shared across keys
+    (reference: spatial/dictionary.py:2428)."""
+
+    def __init__(self, keys: KeysCollection, patch_size, min_offset=None, max_offset=None,
+                 num_patches=None, overlap: float = 0.0, sort_fn=None, threshold=None,
+                 pad_mode=None, allow_missing_keys: bool = False, **pad_kwargs):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        from .grid_ops import RandGridPatch
+
+        self.patcher = RandGridPatch(patch_size=patch_size, min_offset=min_offset,
+                                     max_offset=max_offset, num_patches=num_patches,
+                                     overlap=overlap, sort_fn=sort_fn, threshold=threshold,
+                                     pad_mode=pad_mode, **pad_kwargs)
+
+    def set_random_state(self, seed=None, state=None):
+        Randomizable.set_random_state(self, seed, state)
+        self.patcher.set_random_state(seed, state)
+        return self
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        first_key = self.first_key(d)
+        if first_key == ():
+            return d
+        item = d[first_key]
+        self.patcher.randomize(item.data if isinstance(item, MetaImage) else item)
+        for key in self.key_iterator(d):
+            d[key] = self.patcher(d[key], randomize=False)
+        return d
+
+
+class ApplyTransformToPointsd(MapTransform, InvertibleTransform):
+    """Dict wrapper of :class:`ApplyTransformToPoints`
+    (reference: utility/dictionary.py ApplyTransformToPointsd).
+
+    ``refer_keys`` optionally names, per points-key, the image key whose affine to use.
+    """
+
+    def __init__(self, keys: KeysCollection, refer_keys=None, dtype=None, affine=None,
+                 invert_affine: bool = True, affine_lps_to_ras: bool = False,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.refer_keys = ensure_tuple_rep(refer_keys, len(self.keys))
+        self.converter = ApplyTransformToPoints(dtype=dtype, affine=affine,
+                                                invert_affine=invert_affine,
+                                                affine_lps_to_ras=affine_lps_to_ras)
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key, refer_key in self.key_iterator(d, self.refer_keys):
+            affine = None
+            if refer_key is not None:
+                if refer_key not in d:
+                    raise KeyError(f"refer_key '{refer_key}' is not in the data.")
+                ref = d[refer_key]
+                affine = ref.affine if isinstance(ref, MetaImage) else None
+            d[key] = self.converter(d[key], affine=affine)
+        return d
+
+    def inverse(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.converter.inverse(d[key])
+        return d
 
 
 # exported names

@@ -54,6 +54,7 @@ __all__ = [
     "IntensityStats",
     "AddCoordinateChannels",
     "ToDevice",
+    "ApplyTransformToPoints",
 ]
 
 
@@ -573,3 +574,93 @@ class ToDevice(Transform):
         data = img.data if isinstance(img, MetaImage) else img
         out = jax.device_put(to_jax(data), self.device)
         return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class ApplyTransformToPoints(InvertibleTransform):
+    """Map point coordinates between world and image space with an affine
+    (reference: utility/array.py:1815).
+
+    Input shape (C, N, 2 or 3). ``invert_affine=True`` maps world -> image voxel
+    coordinates (the typical case, using the image's affine); ``False`` maps the
+    other way. If the point data itself carries an ``affine`` (a transform already
+    applied to it), the delta is composed in automatically.
+    """
+
+    def __init__(self, dtype=None, affine: Any = None, invert_affine: bool = True,
+                 affine_lps_to_ras: bool = False):
+        self.dtype = dtype
+        self.affine = affine
+        self.invert_affine = invert_affine
+        self.affine_lps_to_ras = affine_lps_to_ras
+
+    def _final_affine(self, affine: np.ndarray, applied_affine: np.ndarray | None) -> np.ndarray:
+        from ..data.affine_utils import orientation_ras_lps
+
+        aff = np.asarray(to_numpy(affine), dtype=np.float64)
+        if self.affine_lps_to_ras:
+            aff = orientation_ras_lps(aff)
+        if self.invert_affine:
+            aff = np.linalg.inv(aff)
+            if applied_affine is not None:
+                aff = aff @ np.asarray(applied_affine, dtype=np.float64)
+        return aff
+
+    @staticmethod
+    def _apply_points(pts: np.ndarray, aff: np.ndarray) -> np.ndarray:
+        d = pts.shape[-1]
+        # promote a 3x3 (2D) matrix or 2D points into the matrix's homogeneous dim
+        m = aff.shape[0] - 1
+        homo = np.concatenate([pts.astype(np.float64),
+                               np.zeros(pts.shape[:-1] + (m - d,), dtype=np.float64),
+                               np.ones(pts.shape[:-1] + (1,), dtype=np.float64)], axis=-1)
+        out = homo @ aff.T
+        return out[..., :d]
+
+    def __call__(self, data: Any, affine: Any = None):
+        pts = data.data if isinstance(data, MetaImage) else data
+        pts_np = to_numpy(pts)
+        if pts_np.ndim != 3 or pts_np.shape[-1] not in (2, 3):
+            raise ValueError(f"data should be in shape (C, N, 2 or 3), got {pts_np.shape}.")
+        aff = affine if affine is not None else self.affine
+        applied_affine = data.affine if isinstance(data, MetaImage) else None
+        if aff is None:
+            aff = applied_affine
+        if aff is None:
+            raise ValueError("affine must be provided if data does not carry an affine matrix.")
+        aff = np.asarray(to_numpy(aff), dtype=np.float64)
+        if aff.shape not in ((3, 3), (4, 4)):
+            raise ValueError(f"affine should be in shape (3, 3) or (4, 4), got {aff.shape}.")
+        final = self._final_affine(aff, None if applied_affine is None else to_numpy(applied_affine))
+        out_np = self._apply_points(pts_np, final)
+        if self.dtype is not None:
+            out_np = out_np.astype(self.dtype)
+        else:
+            out_np = out_np.astype(pts_np.dtype if np.issubdtype(pts_np.dtype, np.floating) else np.float64)
+        if isinstance(data, MetaImage):
+            out = data.new_like(out_np)
+            out.affine = np.linalg.inv(_promote_affine_to_4x4(final))
+            self.push_transform(out, extra_info={
+                "invert_affine": self.invert_affine,
+                "affine_lps_to_ras": self.affine_lps_to_ras,
+                "image_affine": aff.tolist(),
+            })
+            return out
+        return out_np
+
+    def inverse(self, data: Any):
+        xform = self.pop_transform(data)
+        extra = xform[TraceKeys.EXTRA_INFO]
+        inv = ApplyTransformToPoints(dtype=self.dtype,
+                                     invert_affine=not extra["invert_affine"],
+                                     affine_lps_to_ras=extra["affine_lps_to_ras"])
+        inv.tracing = False
+        return inv(data, affine=np.asarray(extra["image_affine"], dtype=np.float64))
+
+
+def _promote_affine_to_4x4(aff: np.ndarray) -> np.ndarray:
+    if aff.shape == (4, 4):
+        return aff
+    out = np.eye(4, dtype=np.float64)
+    out[:2, :2] = aff[:2, :2]
+    out[:2, 3] = aff[:2, 2]
+    return out

@@ -18,7 +18,9 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_MONAI_TPU_TES
     env["_MONAI_TPU_TEST_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# tests are CPU-only by design; also overrides a leftover JAX_PLATFORMS=axon that
+# cannot initialize once PALLAS_AXON_POOL_IPS is removed
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
