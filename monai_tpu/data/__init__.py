@@ -38,6 +38,9 @@ _LAZY_ATTRS = {
     "CSVDataset": ".dataset", "Dataset": ".dataset", "DatasetFunc": ".dataset",
     "NPZDictItemDataset": ".dataset", "PersistentDataset": ".dataset",
     "SmartCacheDataset": ".dataset", "Subset": ".dataset", "ZipDataset": ".dataset",
+    "LMDBDataset": ".dataset",
+    # csv saver
+    "CSVSaver": ".csv_saver",
     # folder layout
     "FolderLayout": ".folder_layout", "default_name_formatter": ".folder_layout",
     # grid dataset

@@ -36,9 +36,41 @@ from .resnet import (
     resnet152,
     resnet200,
 )
+from .efficientnet import (
+    BlockArgs,
+    EfficientNet,
+    EfficientNetBN,
+    EfficientNetBNFeatures,
+    EfficientNetEncoder,
+    drop_connect,
+    get_efficientnet_image_size,
+)
+from .flexible_unet import FLEXUNET_BACKBONE, FlexibleUNet, FlexUNet
 from .hovernet import HoVerNet
 from .masked_autoencoder_vit import MaskedAutoEncoderViT
+from .mednext import (
+    MedNext,
+    MedNeXt,
+    MedNextB,
+    MedNeXtB,
+    MedNextL,
+    MedNeXtL,
+    MedNextM,
+    MedNeXtM,
+    MedNextS,
+    MedNeXtS,
+    create_mednext,
+)
 from .milmodel import MILModel
+from .senet import (
+    SENet,
+    SENet154,
+    SEResNet50,
+    SEResNet101,
+    SEResNet152,
+    SEResNext50,
+    SEResNext101,
+)
 from .segresnet import SegResNet, SegResNetVAE
 from .swin_unetr import SwinTransformer, SwinUNETR
 from .unet import UNet, Unet
