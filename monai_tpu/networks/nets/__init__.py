@@ -10,7 +10,8 @@ from .basic_unet import BasicUNet, BasicUnet, Basicunet
 from .basic_unetplusplus import BasicUNetPlusPlus, BasicUnetPlusPlus
 from .highresnet import HighResBlock, HighResNet
 from .regunet import GlobalNet, LocalNet, RegUNet
-from .segresnet_ds import SegResNetDS
+from .segresnet_ds import SegResNetDS, SegResNetDS2
+from .vista3d import VISTA3D, vista3d132
 from .classifier import Classifier, Critic, Discriminator, Generator, Regressor
 from .densenet import (
     DenseNet,

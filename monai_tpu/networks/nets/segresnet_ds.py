@@ -11,7 +11,7 @@ from flax import nnx
 from ..layers.factories import Conv, get_act_layer, get_norm_layer
 from .segresnet import ResBlock, _conv
 
-__all__ = ["SegResNetDS"]
+__all__ = ["SegResNetDS", "SegResNetDS2"]
 
 
 class SegResNetDS(nnx.Module):
@@ -84,3 +84,69 @@ class SegResNetDS(nnx.Module):
         if with_ds and len(outputs) > 1:
             return outputs[::-1]  # full-res first
         return outputs[-1]
+
+
+class SegResNetDS2(SegResNetDS):
+    """SegResNetDS with a second (auto/class) decoder branch — the VISTA3D image encoder
+    (reference: segresnet_ds.py:431)."""
+
+    def __init__(self, spatial_dims: int = 3, init_filters: int = 32, in_channels: int = 1,
+                 out_channels: int = 2, act=("RELU", {}), norm=("GROUP", {"num_groups": 8}),
+                 blocks_down: Sequence[int] = (1, 2, 2, 4), blocks_up: Sequence[int] | None = None,
+                 dsdepth: int = 1, preprocess=None, upsample_mode: str = "deconv",
+                 resolution=None, *, rngs: nnx.Rngs):
+        super().__init__(spatial_dims, init_filters, in_channels, out_channels, act, norm,
+                         blocks_down, blocks_up, dsdepth, preprocess, upsample_mode,
+                         resolution, rngs=rngs)
+        # independent second decoder (same topology, freshly initialized)
+        n_levels = len(blocks_down)
+        bu = blocks_up or (1,) * (n_levels - 1)
+        ch = init_filters * (2 ** (n_levels - 1))
+        ups, heads = [], []
+        for i, nb in enumerate(bu):
+            level = [Conv["convtrans", spatial_dims](ch, ch // 2, kernel_size=2, strides=2,
+                                                     rngs=rngs)]
+            ch = ch // 2
+            for _ in range(nb):
+                level.append(ResBlock(spatial_dims, ch, norm, act=act, rngs=rngs))
+            ups.append(nnx.List(level))
+            if len(bu) - i <= self.dsdepth:
+                heads.append(_conv(spatial_dims, ch, out_channels, kernel_size=1, bias=True,
+                                   rngs=rngs))
+        self.up_layers_auto = nnx.List(ups)
+        self.heads_auto = nnx.List(heads)
+
+    def _decode(self, h, skips, up_layers, heads):
+        outputs = []
+        head_idx = 0
+        for i, level in enumerate(up_layers):
+            mods = list(level)
+            h = mods[0](h)
+            h = h + skips[-(i + 2)]
+            for blk in mods[1:]:
+                h = blk(h)
+            if i in self._head_levels:
+                o = heads[head_idx](h)
+                head_idx += 1
+                perm_out = (0, o.ndim - 1) + tuple(range(1, o.ndim - 1))
+                outputs.append(jnp.transpose(o, perm_out))
+        return outputs
+
+    def __call__(self, x, with_point: bool = True, with_label: bool = True):
+        """Returns (point_branch_out, label_branch_out); unused branch is None."""
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        h = jnp.transpose(x, perm_in)
+        h = self.conv_init(h)
+        skips = []
+        for level in self.down_layers:
+            for blk in level:
+                h = blk(h)
+            skips.append(h)
+        out_point = out_auto = None
+        if with_point:
+            outs = self._decode(h, skips, self.up_layers, self.heads)
+            out_point = outs[::-1] if len(outs) > 1 else outs[-1]
+        if with_label:
+            outs = self._decode(h, skips, self.up_layers_auto, self.heads_auto)
+            out_auto = outs[::-1] if len(outs) > 1 else outs[-1]
+        return out_point, out_auto

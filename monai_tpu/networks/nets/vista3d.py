@@ -1,0 +1,475 @@
+"""VISTA3D: versatile promptable 3D segmentation (reference: monai/networks/nets/vista3d.py:58
+VISTA3D, :475 PointMappingSAM, :595 ClassMappingClassify, :35 vista3d132).
+
+TPU-native design notes:
+- The SAM-style two-way transformer runs on flattened low-res feature tokens — pure
+  MXU matmuls with static shapes.
+- Point embedding selection uses vectorized `jnp.where` over label codes instead of the
+  reference's in-place boolean writes.
+- Host-side orchestration (prompt filtering, connected-component merging) stays in
+  numpy; per-shape jitted compute handles the heavy branches.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from .segresnet_ds import SegResNetDS2
+
+__all__ = ["VISTA3D", "PointMappingSAM", "ClassMappingClassify", "vista3d132"]
+
+NINF_VALUE = -9999.0
+PINF_VALUE = 9999.0
+
+
+class _MLP(nnx.Module):
+    """SAM-style MLP head (reference: vista3d.py MLP)."""
+
+    def __init__(self, input_dim: int, hidden_dim: int, output_dim: int, num_layers: int,
+                 sigmoid_output: bool = False, *, rngs: nnx.Rngs):
+        dims = [input_dim] + [hidden_dim] * (num_layers - 1)
+        self.layers = nnx.List([nnx.Linear(d_in, d_out, rngs=rngs)
+                                for d_in, d_out in zip(dims, dims[1:] + [output_dim])])
+        self.sigmoid_output = sigmoid_output
+
+    def __call__(self, x):
+        n = len(self.layers)
+        for i, lyr in enumerate(self.layers):
+            x = lyr(x)
+            if i < n - 1:
+                x = jax.nn.relu(x)
+        return jax.nn.sigmoid(x) if self.sigmoid_output else x
+
+
+class PositionEmbeddingRandom(nnx.Module):
+    """Random fourier-feature positional encoding (reference: vista3d.py PositionEmbeddingRandom)."""
+
+    def __init__(self, num_pos_feats: int = 64, scale: float | None = None, *, rngs: nnx.Rngs):
+        if scale is None or scale <= 0.0:
+            scale = 1.0
+        self.gaussian_matrix = nnx.Param(
+            scale * jax.random.normal(rngs.params(), (3, num_pos_feats)))
+
+    def _pe_encoding(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """coords in [0, 1], shape (..., 3) -> (..., 2*num_pos_feats)."""
+        coords = 2.0 * coords - 1.0
+        coords = coords @ self.gaussian_matrix.value
+        coords = 2.0 * jnp.pi * coords
+        return jnp.concatenate([jnp.sin(coords), jnp.cos(coords)], axis=-1)
+
+    def __call__(self, size: Sequence[int]) -> jnp.ndarray:
+        """Dense grid encoding -> (C, H, W, D)."""
+        h, w, d = (int(s) for s in size)
+        gy, gx, gz = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) + 0.5,
+                                  jnp.arange(w, dtype=jnp.float32) + 0.5,
+                                  jnp.arange(d, dtype=jnp.float32) + 0.5, indexing="ij")
+        coords = jnp.stack([gy / h, gx / w, gz / d], axis=-1)
+        pe = self._pe_encoding(coords)  # (H, W, D, C)
+        return jnp.transpose(pe, (3, 0, 1, 2))
+
+    def forward_with_coords(self, coords: jnp.ndarray, image_size: Sequence[int]) -> jnp.ndarray:
+        c = coords / jnp.asarray(image_size, dtype=coords.dtype)
+        return self._pe_encoding(c.astype(jnp.float32))
+
+
+class _Attention(nnx.Module):
+    """Attention with optional internal downsampling (reference: SAM attention)."""
+
+    def __init__(self, embedding_dim: int, num_heads: int, downsample_rate: int = 1,
+                 *, rngs: nnx.Rngs):
+        self.internal_dim = embedding_dim // downsample_rate
+        self.num_heads = num_heads
+        self.q_proj = nnx.Linear(embedding_dim, self.internal_dim, rngs=rngs)
+        self.k_proj = nnx.Linear(embedding_dim, self.internal_dim, rngs=rngs)
+        self.v_proj = nnx.Linear(embedding_dim, self.internal_dim, rngs=rngs)
+        self.out_proj = nnx.Linear(self.internal_dim, embedding_dim, rngs=rngs)
+
+    def __call__(self, q, k, v):
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+        hd = self.internal_dim // self.num_heads
+        qh = self.q_proj(q).reshape(b, nq, self.num_heads, hd)
+        kh = self.k_proj(k).reshape(b, nk, self.num_heads, hd)
+        vh = self.v_proj(v).reshape(b, nk, self.num_heads, hd)
+        out = jax.nn.dot_product_attention(qh, kh, vh)
+        return self.out_proj(out.reshape(b, nq, self.internal_dim))
+
+
+class TwoWayAttentionBlock(nnx.Module):
+    """Token self-attn, token->image cross-attn, MLP, image->token cross-attn
+    (reference: vista3d.py TwoWayAttentionBlock, adapted from segment-anything)."""
+
+    def __init__(self, embedding_dim: int, num_heads: int, mlp_dim: int = 2048,
+                 attention_downsample_rate: int = 2, skip_first_layer_pe: bool = False,
+                 *, rngs: nnx.Rngs):
+        self.self_attn = _Attention(embedding_dim, num_heads, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(embedding_dim, rngs=rngs)
+        self.cross_attn_token_to_image = _Attention(embedding_dim, num_heads,
+                                                    attention_downsample_rate, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(embedding_dim, rngs=rngs)
+        self.lin1 = nnx.Linear(embedding_dim, mlp_dim, rngs=rngs)
+        self.lin2 = nnx.Linear(mlp_dim, embedding_dim, rngs=rngs)
+        self.norm3 = nnx.LayerNorm(embedding_dim, rngs=rngs)
+        self.cross_attn_image_to_token = _Attention(embedding_dim, num_heads,
+                                                    attention_downsample_rate, rngs=rngs)
+        self.norm4 = nnx.LayerNorm(embedding_dim, rngs=rngs)
+        self.skip_first_layer_pe = skip_first_layer_pe
+
+    def __call__(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            queries = self.self_attn(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            queries = queries + self.self_attn(q, q, queries)
+        queries = self.norm1(queries)
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = self.norm2(queries + self.cross_attn_token_to_image(q, k, keys))
+        queries = self.norm3(queries + self.lin2(jax.nn.relu(self.lin1(queries))))
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = self.norm4(keys + self.cross_attn_image_to_token(k, q, queries))
+        return queries, keys
+
+
+class TwoWayTransformer(nnx.Module):
+    """(reference: vista3d.py TwoWayTransformer)."""
+
+    def __init__(self, depth: int, embedding_dim: int, num_heads: int, mlp_dim: int,
+                 attention_downsample_rate: int = 2, *, rngs: nnx.Rngs):
+        self.layers = nnx.List([
+            TwoWayAttentionBlock(embedding_dim, num_heads, mlp_dim, attention_downsample_rate,
+                                 skip_first_layer_pe=(i == 0), rngs=rngs)
+            for i in range(depth)])
+        self.final_attn_token_to_image = _Attention(embedding_dim, num_heads,
+                                                    attention_downsample_rate, rngs=rngs)
+        self.norm_final_attn = nnx.LayerNorm(embedding_dim, rngs=rngs)
+
+    def __call__(self, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
+                 point_embedding: jnp.ndarray):
+        """image_embedding/image_pe: (B, C, H, W, D); point_embedding: (B, N, C)."""
+        b, c = image_embedding.shape[:2]
+        keys = image_embedding.reshape(b, c, -1).transpose(0, 2, 1)
+        key_pe = image_pe.reshape(b, c, -1).transpose(0, 2, 1)
+        queries = point_embedding
+        for layer in self.layers:
+            queries, keys = layer(queries, keys, point_embedding, key_pe)
+        q = queries + point_embedding
+        k = keys + key_pe
+        queries = self.norm_final_attn(queries + self.final_attn_token_to_image(q, k, keys))
+        return queries, keys
+
+
+class PointMappingSAM(nnx.Module):
+    """Interactive point head (reference: vista3d.py:475)."""
+
+    def __init__(self, feature_size: int, max_prompt: int = 32, n_classes: int = 512,
+                 last_supported: int = 132, *, rngs: nnx.Rngs):
+        dim = feature_size
+        self.max_prompt = max_prompt
+        self.n_classes = n_classes
+        self.last_supported = last_supported
+        self.feat_conv1 = nnx.Conv(feature_size, feature_size, kernel_size=(3, 3, 3),
+                                   strides=(2, 2, 2), padding=(1, 1, 1), rngs=rngs)
+        self.feat_norm1 = nnx.GroupNorm(feature_size, num_groups=feature_size, rngs=rngs)
+        self.feat_conv2 = nnx.Conv(feature_size, dim, kernel_size=(3, 3, 3), padding=(1, 1, 1),
+                                   rngs=rngs)
+        self.feat_norm2 = nnx.GroupNorm(dim, num_groups=dim, rngs=rngs)
+        self.transformer = TwoWayTransformer(depth=2, embedding_dim=dim, mlp_dim=512,
+                                             num_heads=4, rngs=rngs)
+        self.pe_layer = PositionEmbeddingRandom(dim // 2, rngs=rngs)
+        self.point_embeddings = nnx.Param(
+            0.02 * jax.random.normal(rngs.params(), (2, dim)))
+        self.not_a_point_embed = nnx.Param(0.02 * jax.random.normal(rngs.params(), (dim,)))
+        self.special_class_embed = nnx.Param(0.02 * jax.random.normal(rngs.params(), (dim,)))
+        self.mask_tokens = nnx.Param(0.02 * jax.random.normal(rngs.params(), (1, dim)))
+        # output upscaling: input-dilated conv == ConvTranspose(k3, s2, p1, output_padding=1)
+        self.up_conv1 = nnx.Conv(dim, dim, kernel_size=(3, 3, 3), input_dilation=(2, 2, 2),
+                                 padding=[(1, 2)] * 3, rngs=rngs)
+        self.up_norm = nnx.GroupNorm(dim, num_groups=dim, rngs=rngs)
+        self.up_conv2 = nnx.Conv(dim, dim, kernel_size=(3, 3, 3), padding=(1, 1, 1), rngs=rngs)
+        self.output_hypernetworks_mlps = _MLP(dim, dim, dim, 3, rngs=rngs)
+        self.class_embeddings = nnx.Param(0.02 * jax.random.normal(rngs.params(),
+                                                                   (n_classes, feature_size)))
+        self.zeroshot_embed = nnx.Param(0.02 * jax.random.normal(rngs.params(), (dim,)))
+        self.supported_embed = nnx.Param(0.02 * jax.random.normal(rngs.params(), (dim,)))
+
+    def __call__(self, out: jnp.ndarray, point_coords: jnp.ndarray, point_labels: jnp.ndarray,
+                 class_vector: jnp.ndarray | None = None) -> jnp.ndarray:
+        """out: (1, C, H, W, D) encoder feature; point_coords: (B, N, 3);
+        point_labels: (B, N); returns (B, 1, H', W', D') mask logits at half resolution
+        upscaled back to the downsampled grid * 2."""
+        perm_in = (0, 2, 3, 4, 1)
+        out_cl = jnp.transpose(out, perm_in)
+        low = self.feat_norm1(self.feat_conv1(out_cl))
+        low = self.feat_norm2(self.feat_conv2(jax.nn.gelu(low)))
+        out_shape = out.shape[-3:]
+        low_cf = jnp.transpose(low, (0, 4, 1, 2, 3))  # (1, C, h, w, d)
+
+        pts = point_coords.astype(jnp.float32) + 0.5
+        pe = self.pe_layer.forward_with_coords(pts, out_shape)  # (B, N, C)
+        lbl = point_labels[..., None]
+        pe = jnp.where(lbl == -1, self.not_a_point_embed.value, pe + jnp.where(
+            lbl == 0, self.point_embeddings.value[0],
+            jnp.where(lbl == 1, self.point_embeddings.value[1],
+                      jnp.where(lbl == 2, self.point_embeddings.value[0] + self.special_class_embed.value,
+                                self.point_embeddings.value[1] + self.special_class_embed.value))))
+        b = pe.shape[0]
+        output_tokens = jnp.broadcast_to(self.mask_tokens.value[None], (b, 1, pe.shape[-1]))
+        if class_vector is None:
+            cls_tok = jnp.broadcast_to(self.supported_embed.value[None, None],
+                                       (b, 1, pe.shape[-1]))
+        else:
+            is_zeroshot = (jnp.asarray(class_vector).reshape(b, 1, 1) > self.last_supported)
+            cls_tok = jnp.where(is_zeroshot, self.zeroshot_embed.value,
+                                self.supported_embed.value)
+            cls_tok = jnp.broadcast_to(cls_tok, (b, 1, pe.shape[-1]))
+        tokens = jnp.concatenate([output_tokens, pe, cls_tok], axis=1)
+
+        src = jnp.repeat(low_cf, b, axis=0)
+        pos_src = jnp.repeat(self.pe_layer(low_cf.shape[-3:])[None], b, axis=0)
+        hs, src_out = self.transformer(src, pos_src, tokens)
+        mask_tokens_out = hs[:, :1, :]
+        hyper_in = self.output_hypernetworks_mlps(mask_tokens_out)  # (B, 1, C)
+        h, w, d = low_cf.shape[-3:]
+        src_cl = src_out.reshape(b, h, w, d, -1)
+        up = self.up_conv1(src_cl)
+        up = self.up_conv2(jax.nn.gelu(self.up_norm(up)))  # (B, 2h, 2w, 2d, C)
+        uh, uw, ud = up.shape[1:4]
+        up_flat = up.reshape(b, uh * uw * ud, -1)  # (B, HWD, C)
+        mask = jnp.einsum("boc,bpc->bop", hyper_in, up_flat)
+        return mask.reshape(b, 1, uh, uw, ud)
+
+
+class ClassMappingClassify(nnx.Module):
+    """Class head for automatic segmentation (reference: vista3d.py:595)."""
+
+    def __init__(self, n_classes: int, feature_size: int, use_mlp: bool = True,
+                 *, rngs: nnx.Rngs):
+        from ..blocks.dynunet_block import UnetrBasicBlock
+
+        self.use_mlp = use_mlp
+        if use_mlp:
+            self.mlp1 = nnx.Linear(feature_size, feature_size, rngs=rngs)
+            self.mlp_norm = nnx.LayerNorm(feature_size, rngs=rngs)
+            self.mlp2 = nnx.Linear(feature_size, feature_size, rngs=rngs)
+        self.class_embeddings = nnx.Param(
+            0.02 * jax.random.normal(rngs.params(), (n_classes, feature_size)))
+        self.image_post_mapping = nnx.List([
+            UnetrBasicBlock(3, feature_size, feature_size, kernel_size=3, stride=1,
+                            norm_name="instance", res_block=True, rngs=rngs),
+            UnetrBasicBlock(3, feature_size, feature_size, kernel_size=3, stride=1,
+                            norm_name="instance", res_block=True, rngs=rngs),
+        ])
+
+    def __call__(self, src: jnp.ndarray, class_vector: jnp.ndarray):
+        """src: (1, C, H, W, D); class_vector: (B,) -> logits (B, 1, H, W, D)."""
+        h = jnp.transpose(src, (0, 2, 3, 4, 1))
+        for blk in self.image_post_mapping:
+            h = blk(h)
+        emb = self.class_embeddings.value[jnp.asarray(class_vector).reshape(-1)]
+        if self.use_mlp:
+            emb = self.mlp2(jax.nn.gelu(self.mlp_norm(self.mlp1(emb))))
+        b, hh, ww, dd, c = h.shape
+        flat = h.reshape(b, -1, c)  # (1, HWD, C)
+        masks = jnp.einsum("kc,bpc->kp", emb, flat)  # (B_cls, HWD)
+        return masks.reshape(-1, 1, hh, ww, dd), emb
+
+
+class VISTA3D(nnx.Module):
+    """Promptable 3D segmentation combining an automatic class branch and an interactive
+    point branch (reference: vista3d.py:58)."""
+
+    def __init__(self, image_encoder: nnx.Module, class_head: nnx.Module,
+                 point_head: nnx.Module):
+        self.image_encoder = image_encoder
+        self.class_head = class_head
+        self.point_head = point_head
+        self.image_embeddings = None
+        self.NINF_VALUE = NINF_VALUE
+        self.PINF_VALUE = PINF_VALUE
+
+    @staticmethod
+    def convert_point_label(point_label, label_set=None, special_index=(23, 24, 25, 26, 27, 57, 128)):
+        """Map labels of special (e.g. tumor) classes from {0,1} to {2,3}
+        (reference: vista3d.py:126)."""
+        if label_set is None:
+            return point_label
+        pl = np.array(point_label)
+        ls = np.asarray(label_set).reshape(-1)
+        for i, lab in enumerate(ls):
+            if int(lab) in special_index:
+                pl[i] = np.where(pl[i] >= 0, pl[i] + 2, pl[i])
+        return jnp.asarray(pl)
+
+    def get_foreground_class_count(self, class_vector, point_coords) -> int:
+        """(reference: vista3d.py:111)."""
+        if class_vector is None:
+            if point_coords is None:
+                raise ValueError("class_vector and point_coords cannot be both None.")
+            return int(point_coords.shape[0])
+        return int(np.asarray(class_vector).shape[0])
+
+    def update_point_to_patch(self, patch_coords, point_coords, point_labels):
+        """Shift global point coordinates into the sliding-window patch frame; points
+        outside the patch get label -1 (reference: vista3d.py:182)."""
+        starts = np.array([patch_coords[-3].start, patch_coords[-2].start, patch_coords[-1].start])
+        ends = np.array([patch_coords[-3].stop, patch_coords[-2].stop, patch_coords[-1].stop])
+        pc = np.asarray(point_coords, dtype=np.float64)
+        pl = np.asarray(point_labels).copy()
+        inside = np.logical_and((pc - starts > 0).all(2), (ends - pc > 0).all(2))
+        pc = pc - starts
+        if inside.any():
+            pl[~inside] = -1
+            pc[~inside] = 0
+            keep = (pl != -1).any(0)
+            return jnp.asarray(pc[:, keep]), jnp.asarray(pl[:, keep])
+        return None, None
+
+    def gaussian_combine(self, logits, point_logits, point_coords, point_labels,
+                         mapping_index, radius=None):
+        """(reference: vista3d.py:279)."""
+        from ...transforms.utils import convert_points_to_disc
+
+        if radius is None:
+            radius = min(point_logits.shape[-3:]) // 5
+        weight = 1 - np.asarray(convert_points_to_disc(
+            point_logits.shape[-3:], point_coords, point_labels, radius=radius)).sum(1, keepdims=True)
+        weight[weight < 0] = 0
+        logits = np.asarray(logits).copy()
+        logits[mapping_index] = logits[mapping_index] * weight + (1 - weight) * np.asarray(point_logits)
+        return jnp.asarray(logits)
+
+    def connected_components_combine(self, logits, point_logits, point_coords, point_labels,
+                                     mapping_index, thred: float = 0.5):
+        """(reference: vista3d.py:217)."""
+        from ...transforms.utils import keep_merge_components_with_points
+
+        logits = np.asarray(logits).copy()
+        point_logits = np.asarray(point_logits).copy()
+        _logits = logits[mapping_index]
+        pts = np.round(np.asarray(point_coords)).astype(int)
+        inside = []
+        for i in range(_logits.shape[0]):
+            vals = [_logits[i, 0, p[0], p[1], p[2]] > 0 for p in pts[i]]
+            inside.append(bool(np.any(vals)))
+        inside_arr = np.asarray(inside).reshape(-1, 1, 1, 1, 1)
+        nan_mask = np.isnan(_logits)
+        _sig = 1.0 / (1.0 + np.exp(-np.nan_to_num(_logits, nan=self.NINF_VALUE)))
+        pos_region = 1.0 / (1.0 + np.exp(-point_logits)) > thred
+        diff_pos = np.logical_and(np.logical_or(_sig <= thred, inside_arr), pos_region)
+        diff_neg = np.logical_and(_sig > thred, ~pos_region)
+        cc = keep_merge_components_with_points(diff_pos, diff_neg, pts,
+                                               np.asarray(point_labels))
+        uc_pos = np.logical_and(pos_region, ~cc)
+        fill = np.logical_and(nan_mask, uc_pos)
+        point_logits[fill] = -1
+        cc = np.logical_or(nan_mask, cc).astype(logits.dtype)
+        logits[mapping_index] = logits[mapping_index] * (1 - cc) + cc * point_logits
+        return jnp.asarray(logits)
+
+    def __call__(self, input_images, patch_coords=None, point_coords=None, point_labels=None,
+                 class_vector=None, prompt_class=None, labels=None, label_set=None,
+                 prev_mask=None, radius=None, val_point_sampler: Callable | None = None,
+                 transpose: bool = False, **kwargs):
+        """(reference: vista3d.py:336). Host-level orchestration; the encoder and both
+        heads are pure jax functions amenable to per-shape jit."""
+        image_size = input_images.shape[-3:]
+        if point_coords is None and class_vector is None:
+            return self.NINF_VALUE + jnp.zeros((1, 1, *image_size))
+
+        bs = self.get_foreground_class_count(class_vector, point_coords)
+        if patch_coords is not None:
+            if labels is not None and label_set is not None:
+                if val_point_sampler is None:
+                    val_point_sampler = self.sample_points_patch_val
+                point_coords, point_labels, prompt_class = val_point_sampler(
+                    labels, patch_coords[0] if isinstance(patch_coords, list) else patch_coords,
+                    label_set)
+                if int(np.asarray(prompt_class)[0]) == 0:
+                    point_labels = np.asarray(point_labels)
+                    point_labels[0] = -1
+                labels, prev_mask = None, None
+            elif point_coords is not None:
+                pc = patch_coords[0] if isinstance(patch_coords, list) else patch_coords
+                point_coords, point_labels = self.update_point_to_patch(pc, point_coords,
+                                                                        point_labels)
+
+        mapping_index = None
+        if point_coords is not None and point_labels is not None:
+            pl = np.asarray(point_labels)
+            mapping_index = (pl != -1).sum(1) > 0
+            if mapping_index.any():
+                point_coords = jnp.asarray(np.asarray(point_coords)[mapping_index])
+                point_labels = jnp.asarray(pl[mapping_index])
+                if prompt_class is not None:
+                    prompt_class = np.asarray(prompt_class)[mapping_index]
+            else:
+                if class_vector is None and patch_coords is None:
+                    mapping_index = np.ones_like(mapping_index, dtype=bool)
+                else:
+                    point_coords, point_labels = None, None
+
+        if point_coords is None and class_vector is None:
+            logits = self.NINF_VALUE + jnp.zeros((bs, 1, *image_size))
+            return jnp.swapaxes(logits, 0, 1) if transpose else logits
+
+        out, out_auto = self.image_encoder(input_images,
+                                           with_point=point_coords is not None,
+                                           with_label=class_vector is not None)
+        if class_vector is not None:
+            logits, _ = self.class_head(out_auto, class_vector)
+            if point_coords is not None:
+                point_logits = self.point_head(out, point_coords, point_labels,
+                                               class_vector=prompt_class)
+                if patch_coords is None:
+                    logits = self.gaussian_combine(logits, point_logits, point_coords,
+                                                   point_labels, mapping_index, radius)
+                else:
+                    logits = self.connected_components_combine(logits, point_logits,
+                                                               point_coords, point_labels,
+                                                               mapping_index)
+        else:
+            logits_np = self.NINF_VALUE + np.zeros((bs, 1, *image_size), dtype=np.float32)
+            point_logits = self.point_head(out, point_coords, point_labels,
+                                           class_vector=prompt_class)
+            logits_np[mapping_index] = np.asarray(point_logits, dtype=np.float32)
+            logits = jnp.asarray(logits_np)
+            if prev_mask is not None and patch_coords is not None:
+                pc = patch_coords[0] if isinstance(patch_coords, list) else patch_coords
+                prev = np.asarray(prev_mask)[pc]
+                logits = self.connected_components_combine(
+                    np.swapaxes(prev, 0, 1), np.asarray(logits)[mapping_index],
+                    point_coords, point_labels, mapping_index)
+        if transpose:
+            logits = jnp.swapaxes(logits, 0, 1)
+        return logits
+
+    def sample_points_patch_val(self, labels, patch_coords, label_set, use_center: bool = True,
+                                mapped_label_set=None, max_ppoint: int = 1, max_npoint: int = 0):
+        """(reference: vista3d.py:144)."""
+        from ...transforms.utils import sample_points_from_label
+
+        lab_patch = np.asarray(labels)[tuple(patch_coords)]
+        point_coords, point_labels = sample_points_from_label(
+            lab_patch, label_set, max_ppoint=max_ppoint, max_npoint=max_npoint,
+            use_center=use_center)
+        point_labels = self.convert_point_label(point_labels, mapped_label_set)
+        return (jnp.asarray(point_coords), jnp.asarray(point_labels),
+                np.asarray(label_set).reshape(-1, 1))
+
+
+def vista3d132(encoder_embed_dim: int = 48, in_channels: int = 1, *, rngs: nnx.Rngs) -> VISTA3D:
+    """The 132-class VISTA3D configuration (reference: vista3d.py:35)."""
+    segresnet = SegResNetDS2(in_channels=in_channels, blocks_down=(1, 2, 2, 4, 4),
+                             norm="instance", out_channels=encoder_embed_dim,
+                             init_filters=encoder_embed_dim, dsdepth=1, rngs=rngs)
+    point_head = PointMappingSAM(feature_size=encoder_embed_dim, n_classes=512,
+                                 last_supported=132, rngs=rngs)
+    class_head = ClassMappingClassify(n_classes=512, feature_size=encoder_embed_dim,
+                                      use_mlp=True, rngs=rngs)
+    return VISTA3D(image_encoder=segresnet, class_head=class_head, point_head=point_head)

@@ -15,7 +15,7 @@ from typing import Any, Callable, Sequence
 
 import numpy as np
 
-from ..utils.backend import is_jax, to_numpy, xp
+from ..utils.backend import is_jax, to_jax, to_numpy, xp
 from ..utils.misc import ensure_tuple, ensure_tuple_rep, ensure_tuple_size, fall_back_tuple
 
 __all__ = [
@@ -46,6 +46,9 @@ __all__ = [
     "resolves_modes",
     "scale_affine",
     "get_largest_connected_component_mask",
+    "convert_points_to_disc",
+    "sample_points_from_label",
+    "keep_merge_components_with_points",
     "remove_small_objects",
     "fill_holes",
     "distance_transform_edt",
@@ -555,3 +558,109 @@ def distance_transform_edt(img: Any, sampling=None):
 
     res, *_ = convert_to_dst_type(out, img, dtype=np.float32)
     return res
+
+
+def convert_points_to_disc(image_size, point, point_label, radius: int = 2, disc: bool = False):
+    """Rasterize click points into 2-channel (negative, positive) gaussian/disc masks
+    (reference: transforms/utils.py:1298). Vectorized over all points — on TPU this is a
+    single fused broadcast/exp rather than the reference's per-point python loop."""
+    import jax.numpy as jnp
+
+    pts = jnp.asarray(to_jax(point), jnp.float32)          # [B, N, 3]
+    lbl = jnp.asarray(to_jax(point_label))                  # [B, N]
+    h, w, d = (int(s) for s in image_size)
+    grid = jnp.stack(jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  jnp.arange(d, dtype=jnp.float32), indexing="ij"), axis=-1)
+    # [B, N, H, W, D]: squared distance of every voxel to every point
+    diff = grid[None, None] - pts[:, :, None, None, None, :]
+    sq = jnp.sum(diff * diff, axis=-1)
+    contrib = (sq < radius ** 2).astype(jnp.float32) if disc else jnp.exp(-sq / (2.0 * radius ** 2))
+    valid = lbl > -1
+    positive = (lbl == 1) | (lbl == 3)
+    neg_mask = (valid & ~positive)[:, :, None, None, None]
+    pos_mask = (valid & positive)[:, :, None, None, None]
+    neg = jnp.sum(contrib * neg_mask, axis=1)
+    pos = jnp.sum(contrib * pos_mask, axis=1)
+    return jnp.stack([neg, pos], axis=1)  # [B, 2, H, W, D]
+
+
+def sample_points_from_label(labels, label_set, max_ppoint: int = 1, max_npoint: int = 0,
+                             device=None, use_center: bool = False,
+                             rand_state: np.random.RandomState | None = None):
+    """Sample clicks from a label map, one row per class in ``label_set``
+    (reference: transforms/utils.py:1334). Host-side numpy."""
+    from scipy import ndimage as ndi
+
+    rs = rand_state or np.random.RandomState()
+    lab = to_numpy(labels)
+    if lab.shape[0] != 1:
+        raise ValueError("labels must have batch size 1.")
+    lab = lab[0, 0]
+    uniq = set(np.unique(lab).tolist())
+    points, point_labels = [], []
+    n_total = max_ppoint + max_npoint
+    for cid in label_set:
+        if cid in uniq:
+            pmask = lab == cid
+            eroded = ndi.binary_erosion(pmask)
+            core = get_largest_connected_component_mask(eroded) if eroded.any() else pmask
+            ppts = np.argwhere(core if np.asarray(core).any() else pmask)
+            npts = np.argwhere(~pmask)
+            num_p = min(len(ppts), max_ppoint)
+            num_n = min(len(npts), max_npoint)
+            if use_center and num_p > 0:
+                dist = ((ppts - ppts.mean(0)) ** 2).sum(-1)
+                order = np.argsort(dist)
+            else:
+                order = rs.permutation(len(ppts))
+            rows = [ppts[order[i]] for i in range(num_p)]
+            rows += [npts[rs.randint(len(npts))] for _ in range(num_n)]
+            labs = [1] * num_p + [0] * num_n
+            while len(rows) < n_total:
+                rows.append(np.zeros(3, dtype=np.int64))
+                labs.append(-1)
+            points.append(np.stack(rows))
+            point_labels.append(labs)
+        else:
+            points.append(np.zeros((n_total, 3), dtype=np.int64))
+            point_labels.append([-1] * n_total)
+    return np.stack(points).astype(np.float32), np.asarray(point_labels, dtype=np.int64)
+
+
+def keep_merge_components_with_points(img_pos, img_neg, point_coords, point_labels,
+                                      pos_val=(1, 3), neg_val=(0, 2), margins: int = 3):
+    """Keep connected components of img_pos/img_neg that contain the respective points
+    (reference: transforms/utils.py:1183). Host-side scipy labeling."""
+    from scipy import ndimage as ndi
+
+    pos = to_numpy(img_pos).astype(bool)
+    neg = to_numpy(img_neg).astype(bool)
+    pts = np.round(to_numpy(point_coords)).astype(int)
+    lbls = to_numpy(point_labels)
+    structure = ndi.generate_binary_structure(3, 3)
+    out = np.zeros_like(pos)
+    for b in range(pts.shape[0]):
+        feats_pos, _ = ndi.label(pos[b, 0], structure=structure)
+        feats_neg, _ = ndi.label(neg[b, 0], structure=structure)
+        for i, p in enumerate(pts[b]):
+            l = int(lbls[b, i])
+            if l in pos_val:
+                features = feats_pos
+            elif l in neg_val:
+                features = feats_neg
+            else:
+                continue
+            shape = features.shape
+            for margin in range(margins):
+                x, y, z = p.tolist()
+                l0, h0 = max(x - margin, 0), min(x + margin + 1, shape[0])
+                l1, h1 = max(y - margin, 0), min(y + margin + 1, shape[1])
+                l2, h2 = max(z - margin, 0), min(z + margin + 1, shape[2])
+                region = features[l0:h0, l1:h1, l2:h2]
+                ids = np.unique(region)
+                ids = ids[ids > 0]
+                if len(ids) > 0:
+                    out[b, 0] |= np.isin(features, ids)
+                    break
+    return out
