@@ -28,3 +28,4 @@ from .squeeze_and_excitation import (
     SEResNetBottleneck,
     SEResNeXtBottleneck,
 )
+from .spade_norm import SPADE

@@ -2,6 +2,9 @@ from .attentionunet import AttentionUnet
 from .autoencoderkl import AutoencoderKL
 from .controlnet import ControlNet
 from .diffusion_model_unet import DiffusionModelUNet
+from .spade_autoencoderkl import SPADEAutoencoderKL
+from .spade_diffusion_model_unet import SPADEDiffusionModelUNet
+from .spade_network import SPADEDecoder, SPADEEncoder, SPADENet, SPADENetResBlock
 from .patchgan_discriminator import MultiScalePatchDiscriminator, PatchDiscriminator
 from .transformer import DecoderOnlyTransformer
 from .vqvae import VQVAE
