@@ -66,6 +66,9 @@ from .mednext import (
     create_mednext,
 )
 from .milmodel import MILModel
+from .netadapter import NetAdapter, TorchVisionFCModel
+from .quicknat import Quicknat, QuickNAT
+from .daf3d import DAF3D
 from .senet import (
     SENet,
     SENet154,
