@@ -29,3 +29,4 @@ from .squeeze_and_excitation import (
     SEResNeXtBottleneck,
 )
 from .spade_norm import SPADE
+from .cablock import CABlock, FeedForward
