@@ -30,3 +30,9 @@ from .squeeze_and_excitation import (
 )
 from .spade_norm import SPADE
 from .cablock import CABlock, FeedForward
+from .dints_block import (
+    ActiConvNormBlock,
+    FactorizedIncreaseBlock,
+    FactorizedReduceBlock,
+    P3DActiConvNormBlock,
+)

@@ -69,6 +69,7 @@ from .milmodel import MILModel
 from .netadapter import NetAdapter, TorchVisionFCModel
 from .quicknat import Quicknat, QuickNAT
 from .daf3d import DAF3D
+from .dints import DiNTS, TopologyConstruction, TopologyInstance, TopologySearch
 from .restormer import Restormer
 from .transchex import Transchex
 from .senet import (
