@@ -7,3 +7,5 @@ from .resample import (
     grid_push,
     resolve_mode,
 )
+from .filtering import bilateral_filter, bilateral_grid_filter, phl_filter
+from .pallas_filtering import bilateral_filter_pallas, pallas_available

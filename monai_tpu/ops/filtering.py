@@ -28,14 +28,25 @@ def _gauss(x, sigma):
 
 
 def bilateral_filter(img: jnp.ndarray, spatial_sigma: float = 5.0, color_sigma: float = 0.5,
-                     fast_approx: bool = False, truncate: float = 2.0) -> jnp.ndarray:
+                     fast_approx: bool = False, truncate: float = 2.0,
+                     use_pallas: bool = False) -> jnp.ndarray:
     """Bilateral filter on (B, C, *spatial) arrays (reference:
     monai/networks/layers/filtering.py:23 BilateralFilter).
 
     fast_approx=True uses the bilateral-grid path (reference's PHL mode analog).
+    use_pallas=True routes through the hand-written Pallas VMEM-slab kernel
+    (ops/pallas_filtering.py) — numerically identical to this XLA stencil; XLA's
+    own fusion is already near speed-of-light for this pattern, so the Pallas path
+    is mainly a reference TPU kernel and escape hatch, not a default.
     """
     if fast_approx:
         return bilateral_grid_filter(img, spatial_sigma, color_sigma)
+    if use_pallas:
+        from .pallas_filtering import bilateral_filter_pallas
+
+        out = bilateral_filter_pallas(img, spatial_sigma, color_sigma, truncate)
+        if out is not None:
+            return out
     img = jnp.asarray(img)
     sd = img.ndim - 2
     radius = max(int(truncate * spatial_sigma + 0.5), 1)
