@@ -37,3 +37,4 @@ from .adversarial_loss import (
     SURELoss,
     giou,
 )
+from .nacl_loss import NACLLoss

@@ -51,6 +51,7 @@ __all__ = [
     "RandCoarseShuffle",
     "HistogramNormalize",
     "ForegroundMask",
+    "UltrasoundConfidenceMapTransform",
     "ComputeHoVerMaps",
     "IntensityRemap",
     "RandIntensityRemap",
@@ -1323,3 +1324,38 @@ class DetectEnvelope(Transform):
             return res
 
         return _apply(img, _fn)
+
+
+class UltrasoundConfidenceMapTransform(Transform):
+    """Confidence map for ultrasound images via random walks
+    (reference: intensity/array.py:2790). Input [1, H, W] (channels averaged if RGB);
+    host-side sparse solve (see data/ultrasound_confidence_map.py)."""
+
+    def __init__(self, alpha: float = 2.0, beta: float = 90.0, gamma: float = 0.05,
+                 mode: str = "B", sink_mode: str = "all", use_cg: bool = False,
+                 cg_tol: float = 1e-6, cg_maxiter: int = 200):
+        from ..data.ultrasound_confidence_map import UltrasoundConfidenceMap
+
+        self.sink_mode = sink_mode
+        self._compute = UltrasoundConfidenceMap(alpha, beta, gamma, mode, sink_mode,
+                                                use_cg, cg_tol, cg_maxiter)
+
+    def __call__(self, img: Any, mask: Any = None):
+        if self.sink_mode == "mask" and mask is None:
+            raise ValueError("A mask must be provided when sink mode is 'mask'.")
+        data = img.data if isinstance(img, MetaImage) else img
+        arr = to_numpy(data)
+        if arr.shape[0] != 1 and arr.ndim == 3:
+            arr = arr.mean(axis=0, keepdims=True)
+        elif arr.shape[0] != 1:
+            raise ValueError("The correct shape of the image is [1, H, W].")
+        img2d = arr[0]
+        mask_np = None
+        if mask is not None:
+            mask_np = to_numpy(mask.data if isinstance(mask, MetaImage) else mask)
+            if mask_np.ndim == 3:
+                mask_np = mask_np[0]
+            if mask_np.shape != img2d.shape:
+                raise ValueError("The mask must have the same shape as the image.")
+        out = self._compute(img2d, mask_np)[None].astype(np.float32)
+        return img.new_like(out) if isinstance(img, MetaImage) else out
