@@ -41,6 +41,16 @@ _LAZY_ATTRS = {
     "LMDBDataset": ".dataset",
     # csv saver
     "CSVSaver": ".csv_saver",
+    # WSI
+    "BaseWSIReader": ".wsi_reader", "WSIReader": ".wsi_reader",
+    "CuCIMWSIReader": ".wsi_reader", "OpenSlideWSIReader": ".wsi_reader",
+    "TiffFileWSIReader": ".wsi_reader", "PILWSIReader": ".wsi_reader",
+    "PatchWSIDataset": ".wsi_datasets", "SlidingPatchWSIDataset": ".wsi_datasets",
+    "MaskedPatchWSIDataset": ".wsi_datasets",
+    # video
+    "VideoDataset": ".video_dataset", "VideoFileDataset": ".video_dataset",
+    "CameraDataset": ".video_dataset",
+    "UltrasoundConfidenceMap": ".ultrasound_confidence_map",
     # folder layout
     "FolderLayout": ".folder_layout", "default_name_formatter": ".folder_layout",
     # grid dataset

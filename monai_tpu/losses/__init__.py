@@ -38,3 +38,4 @@ from .adversarial_loss import (
     giou,
 )
 from .nacl_loss import NACLLoss
+from .perceptual import PerceptualLoss

@@ -55,3 +55,4 @@ from .extra_metrics import (
     compute_variance,
     label_quality_score,
 )
+from .metrics_reloaded import MetricsReloadedBinary, MetricsReloadedCategorical
