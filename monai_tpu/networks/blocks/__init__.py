@@ -36,3 +36,7 @@ from .dints_block import (
     FactorizedReduceBlock,
     P3DActiConvNormBlock,
 )
+from .aspp import SimpleASPP
+from .denseblock import ConvDenseBlock, DenseBlock
+from .feature_pyramid_network import BackboneWithFPN, FeaturePyramidNetwork, LastLevelMaxPool
+from .text_embedding import TextEncoder

@@ -21,10 +21,12 @@ from .filtering import (
 )
 from .gmm import GaussianMixtureModel
 from .simplelayers import (
+    LLTM,
     ChannelPad,
     Flatten,
     GaussianFilter,
     HilbertTransform,
+    MeanFilter,
     MedianFilter,
     Reshape,
     SavitzkyGolayFilter,
@@ -32,3 +34,6 @@ from .simplelayers import (
     apply_filter,
 )
 from .vector_quantizer import EMAQuantizer, VectorQuantizer
+from .conjugate_gradient import ConjugateGradient
+from .drop_path import DropPath
+from .weight_init import icnr_init, normal_init, trunc_normal

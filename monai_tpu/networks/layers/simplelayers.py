@@ -17,7 +17,8 @@ from ...ops.gaussian import gaussian_1d, separable_filtering
 from ...utils.misc import ensure_tuple_rep
 
 __all__ = ["SkipConnection", "Flatten", "Reshape", "GaussianFilter", "MedianFilter",
-           "SavitzkyGolayFilter", "HilbertTransform", "ChannelPad", "apply_filter"]
+           "SavitzkyGolayFilter", "HilbertTransform", "ChannelPad", "apply_filter",
+           "LLTM", "MeanFilter"]
 
 
 class SkipConnection(nnx.Module):
@@ -208,3 +209,45 @@ def apply_filter(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
                                        feature_group_count=c)
     perm_out = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))
     return jnp.transpose(out, perm_out)
+
+
+class MeanFilter(nnx.Module):
+    """Uniform box filter of a given size (reference: simplelayers.py MeanFilter)."""
+
+    def __init__(self, spatial_dims: int, size: int):
+        self.filter = jnp.ones((size,) * spatial_dims, jnp.float32)
+        self.spatial_dims = spatial_dims
+
+    def __call__(self, x):
+        return apply_filter(x, self.filter)
+
+
+class LLTM(nnx.Module):
+    """Long-Long-Term-Memory demo cell (reference: simplelayers.py:598 LLTM; the
+    reference ships fused C++/CUDA kernels — under XLA the pure-jnp version fuses to
+    the same element-wise epilogue, so no custom kernel is needed)."""
+
+    def __init__(self, input_features: int, state_size: int, *, rngs: nnx.Rngs):
+        self.input_features = input_features
+        self.state_size = state_size
+        bound = 1.0 / jnp.sqrt(jnp.asarray(state_size, jnp.float32))
+        k = rngs.params()
+        import jax as _jax
+
+        k1, k2 = _jax.random.split(k)
+        self.weights = nnx.Param(
+            float(bound) * (2 * _jax.random.uniform(k1, (3 * state_size, input_features + state_size)) - 1))
+        self.bias = nnx.Param(
+            float(bound) * (2 * _jax.random.uniform(k2, (3 * state_size,)) - 1))
+
+    def __call__(self, x, state):
+        old_h, old_cell = state
+        xh = jnp.concatenate([old_h, x], axis=1)
+        gates = xh @ self.weights.value.T + self.bias.value
+        i_gate, o_gate, cand = jnp.split(gates, 3, axis=1)
+        i_gate = jax.nn.sigmoid(i_gate)
+        o_gate = jax.nn.sigmoid(o_gate)
+        cand = jax.nn.elu(cand)
+        new_cell = old_cell + cand * i_gate
+        new_h = jnp.tanh(new_cell) * o_gate
+        return new_h, new_cell
