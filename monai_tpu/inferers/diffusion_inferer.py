@@ -166,3 +166,107 @@ class ControlNetDiffusionInferer(DiffusionInferer):
             if save_intermediates and i % intermediate_steps == 0:
                 intermediates.append(image)
         return (image, intermediates) if save_intermediates else image
+
+
+class ControlNetLatentDiffusionInferer(ControlNetDiffusionInferer):
+    """ControlNet-conditioned diffusion in a first-stage latent space
+    (reference: inferer.py:1667)."""
+
+    def __init__(self, scheduler: Scheduler, scale_factor: float = 1.0,
+                 ldm_latent_shape=None, autoencoder_latent_shape=None):
+        super().__init__(scheduler)
+        self.scale_factor = scale_factor
+
+    def __call__(self, inputs: jnp.ndarray, autoencoder_model, diffusion_model: Callable,
+                 controlnet: Callable, noise: jnp.ndarray, timesteps: jnp.ndarray,
+                 cn_cond: jnp.ndarray, condition=None, mode: str = "crossattn", seg=None):
+        latent = autoencoder_model.encode_stage_2_inputs(inputs) * self.scale_factor
+        return super().__call__(latent, diffusion_model, controlnet, noise, timesteps,
+                                cn_cond, condition, mode)
+
+    def sample(self, input_noise: jnp.ndarray, autoencoder_model=None,
+               diffusion_model: Callable = None, controlnet: Callable = None,
+               cn_cond: jnp.ndarray = None, scheduler: Scheduler | None = None,
+               save_intermediates: bool = False, intermediate_steps: int = 100,
+               conditioning=None, mode: str = "crossattn", verbose: bool = False,
+               seg=None, key=None):
+        out = super().sample(input_noise, diffusion_model, controlnet, cn_cond, scheduler,
+                             save_intermediates, intermediate_steps, conditioning, mode,
+                             verbose, key)
+        if save_intermediates:
+            latent, latent_intermediates = out
+            image = autoencoder_model.decode_stage_2_outputs(latent / self.scale_factor)
+            intermediates = [autoencoder_model.decode_stage_2_outputs(l / self.scale_factor)
+                             for l in latent_intermediates]
+            return image, intermediates
+        return autoencoder_model.decode_stage_2_outputs(out / self.scale_factor)
+
+
+class VQVAETransformerInferer(Inferer):
+    """Autoregressive transformer over VQ-VAE token sequences
+    (reference: inferer.py:1920)."""
+
+    def __call__(self, inputs: jnp.ndarray, vqvae_model, transformer_model, ordering,
+                 condition=None, return_latent: bool = False, key=None):
+        """Teacher-forced logits for the quantized token sequence of ``inputs``."""
+        import numpy as np
+
+        latent = vqvae_model.index_quantize(inputs)
+        latent_spatial_dim = tuple(latent.shape[1:])
+        b = latent.shape[0]
+        latent = latent.reshape(b, -1)
+        latent = latent[:, ordering.get_sequence_ordering()]
+        # prepend BOS (= num_embeddings) and drop the last token
+        bos = vqvae_model.num_embeddings
+        seq = jnp.concatenate([jnp.full((b, 1), bos, latent.dtype), latent[:, :-1]], axis=1)
+        seq_len = seq.shape[1]
+        max_seq_len = transformer_model.max_seq_len
+        start = 0
+        if max_seq_len < seq_len:
+            if key is not None:
+                start = int(jax.random.randint(key, (), 0, seq_len + 1 - max_seq_len))
+            else:
+                start = int(np.random.randint(0, seq_len + 1 - max_seq_len))
+        prediction = transformer_model(seq[:, start:start + max_seq_len], context=condition)
+        if return_latent:
+            return prediction, latent[:, start:start + max_seq_len], latent_spatial_dim
+        return prediction
+
+    def sample(self, latent_spatial_dim, starting_tokens, vqvae_model, transformer_model,
+               ordering, condition=None, temperature: float = 1.0, top_k: int | None = None,
+               verbose: bool = False, key=None):
+        """Autoregressively sample token-by-token then decode (reference: inferer.py:2003)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        seq_len = 1
+        for s in latent_spatial_dim:
+            seq_len *= s
+        latent_seq = jnp.asarray(starting_tokens, jnp.int32)
+        for _ in range(seq_len):
+            if latent_seq.shape[1] <= transformer_model.max_seq_len:
+                idx_cond = latent_seq
+            else:
+                idx_cond = latent_seq[:, -transformer_model.max_seq_len:]
+            logits = transformer_model(idx_cond, context=condition)[:, -1, :] / temperature
+            if top_k is not None:
+                kth = jnp.sort(logits, axis=-1)[:, -min(top_k, logits.shape[-1])][:, None]
+                logits = jnp.where(logits < kth, -jnp.inf, logits)
+            # never sample the BOS token
+            logits = logits.at[:, vqvae_model.num_embeddings:].set(-jnp.inf)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, logits, axis=-1)[:, None]
+            latent_seq = jnp.concatenate([latent_seq, nxt], axis=1)
+        latent_seq = latent_seq[:, 1:]  # drop BOS
+        latent_seq = latent_seq[:, ordering.get_revert_sequence_ordering()]
+        latent = latent_seq.reshape((latent_seq.shape[0],) + tuple(latent_spatial_dim))
+        return vqvae_model.decode_samples(latent)
+
+    def get_likelihood(self, inputs: jnp.ndarray, vqvae_model, transformer_model, ordering,
+                       condition=None):
+        """Per-token log-likelihood of the quantized sequence (reference: inferer.py:2073)."""
+        logits, target, latent_spatial_dim = self(inputs, vqvae_model, transformer_model,
+                                                  ordering, condition, return_latent=True)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        ll = ll[:, ordering.get_revert_sequence_ordering()]
+        return ll.reshape((ll.shape[0],) + tuple(latent_spatial_dim))

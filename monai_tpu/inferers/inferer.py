@@ -94,3 +94,34 @@ class SliceInferer(SlidingWindowInferer):
             return jnp.expand_dims(out, axis=self.spatial_dim + 2)
 
         return super().__call__(inputs, network_wrapper, *args, **kwargs)
+
+
+class SaliencyInferer(Inferer):
+    """Inference producing class-activation maps (reference: inferer.py:644).
+
+    In this framework CAMs are computed functionally (visualize/class_activation_maps.py)
+    from a feature function and a head function rather than by hooking named layers.
+    ``network`` passed at call time must expose ``feature_fn``/``head_fn`` attributes or
+    be a (feature_fn, head_fn) tuple.
+    """
+
+    def __init__(self, cam_name: str, target_layers: str = "", class_idx: int | None = None,
+                 *args, **kwargs):
+        if cam_name.lower() not in ("cam", "gradcam", "gradcampp"):
+            raise ValueError("cam_name should be: 'CAM', 'GradCAM' or 'GradCAMpp'.")
+        self.cam_name = cam_name.lower()
+        self.target_layers = target_layers
+        self.class_idx = class_idx
+        self.args = args
+        self.kwargs = kwargs
+
+    def __call__(self, inputs: Any, network: Any, *args, **kwargs):
+        from ..visualize.class_activation_maps import CAM, GradCAM, GradCAMpp
+
+        if isinstance(network, tuple):
+            feature_fn, head_fn = network
+        else:
+            feature_fn, head_fn = network.feature_fn, network.head_fn
+        cls = {"cam": CAM, "gradcam": GradCAM, "gradcampp": GradCAMpp}[self.cam_name]
+        cam = cls(feature_fn, head_fn, *self.args, **self.kwargs)
+        return cam(inputs, self.class_idx, *args, **kwargs)

@@ -71,3 +71,41 @@ class AvgMerger(Merger):
 
     def get_counts(self):
         return self.counts
+
+
+class ZarrAvgMerger(Merger):
+    """AvgMerger backed by on-disk zarr arrays for outputs larger than RAM
+    (reference: merger.py:207). Requires the optional `zarr` package."""
+
+    def __init__(self, merged_shape, cropped_shape=None, dtype="float32",
+                 value_dtype="float32", count_dtype="uint8", store="merged.zarr",
+                 compressor=None, chunks=True, **kwargs):
+        super().__init__(merged_shape=merged_shape, cropped_shape=cropped_shape)
+        from ..utils.module import optional_import
+
+        zarr, has_zarr = optional_import("zarr")
+        if not has_zarr:
+            raise ImportError("ZarrAvgMerger requires the optional 'zarr' package "
+                              "(not installed); use AvgMerger instead.")
+        self._zarr = zarr
+        self.store = store
+        self.values = zarr.open(store=store, mode="w", path="values",
+                                shape=merged_shape, dtype=value_dtype, chunks=chunks)
+        self.counts = zarr.open(store=store, mode="a", path="counts",
+                                shape=merged_shape, dtype=count_dtype, chunks=chunks)
+        self.output_dtype = dtype
+
+    def aggregate(self, values, location):
+        import numpy as np
+
+        sl = tuple(slice(None) for _ in range(2)) + tuple(
+            slice(loc, loc + s) for loc, s in zip(location, values.shape[2:]))
+        self.values[sl] = self.values[sl] + np.asarray(values)
+        self.counts[sl] = self.counts[sl] + 1
+
+    def finalize(self):
+        import numpy as np
+
+        vals = np.asarray(self.values)
+        counts = np.maximum(np.asarray(self.counts), 1)
+        return (vals / counts).astype(self.output_dtype)

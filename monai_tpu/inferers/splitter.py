@@ -92,3 +92,40 @@ class SlidingWindowSplitter(Splitter):
             patch = arr[sl]
             if self.filter_fn is None or self.filter_fn(patch, loc):
                 yield patch, loc
+
+
+class WSISlidingWindowSplitter(SlidingWindowSplitter):
+    """SlidingWindowSplitter that reads patches lazily from a whole-slide image via a
+    WSIReader instead of slicing an in-memory array (reference: splitter.py:295)."""
+
+    def __init__(self, patch_size, offset=0, overlap: float = 0.0, filter_fn=None,
+                 pad_mode: str | None = None, reader="pil", reader_kwargs: dict | None = None,
+                 level: int = 0):
+        super().__init__(patch_size=patch_size, offset=offset, overlap=overlap,
+                         filter_fn=filter_fn, pad_mode=pad_mode)
+        from ..data.wsi_reader import BaseWSIReader, WSIReader
+
+        if isinstance(reader, str):
+            self.reader = WSIReader(backend=reader, level=level,
+                                    **(reader_kwargs or {}))
+        elif isinstance(reader, BaseWSIReader):
+            self.reader = reader
+        else:
+            raise ValueError(f"unsupported reader {reader}")
+        self.level = level
+
+    def __call__(self, inputs):
+        """inputs: a WSI file path. Yields (patch, location) pairs."""
+        import numpy as np
+
+        wsi = self.reader.read(inputs)
+        size = self.reader.get_size(wsi, self.level)
+        from ..data.utils import iter_patch_position
+
+        for loc in iter_patch_position(image_size=size, patch_size=self.patch_size,
+                                       start_pos=(0, 0), overlap=self.overlap, padded=False):
+            patch, _ = self.reader.get_data(wsi, location=tuple(int(v) for v in loc),
+                                            size=self.patch_size, level=self.level)
+            patch = patch[None].astype(np.float32)
+            if self.filter_fn is None or self.filter_fn(patch, loc):
+                yield patch, tuple(int(v) for v in loc)

@@ -36,6 +36,7 @@ class VQVAE(nnx.Module):
                  *, rngs: nnx.Rngs):
         self.spatial_dims = spatial_dims
         self.embedding_dim = embedding_dim
+        self.num_embeddings = num_embeddings
         n_levels = len(channels)
         num_res_channels = ensure_tuple_rep(num_res_channels, n_levels)
 
