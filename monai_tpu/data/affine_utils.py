@@ -270,8 +270,8 @@ def reorient_spatial_axes(data_shape: Sequence[int], init_affine: np.ndarray,
 def orientation_ras_lps(affine: np.ndarray) -> np.ndarray:
     """Convert an affine between RAS and LPS conventions (reference: monai/data/utils.py:1127)."""
     sr = max(affine.shape[0] - 1, 1)
-    flip_diag = [-1, -1] + [1] * (sr - 1)
-    flip_mat = np.diag(flip_diag + [1]).astype(affine.dtype)
+    flip_diag = ([-1] + [1] * sr) if sr == 1 else ([-1, -1] + [1] * (sr - 1))
+    flip_mat = np.diag(flip_diag).astype(affine.dtype)
     return flip_mat @ np.asarray(affine)
 
 

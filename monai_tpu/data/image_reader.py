@@ -18,7 +18,7 @@ from ..utils.misc import ensure_tuple
 from ..utils.module import optional_import, require_pkg
 from .nifti import read_nifti
 
-__all__ = ["ImageReader", "NiftiReader", "NibabelReader", "NumpyReader", "PILReader", "ITKReader"]
+__all__ = ["ImageReader", "NiftiReader", "NibabelReader", "NumpyReader", "PILReader", "ITKReader", "NrrdReader"]
 
 
 class ImageReader(ABC):
@@ -254,3 +254,66 @@ class ITKReader(ImageReader):
             img_array.append(data)
             _copy_compatible_dict(header, compatible_meta)
         return _stack_images(img_array, compatible_meta), compatible_meta
+
+
+class NrrdReader(ImageReader):
+    """NRRD reader (reference: image_reader.py:1431). Backed by the bundled pure-python
+    parser (data/nrrd_io.py) instead of pynrrd."""
+
+    def __init__(self, channel_dim: str | int | None = None, dtype=np.float32,
+                 index_order: str = "F", affine_lps_to_ras: bool = True, **kwargs):
+        self.channel_dim = channel_dim
+        self.dtype = dtype
+        self.index_order = index_order
+        self.affine_lps_to_ras = affine_lps_to_ras
+        self.kwargs = kwargs
+
+    def verify_suffix(self, filename: Any) -> bool:
+        return is_supported_format(filename, ["nrrd", "seg.nrrd"])
+
+    def read(self, data: Any, **kwargs):
+        from .nrrd_io import read_nrrd
+
+        imgs = []
+        for name in ensure_tuple(data):
+            imgs.append(read_nrrd(str(name)))
+        return imgs if len(imgs) > 1 else imgs[0]
+
+    def _get_affine(self, header: dict, ndim: int) -> np.ndarray:
+        affine = np.eye(ndim + 1, dtype=np.float64)
+        dirs = header.get("space directions")
+        if dirs is not None:
+            spatial = [d for d in dirs if d is not None]
+            n = len(spatial)
+            affine = np.eye(n + 1, dtype=np.float64)
+            affine[:n, :n] = np.asarray(spatial, dtype=np.float64).T
+            origin = header.get("space origin")
+            if origin is not None:
+                affine[:n, n] = np.asarray(origin, dtype=np.float64)
+        if self.affine_lps_to_ras:
+            space = header.get("space", "left-posterior-superior").lower()
+            if "left-posterior-superior" in space or space == "lps":
+                from .affine_utils import orientation_ras_lps
+
+                affine = orientation_ras_lps(affine)
+        return affine
+
+    def get_data(self, img) -> tuple[np.ndarray, dict]:
+        img_list = img if isinstance(img, list) else [img]
+        arrays, meta = [], {}
+        for data, header in img_list:
+            arr = np.asarray(data, dtype=self.dtype) if self.dtype is not None else np.asarray(data)
+            if self.index_order == "C":
+                arr = np.ascontiguousarray(arr)
+            affine = self._get_affine(header, arr.ndim)
+            meta = dict(header)
+            meta[MetaKeys.AFFINE] = affine
+            meta[MetaKeys.ORIGINAL_AFFINE] = affine.copy()
+            meta[MetaKeys.SPATIAL_SHAPE] = np.asarray(arr.shape)
+            if self.channel_dim is not None:
+                meta[MetaKeys.ORIGINAL_CHANNEL_DIM] = self.channel_dim
+            else:
+                meta[MetaKeys.ORIGINAL_CHANNEL_DIM] = "no_channel" \
+                    if arr.ndim == len(np.asarray(meta[MetaKeys.SPATIAL_SHAPE])) else 0
+            arrays.append(arr)
+        return (np.stack(arrays) if len(arrays) > 1 else arrays[0]), meta
