@@ -1,0 +1,2 @@
+from .coco import COCOMetric
+from .matching import matching_batch
