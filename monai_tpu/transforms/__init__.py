@@ -1,10 +1,12 @@
 from .adaptors import FunctionSignature, adaptor, apply_alias, to_kwargs
 from .compose import Compose, OneOf, RandomOrder, SomeOf, execute_compose
 from .grid_ops import GridPatch, GridSplit, RandGridPatch
+from .utils_morphological_ops import dilate, erode
 from .croppad_array import *  # noqa: F401,F403
 from .dictionary import *  # noqa: F401,F403
 from .intensity_array import *  # noqa: F401,F403
 from .inverse import InvertibleTransform, TraceableTransform
+from .inverse_batch_transform import BatchInverseTransform
 from .io_array import LoadImage, SaveImage
 from .lazy_executor import apply_pending, apply_pending_transforms, apply_pending_transforms_in_order
 from .lazy_utils import (

@@ -55,6 +55,8 @@ __all__ = [
     "AddCoordinateChannels",
     "ToDevice",
     "ApplyTransformToPoints",
+    "ImageFilter",
+    "RandImageFilter",
 ]
 
 
@@ -664,3 +666,102 @@ def _promote_affine_to_4x4(aff: np.ndarray) -> np.ndarray:
     out[:2, :2] = aff[:2, :2]
     out[:2, 3] = aff[:2, 2]
     return out
+
+
+class ImageFilter(Transform):
+    """Apply a named or custom convolution filter to (C, *spatial) data
+    (reference: utility/array.py:1517 ImageFilter).
+
+    Supported named filters: mean, laplace, elliptical, sharpen, median, gauss, sobel.
+    """
+
+    supported_filters = ("mean", "laplace", "elliptical", "sobel", "sharpen", "median",
+                         "gauss")
+
+    def __init__(self, filter, filter_size: int | None = None, **kwargs):
+        self._check_inputs(filter, filter_size)
+        self.filter = filter
+        self.filter_size = filter_size
+        self.kwargs = kwargs
+
+    def _check_inputs(self, filt, filter_size):
+        if isinstance(filt, str):
+            if filt not in self.supported_filters:
+                raise NotImplementedError(f"Unsupported filter: {filt}; use one of "
+                                          f"{self.supported_filters}.")
+            if filt != "gauss" and (filter_size is None or filter_size % 2 == 0):
+                if filt in ("mean", "laplace", "elliptical", "sharpen", "median") and (
+                        filter_size is None or filter_size % 2 == 0):
+                    raise ValueError("filter_size must be an uneven integer.")
+        elif isinstance(filt, np.ndarray) or hasattr(filt, "shape"):
+            arr = np.asarray(filt)
+            if arr.ndim not in (1, 2, 3):
+                raise ValueError("custom filter must be 1/2/3-D.")
+            if any(s % 2 == 0 for s in arr.shape):
+                raise ValueError("custom filter must have odd shape in every dimension.")
+
+    def _named_kernel(self, name: str, sd: int) -> np.ndarray:
+        size = self.filter_size or 3
+        if name == "mean":
+            return np.ones((size,) * sd, np.float32)
+        if name == "laplace":
+            k = -np.ones((size,) * sd, np.float32)
+            center = (size // 2,) * sd
+            k[center] = size ** sd - 1
+            return k
+        if name == "elliptical":
+            grid = np.stack(np.meshgrid(*[np.linspace(-1, 1, size)] * sd, indexing="ij"))
+            return ((grid ** 2).sum(0) <= 1.0).astype(np.float32)
+        if name == "sharpen":
+            k = -np.ones((size,) * sd, np.float32)
+            center = (size // 2,) * sd
+            k[center] = size ** sd
+            return k
+        raise NotImplementedError(name)
+
+    def __call__(self, img: Any, meta_dict: dict | None = None, applied_operations=None):
+        data = img.data if isinstance(img, MetaImage) else img
+        arr = to_jax(np.asarray(to_numpy(data), dtype=np.float32))
+        sd = arr.ndim - 1
+        if isinstance(self.filter, str):
+            name = self.filter
+            if name == "gauss":
+                from ..ops.gaussian import gaussian_filter
+
+                out = gaussian_filter(arr, sigma=self.kwargs.get("sigma", 1.0))
+            elif name == "median":
+                from ..networks.layers.simplelayers import MedianFilter
+
+                out = MedianFilter(radius=(self.filter_size or 3) // 2,
+                                   spatial_dims=sd)(arr[None])[0]
+            elif name == "sobel":
+                from ..transforms.post_array import SobelGradients
+
+                out = SobelGradients(kernel_size=self.filter_size or 3, **self.kwargs)(arr)
+            else:
+                from ..networks.layers.simplelayers import apply_filter
+
+                out = apply_filter(arr[None], to_jax(self._named_kernel(name, sd)))[0]
+        elif callable(self.filter) and not hasattr(self.filter, "shape"):
+            out = self.filter(arr)
+        else:
+            from ..networks.layers.simplelayers import apply_filter
+
+            out = apply_filter(arr[None], to_jax(np.asarray(self.filter, np.float32)))[0]
+        return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class RandImageFilter(RandomizableTransform):
+    """Randomly apply ImageFilter with probability ``prob``
+    (reference: utility/array.py RandImageFilter)."""
+
+    def __init__(self, filter, filter_size: int | None = None, prob: float = 0.1, **kwargs):
+        RandomizableTransform.__init__(self, prob)
+        self.filter = ImageFilter(filter, filter_size, **kwargs)
+
+    def __call__(self, img: Any, meta_dict: dict | None = None, randomize: bool = True):
+        if randomize:
+            self.randomize(None)
+        if self._do_transform:
+            return self.filter(img)
+        return img
