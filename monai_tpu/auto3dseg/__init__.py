@@ -1,0 +1,13 @@
+from .algo_gen import Algo, AlgoGen
+from .analyzer import (
+    Analyzer,
+    FgImageStats,
+    FgImageStatsSumm,
+    FilenameStats,
+    ImageStats,
+    ImageStatsSumm,
+    LabelStats,
+    LabelStatsSumm,
+)
+from .operations import Operations, SampleOperations, SummaryOperations
+from .seg_summarizer import SegSummarizer

@@ -315,3 +315,39 @@ class OrderingTransformations(StrEnum):
     ROTATE_90 = "rotate_90"
     TRANSPOSE = "transpose"
     REFLECT = "reflect"
+
+
+class DataStatsKeys(StrEnum):
+    """Keys for dataset statistical analysis (reference: utils/enums.py:577)."""
+
+    SUMMARY = "stats_summary"
+    BY_CASE = "stats_by_cases"
+    BY_CASE_IMAGE_PATH = "image_filepath"
+    BY_CASE_LABEL_PATH = "label_filepath"
+    IMAGE_STATS = "image_stats"
+    FG_IMAGE_STATS = "image_foreground_stats"
+    LABEL_STATS = "label_stats"
+    IMAGE_HISTOGRAM = "image_histogram"
+
+
+class ImageStatsKeys(StrEnum):
+    """(reference: utils/enums.py:593)."""
+
+    SHAPE = "shape"
+    CHANNELS = "channels"
+    CROPPED_SHAPE = "cropped_shape"
+    SPACING = "spacing"
+    SIZEMM = "sizemm"
+    INTENSITY = "intensity"
+    HISTOGRAM = "histogram"
+
+
+class LabelStatsKeys(StrEnum):
+    """(reference: utils/enums.py:608)."""
+
+    LABEL_UID = "labels"
+    PIXEL_PCT = "foreground_percentage"
+    IMAGE_INTST = "image_intensity"
+    LABEL = "label"
+    LABEL_SHAPE = "shape"
+    LABEL_NCOMP = "ncomponents"
