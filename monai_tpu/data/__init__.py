@@ -38,7 +38,7 @@ _LAZY_ATTRS = {
     "CSVDataset": ".dataset", "Dataset": ".dataset", "DatasetFunc": ".dataset",
     "NPZDictItemDataset": ".dataset", "PersistentDataset": ".dataset",
     "SmartCacheDataset": ".dataset", "Subset": ".dataset", "ZipDataset": ".dataset",
-    "LMDBDataset": ".dataset",
+    "LMDBDataset": ".dataset", "GDSDataset": ".dataset",
     # csv saver
     "CSVSaver": ".csv_saver",
     # WSI
@@ -58,7 +58,7 @@ _LAZY_ATTRS = {
     "PatchIter": ".grid_dataset", "PatchIterd": ".grid_dataset",
     # readers / writers
     "ImageReader": ".image_reader", "ITKReader": ".image_reader", "NibabelReader": ".image_reader",
-    "NiftiReader": ".image_reader", "NrrdReader": ".image_reader", "NumpyReader": ".image_reader", "PILReader": ".image_reader",
+    "NiftiReader": ".image_reader", "NrrdReader": ".image_reader", "PydicomReader": ".image_reader", "NumpyReader": ".image_reader", "PILReader": ".image_reader",
     "ImageWriter": ".image_writer", "NibabelWriter": ".image_writer", "NiftiWriter": ".image_writer",
     "PILWriter": ".image_writer", "register_writer": ".image_writer", "resolve_writer": ".image_writer",
     # iterable

@@ -18,7 +18,7 @@ from ..utils.misc import ensure_tuple
 from ..utils.module import optional_import, require_pkg
 from .nifti import read_nifti
 
-__all__ = ["ImageReader", "NiftiReader", "NibabelReader", "NumpyReader", "PILReader", "ITKReader", "NrrdReader"]
+__all__ = ["ImageReader", "NiftiReader", "NibabelReader", "NumpyReader", "PILReader", "ITKReader", "NrrdReader", "PydicomReader"]
 
 
 class ImageReader(ABC):
@@ -315,5 +315,51 @@ class NrrdReader(ImageReader):
             else:
                 meta[MetaKeys.ORIGINAL_CHANNEL_DIM] = "no_channel" \
                     if arr.ndim == len(np.asarray(meta[MetaKeys.SPATIAL_SHAPE])) else 0
+            arrays.append(arr)
+        return (np.stack(arrays) if len(arrays) > 1 else arrays[0]), meta
+
+
+class PydicomReader(ImageReader):
+    """DICOM reader (reference: image_reader.py:386). Requires the optional `pydicom`
+    package (not bundled in this environment)."""
+
+    def __init__(self, channel_dim: str | int | None = None, affine_lps_to_ras: bool = True,
+                 swap_ij: bool = True, prune_metadata: bool = True, label_dict=None,
+                 fname_regex: str = "", **kwargs):
+        from ..utils.module import optional_import
+
+        self._pydicom, has = optional_import("pydicom")
+        if not has:
+            raise ImportError("PydicomReader requires the 'pydicom' package (not installed).")
+        self.channel_dim = channel_dim
+        self.affine_lps_to_ras = affine_lps_to_ras
+        self.swap_ij = swap_ij
+        self.prune_metadata = prune_metadata
+        self.label_dict = label_dict
+        self.fname_regex = fname_regex
+        self.kwargs = kwargs
+
+    def verify_suffix(self, filename: Any) -> bool:
+        return is_supported_format(filename, ["dcm"])
+
+    def read(self, data: Any, **kwargs):
+        imgs = [self._pydicom.dcmread(str(name), **{**self.kwargs, **kwargs})
+                for name in ensure_tuple(data)]
+        return imgs if len(imgs) > 1 else imgs[0]
+
+    def get_data(self, img) -> tuple[np.ndarray, dict]:
+        img_list = img if isinstance(img, list) else [img]
+        arrays, meta = [], {}
+        for ds in img_list:
+            arr = ds.pixel_array.astype(np.float32)
+            slope = float(getattr(ds, "RescaleSlope", 1.0))
+            intercept = float(getattr(ds, "RescaleIntercept", 0.0))
+            arr = arr * slope + intercept
+            if self.swap_ij:
+                arr = np.swapaxes(arr, -1, -2)
+            meta = {str(k): str(v) for k, v in ds.items()} if not self.prune_metadata else {}
+            meta[MetaKeys.SPATIAL_SHAPE] = np.asarray(arr.shape)
+            meta[MetaKeys.ORIGINAL_CHANNEL_DIM] = self.channel_dim \
+                if self.channel_dim is not None else "no_channel"
             arrays.append(arr)
         return (np.stack(arrays) if len(arrays) > 1 else arrays[0]), meta

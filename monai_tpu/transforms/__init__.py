@@ -7,7 +7,18 @@ from .dictionary import *  # noqa: F401,F403
 from .intensity_array import *  # noqa: F401,F403
 from .inverse import InvertibleTransform, TraceableTransform
 from .inverse_batch_transform import BatchInverseTransform
-from .io_array import LoadImage, SaveImage
+from .io_array import LoadImage, SaveImage, WriteFileMapping
+from .profiling_transforms import (
+    Mark,
+    Markd,
+    RandMark,
+    RandRangePop,
+    RandRangePush,
+    RangePop,
+    RangePopd,
+    RangePush,
+    RangePushd,
+)
 from .lazy_executor import apply_pending, apply_pending_transforms, apply_pending_transforms_in_order
 from .lazy_utils import (
     affine_from_pending,

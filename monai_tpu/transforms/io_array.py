@@ -169,3 +169,39 @@ class SaveImage(Transform):
         msg = "\n".join(err)
         raise RuntimeError(
             f"{self.__class__.__name__} cannot find a suitable writer for {path}.\n{msg}")
+
+
+class WriteFileMapping(Transform):
+    """Append input->output path mappings to a JSON file (reference: io/array.py:526).
+
+    Uses an exclusive open-append loop instead of the reference's FileLock dependency.
+    """
+
+    def __init__(self, mapping_file_path="mapping.json"):
+        from pathlib import Path
+
+        self.mapping_file_path = Path(mapping_file_path)
+
+    def __call__(self, img):
+        import json
+
+        from ..data.meta_image import MetaImage
+        from ..utils.enums import MetaKeys
+
+        if not isinstance(img, MetaImage):
+            raise ValueError("WriteFileMapping requires a MetaImage input with metadata.")
+        meta = img.meta
+        if "saved_to" not in meta:
+            raise KeyError("Missing 'saved_to' key in metadata. Check SaveImage argument "
+                           "'savepath_in_metadict' is True.")
+        entry = {"input": str(meta.get(MetaKeys.FILENAME_OR_OBJ, "")),
+                 "output": str(meta["saved_to"])}
+        existing = []
+        if self.mapping_file_path.exists():
+            try:
+                existing = json.loads(self.mapping_file_path.read_text() or "[]")
+            except json.JSONDecodeError:
+                existing = []
+        existing.append(entry)
+        self.mapping_file_path.write_text(json.dumps(existing, indent=2))
+        return img

@@ -57,6 +57,9 @@ __all__ = [
     "ApplyTransformToPoints",
     "ImageFilter",
     "RandImageFilter",
+    "TorchVision",
+    "TorchIO",
+    "CuCIM",
 ]
 
 
@@ -765,3 +768,76 @@ class RandImageFilter(RandomizableTransform):
         if self._do_transform:
             return self.filter(img)
         return img
+
+
+class TorchVision(Transform):
+    """Adapter for torchvision transforms on jax/numpy data (reference:
+    utility/array.py:1131). Requires the optional torchvision package (not bundled);
+    data is round-tripped through torch CPU tensors."""
+
+    def __init__(self, name: str, *args, **kwargs):
+        from ..utils.module import optional_import
+
+        tv, has = optional_import("torchvision.transforms")
+        if not has:
+            raise ImportError("TorchVision transform adapter requires 'torchvision' "
+                              "(not installed).")
+        self.trans = getattr(tv, name)(*args, **kwargs)
+
+    def __call__(self, img: Any):
+        import torch
+
+        data = img.data if isinstance(img, MetaImage) else img
+        out = self.trans(torch.as_tensor(to_numpy(data))).numpy()
+        return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class TorchIO(Transform):
+    """Adapter for torchio transforms (reference: utility/array.py:1199). Requires the
+    optional torchio package (not bundled)."""
+
+    def __init__(self, name: str, *args, **kwargs):
+        from ..utils.module import optional_import
+
+        tio, has = optional_import("torchio")
+        if not has:
+            raise ImportError("TorchIO transform adapter requires 'torchio' (not installed).")
+        self.trans = getattr(tio, name)(*args, **kwargs)
+
+    def __call__(self, img: Any):
+        import torch
+
+        data = img.data if isinstance(img, MetaImage) else img
+        out = self.trans(torch.as_tensor(to_numpy(data)))
+        out = out.numpy() if hasattr(out, "numpy") else np.asarray(out)
+        return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class CuCIM(Transform):
+    """Adapter for cucim operations (reference: utility/array.py:1427). Requires the
+    optional cucim package — GPU-only upstream; not applicable on TPU and not bundled."""
+
+    def __init__(self, name: str, *args, **kwargs):
+        from ..utils.module import optional_import
+
+        _, has = optional_import("cucim")
+        if not has:
+            raise ImportError("CuCIM transform adapter requires 'cucim' (not installed; "
+                              "cucim is CUDA-only and has no TPU backend).")
+        self.name = name
+        self.args = args
+        self.kwargs = kwargs
+
+    def __call__(self, data):
+        from cucim.core.operations.expose.transform import (  # type: ignore
+            color_jitter,  # noqa: F401
+        )
+
+        import cucim.core.operations.expose.transform as t
+
+        return getattr(t, self.name)(data, *self.args, **self.kwargs)
+
+
+RandTorchVision = TorchVision  # the reference marks these as randomizable pass-throughs
+RandTorchIO = TorchIO
+RandCuCIM = CuCIM
