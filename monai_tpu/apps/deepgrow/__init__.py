@@ -6,3 +6,4 @@ from .transforms import (
     FindAllValidSlicesd,
     FindDiscrepancyRegionsd,
 )
+from .dataset import create_dataset

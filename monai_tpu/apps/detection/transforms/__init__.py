@@ -1,0 +1,34 @@
+from .array import (
+    AffineBox,
+    BoxToMask,
+    ClipBoxToImage,
+    ConvertBoxMode,
+    ConvertBoxToStandardMode,
+    FlipBox,
+    MaskToBox,
+    StandardizeEmptyBox,
+    ZoomBox,
+)
+from .box_ops import (
+    apply_affine_to_boxes,
+    convert_box_to_mask,
+    convert_mask_to_box,
+    flip_boxes,
+    resize_boxes,
+    rot90_boxes,
+    select_labels,
+    swapaxes_boxes,
+    zoom_boxes,
+)
+from .dictionary import (
+    AffineBoxToImageCoordinated,
+    AffineBoxToWorldCoordinated,
+    BoxToMaskd,
+    ClipBoxToImaged,
+    ConvertBoxModed,
+    ConvertBoxToStandardModed,
+    FlipBoxd,
+    MaskToBoxd,
+    StandardizeEmptyBoxd,
+    ZoomBoxd,
+)

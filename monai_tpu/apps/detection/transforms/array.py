@@ -1,0 +1,147 @@
+"""Detection box transforms, array API
+(reference: monai/apps/detection/transforms/array.py:66-546)."""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+
+from ....data.box_utils import (
+    clip_boxes_to_image,
+    convert_box_mode,
+    convert_box_to_standard_mode,
+    standardize_empty_box,
+)
+from ....transforms.transform import Transform
+from ....utils.backend import to_numpy
+from ....utils.misc import ensure_tuple, ensure_tuple_rep
+from .box_ops import (
+    apply_affine_to_boxes,
+    convert_box_to_mask,
+    convert_mask_to_box,
+    flip_boxes,
+    resize_boxes,
+    zoom_boxes,
+)
+
+__all__ = ["StandardizeEmptyBox", "ConvertBoxMode", "ConvertBoxToStandardMode",
+           "AffineBox", "ZoomBox", "ResizeBox", "FlipBox", "ClipBoxToImage",
+           "BoxToMask", "MaskToBox"]
+
+
+class StandardizeEmptyBox(Transform):
+    """Give empty box arrays the (0, 2*sd) shape (reference: detection array.py:66)."""
+
+    def __init__(self, spatial_dims: int):
+        self.spatial_dims = spatial_dims
+
+    def __call__(self, boxes):
+        return standardize_empty_box(boxes, self.spatial_dims)
+
+
+class ConvertBoxMode(Transform):
+    """Convert between box conventions (reference: detection array.py:87)."""
+
+    def __init__(self, src_mode=None, dst_mode=None):
+        self.src_mode = src_mode
+        self.dst_mode = dst_mode
+
+    def __call__(self, boxes):
+        return convert_box_mode(boxes, src_mode=self.src_mode, dst_mode=self.dst_mode)
+
+
+class ConvertBoxToStandardMode(Transform):
+    """(reference: detection array.py:156)."""
+
+    def __init__(self, mode=None):
+        self.mode = mode
+
+    def __call__(self, boxes):
+        return convert_box_to_standard_mode(boxes, mode=self.mode)
+
+
+class AffineBox(Transform):
+    """(reference: detection array.py:195)."""
+
+    def __call__(self, boxes, affine=None):
+        if affine is None:
+            return boxes
+        return apply_affine_to_boxes(boxes, affine)
+
+
+class ZoomBox(Transform):
+    """(reference: detection array.py:214)."""
+
+    def __init__(self, zoom, keep_size: bool = False, **kwargs):
+        self.zoom = zoom
+        self.keep_size = keep_size
+
+    def __call__(self, boxes, src_spatial_size=None):
+        return zoom_boxes(boxes, self.zoom)
+
+
+class ResizeBox(Transform):
+    """(reference: detection array.py:268)."""
+
+    def __init__(self, spatial_size, size_mode: str = "all", **kwargs):
+        self.spatial_size = spatial_size
+        self.size_mode = size_mode
+
+    def __call__(self, boxes, src_spatial_size):
+        boxes_np = np.asarray(to_numpy(boxes))
+        sd = boxes_np.shape[-1] // 2
+        src = ensure_tuple_rep(src_spatial_size, sd)
+        if self.size_mode == "longest":
+            scale = max(ensure_tuple(self.spatial_size)) / max(src)
+            dst = tuple(int(round(s * scale)) for s in src)
+        else:
+            dst = ensure_tuple_rep(self.spatial_size, sd)
+        return resize_boxes(boxes_np, src, dst)
+
+
+class FlipBox(Transform):
+    """(reference: detection array.py:323)."""
+
+    def __init__(self, spatial_axis=None):
+        self.spatial_axis = spatial_axis
+
+    def __call__(self, boxes, spatial_size):
+        return flip_boxes(boxes, spatial_size, self.spatial_axis)
+
+
+class ClipBoxToImage(Transform):
+    """Clip boxes and filter matching labels (reference: detection array.py:351)."""
+
+    def __init__(self, remove_empty: bool = False):
+        self.remove_empty = remove_empty
+
+    def __call__(self, boxes, labels, spatial_size):
+        from .box_ops import select_labels
+
+        boxes_clip, keep = clip_boxes_to_image(boxes, spatial_size, self.remove_empty)
+        return boxes_clip, select_labels(labels, keep)
+
+
+class BoxToMask(Transform):
+    """(reference: detection array.py:400)."""
+
+    def __init__(self, bg_label: int = -1, ellipse_mask: bool = False):
+        self.bg_label = bg_label
+        self.ellipse_mask = ellipse_mask
+
+    def __call__(self, boxes, labels, spatial_size):
+        return convert_box_to_mask(boxes, labels, spatial_size, self.bg_label,
+                                   self.ellipse_mask)
+
+
+class MaskToBox(Transform):
+    """(reference: detection array.py:437)."""
+
+    def __init__(self, bg_label: int = -1, box_dtype=np.float32, label_dtype=np.int64):
+        self.bg_label = bg_label
+        self.box_dtype = box_dtype
+        self.label_dtype = label_dtype
+
+    def __call__(self, boxes_mask):
+        return convert_mask_to_box(boxes_mask, self.bg_label, self.box_dtype,
+                                   self.label_dtype)
