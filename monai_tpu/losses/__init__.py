@@ -12,6 +12,8 @@ from .dice import (
 )
 from .focal_loss import FocalLoss, sigmoid_focal_loss, softmax_focal_loss
 from .other import (
+    AsymmetricFocalLoss,
+    AsymmetricFocalTverskyLoss,
     AsymmetricUnifiedFocalLoss,
     BarlowTwinsLoss,
     BendingEnergyLoss,
@@ -31,6 +33,7 @@ from .other import (
     soft_skel,
 )
 from .adversarial_loss import (
+    AdversarialCriterions,
     BoxGIoULoss,
     JukeboxLoss,
     PatchAdversarialLoss,

@@ -8,7 +8,7 @@ from collections.abc import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..utils.enums import LossReduction
+from ..utils.enums import LossReduction, StrEnum
 from ..utils.module import look_up_option
 
 __all__ = ["PatchAdversarialLoss", "JukeboxLoss", "SURELoss", "BoxGIoULoss", "giou"]
@@ -137,3 +137,11 @@ class BoxGIoULoss:
         if target.shape != input.shape:
             raise ValueError(f"ground truth has different shape ({target.shape}) from input ({input.shape})")
         return _reduce(1.0 - giou(input, target), self.reduction)
+
+
+class AdversarialCriterions(StrEnum):
+    """(reference: adversarial_loss.py AdversarialCriterions)."""
+
+    BCE = "bce"
+    HINGE = "hinge"
+    LEAST_SQUARE = "least_squares"

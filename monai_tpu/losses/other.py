@@ -18,7 +18,8 @@ from ..utils.module import look_up_option
 __all__ = ["TverskyLoss", "ContrastiveLoss", "BarlowTwinsLoss", "BendingEnergyLoss", "DiffusionLoss",
            "LocalNormalizedCrossCorrelationLoss", "GlobalMutualInformationLoss", "MultiScaleLoss",
            "MaskedLoss", "DeepSupervisionLoss", "SSIMLoss", "SoftclDiceLoss", "SoftDiceclDiceLoss",
-           "HausdorffDTLoss", "LogHausdorffDTLoss", "AsymmetricUnifiedFocalLoss"]
+           "HausdorffDTLoss", "LogHausdorffDTLoss", "AsymmetricUnifiedFocalLoss",
+           "AsymmetricFocalLoss", "AsymmetricFocalTverskyLoss"]
 
 
 def _reduce(f, reduction):
@@ -562,3 +563,51 @@ class AsymmetricUnifiedFocalLoss:
         asy_focal_loss = self._asym_focal(y_pred, y_true)
         asy_focal_tversky_loss = self._asym_focal_tversky(y_pred, y_true)
         return self.weight * asy_focal_loss + (1 - self.weight) * asy_focal_tversky_loss
+
+
+class AsymmetricFocalLoss:
+    """Asymmetric focal CE component (reference: unified_focal_loss.py:81
+    AsymmetricFocalLoss): background channel gets the focal modulation, foreground the
+    delta weight."""
+
+    def __init__(self, to_onehot_y: bool = False, gamma: float = 2.0, delta: float = 0.7,
+                 reduction: str = LossReduction.MEAN):
+        self.to_onehot_y = to_onehot_y
+        self.gamma = gamma
+        self.delta = delta
+        self.reduction = reduction
+
+    def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+        n = y_pred.shape[1]
+        if self.to_onehot_y:
+            y_true = one_hot(y_true, num_classes=n, dim=1)
+        ce = -y_true * jnp.log(jnp.clip(y_pred, 1e-7, 1.0))
+        back = (1 - y_pred[:, 0]) ** self.gamma * ce[:, 0] * (1 - self.delta)
+        fore = ce[:, 1] * self.delta
+        loss = jnp.mean(jnp.sum(jnp.stack([back, fore], axis=1), axis=1))
+        return loss
+
+
+class AsymmetricFocalTverskyLoss:
+    """Asymmetric focal Tversky component (reference: unified_focal_loss.py:25)."""
+
+    def __init__(self, to_onehot_y: bool = False, gamma: float = 0.75, delta: float = 0.7,
+                 reduction: str = LossReduction.MEAN):
+        self.to_onehot_y = to_onehot_y
+        self.gamma = gamma
+        self.delta = delta
+        self.reduction = reduction
+
+    def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+        n = y_pred.shape[1]
+        if self.to_onehot_y:
+            y_true = one_hot(y_true, num_classes=n, dim=1)
+        axis = tuple(range(2, y_pred.ndim))
+        eps = 1e-7
+        tp = jnp.sum(y_true * y_pred, axis=axis)
+        fn = jnp.sum(y_true * (1 - y_pred), axis=axis)
+        fp = jnp.sum((1 - y_true) * y_pred, axis=axis)
+        dice = (tp + eps) / (tp + self.delta * fn + (1 - self.delta) * fp + eps)
+        back = 1 - dice[:, 0]
+        fore = (1 - dice[:, 1]) * jnp.abs(1 - dice[:, 1]) ** (-self.gamma)
+        return jnp.mean(jnp.stack([back, fore], axis=-1))

@@ -56,3 +56,4 @@ from .extra_metrics import (
     label_quality_score,
 )
 from .metrics_reloaded import MetricsReloadedBinary, MetricsReloadedCategorical
+from .regression import KernelType, MultiScaleSSIMMetric

@@ -13,7 +13,7 @@ from typing import Any
 import numpy as np
 
 from ..utils.backend import to_numpy
-from ..utils.enums import Average, MetricReduction
+from ..utils.enums import Average, MetricReduction, StrEnum
 from ..utils.module import look_up_option
 from .metric import Cumulative, CumulativeIterationMetric, Metric
 from .utils import do_metric_reduction
@@ -82,6 +82,25 @@ class PSNRMetric(RegressionMetric):
         return 20 * np.log10(self.max_val) - 10 * np.log10(np.maximum(mse, 1e-12))
 
 
+
+
+def _ssim_gaussian_filter_valid(v: np.ndarray, win_size: int, sigma: float) -> np.ndarray:
+    """Separable gaussian filtering with VALID (unpadded) output over the spatial dims of
+    (B, C, *spatial), matching the reference's conv-without-padding SSIM kernels
+    (reference: monai/metrics/regression.py _compute_metric / ssim kernels)."""
+    from scipy.ndimage import correlate1d
+
+    coords = np.arange(win_size, dtype=np.float64) - (win_size - 1) / 2.0
+    g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    out = v.astype(np.float64)
+    half = win_size // 2
+    for axis in range(2, v.ndim):
+        out = correlate1d(out, g, axis=axis, mode="constant")
+    slicer = tuple([slice(None)] * 2 + [slice(half, s - half) for s in v.shape[2:]])
+    return out[slicer]
+
+
 class SSIMMetric(RegressionMetric):
     """(reference: regression.py SSIMMetric)."""
 
@@ -95,16 +114,16 @@ class SSIMMetric(RegressionMetric):
         self.k1, self.k2 = k1, k2
 
     def _compute_metric(self, y_pred, y):
-        from ..ops.gaussian import gaussian_filter
-
         c1 = (self.k1 * self.data_range) ** 2
         c2 = (self.k2 * self.data_range) ** 2
+        xp_ = to_numpy(y_pred).astype(np.float64)
+        yp_ = to_numpy(y).astype(np.float64)
 
         def filt(v):
-            return np.stack([np.asarray(gaussian_filter(vi, self.kernel_sigma)) for vi in v])
+            return _ssim_gaussian_filter_valid(v, 11, self.kernel_sigma)
 
-        mu_x, mu_y = filt(y_pred), filt(y)
-        mu_xx, mu_yy, mu_xy = filt(y_pred * y_pred), filt(y * y), filt(y_pred * y)
+        mu_x, mu_y = filt(xp_), filt(yp_)
+        mu_xx, mu_yy, mu_xy = filt(xp_ * xp_), filt(yp_ * yp_), filt(xp_ * yp_)
         sx, sy, sxy = mu_xx - mu_x**2, mu_yy - mu_y**2, mu_xy - mu_x * mu_y
         num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
         den = (mu_x**2 + mu_y**2 + c1) * (sx + sy + c2)
@@ -350,3 +369,74 @@ class MMDMetric(Metric):
         c3 = 2 / (m * n)
         c = y_pred_y.sum()
         return float(c1 * a + c2 * b - c3 * c)
+
+
+class KernelType(StrEnum):
+    """SSIM kernel types (reference: monai/metrics/utils.py KernelType)."""
+
+    GAUSSIAN = "gaussian"
+    UNIFORM = "uniform"
+
+
+class MultiScaleSSIMMetric(RegressionMetric):
+    """Multi-scale SSIM (reference: monai/metrics/ms_ssim.py MultiScaleSSIMMetric).
+
+    Contrast-structure terms at each scale (avg-pool 2 between scales) are combined as
+    prod(cs_i^w_i) * ssim_L^w_L with the standard 5-scale weights.
+    """
+
+    def __init__(self, spatial_dims: int, data_range: float = 1.0,
+                 kernel_type: str = KernelType.GAUSSIAN, kernel_size=11,
+                 kernel_sigma=1.5, k1: float = 0.01, k2: float = 0.03,
+                 weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333),
+                 reduction: str = MetricReduction.MEAN, get_not_nans: bool = False):
+        super().__init__(reduction, get_not_nans)
+        self.spatial_dims = spatial_dims
+        self.data_range = data_range
+        self.kernel_sigma = kernel_sigma
+        self.k1, self.k2 = k1, k2
+        self.weights = list(weights)
+
+    def _ssim_cs(self, x, y):
+        c1 = (self.k1 * self.data_range) ** 2
+        c2 = (self.k2 * self.data_range) ** 2
+
+        def filt(v):
+            return _ssim_gaussian_filter_valid(v, 11, self.kernel_sigma)
+
+        mu_x, mu_y = filt(x), filt(y)
+        mu_xx, mu_yy, mu_xy = filt(x * x), filt(y * y), filt(x * y)
+        sx, sy, sxy = mu_xx - mu_x ** 2, mu_yy - mu_y ** 2, mu_xy - mu_x * mu_y
+        cs = (2 * sxy + c2) / (sx + sy + c2)
+        ssim = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
+        axes = tuple(range(1, mu_x.ndim))
+        return ssim.mean(axis=axes), cs.mean(axis=axes)
+
+    @staticmethod
+    def _downsample(v):
+        sd = v.ndim - 2
+        for axis in range(2, 2 + sd):
+            n = v.shape[axis] - v.shape[axis] % 2
+            sl0 = [slice(None)] * v.ndim
+            sl1 = [slice(None)] * v.ndim
+            sl0[axis] = slice(0, n, 2)
+            sl1[axis] = slice(1, n, 2)
+            v = (v[tuple(sl0)] + v[tuple(sl1)]) / 2.0
+        return v
+
+    def _compute_metric(self, y_pred, y):
+        x = to_numpy(y_pred).astype(np.float64)
+        t = to_numpy(y).astype(np.float64)
+        levels = len(self.weights)
+        mcs = []
+        ssim_val = None
+        for i in range(levels):
+            ssim_val, cs = self._ssim_cs(x, t)
+            if i < levels - 1:
+                mcs.append(np.maximum(cs, 0.0))
+                x = self._downsample(x)
+                t = self._downsample(t)
+        terms = np.stack(mcs + [np.maximum(ssim_val, 0.0)], axis=0)  # (levels, B)
+        w = np.asarray(self.weights)[:, None]
+        ms = np.prod(terms ** w, axis=0)
+        return ms[:, None]
