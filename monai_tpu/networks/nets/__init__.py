@@ -1,4 +1,7 @@
+from .ahnet import AHNet, AHnet, Ahnet
 from .attentionunet import AttentionUnet
+from .cell_sam_wrapper import CellSamWrapper
+from .fullyconnectednet import FullyConnectedNet, VarFullyConnectedNet
 from .autoencoderkl import AutoencoderKL
 from .controlnet import ControlNet
 from .diffusion_model_unet import DiffusionModelUNet
