@@ -19,7 +19,13 @@ from .profiling_transforms import (
     RangePush,
     RangePushd,
 )
-from .lazy_executor import apply_pending, apply_pending_transforms, apply_pending_transforms_in_order
+from .lazy_executor import (
+    ApplyPending,
+    ApplyPendingd,
+    apply_pending,
+    apply_pending_transforms,
+    apply_pending_transforms_in_order,
+)
 from .lazy_utils import (
     affine_from_pending,
     combine_transforms,

@@ -1137,6 +1137,254 @@ class ApplyTransformToPointsd(MapTransform, InvertibleTransform):
         return d
 
 
+# (export block moved to end of module)
+
+
+class Padd(MapTransform, InvertibleTransform):
+    """Generic dict wrapper around a Pad instance (reference: croppad/dictionary.py:113)."""
+
+    def __init__(self, keys: KeysCollection, padder, mode=None,
+                 allow_missing_keys: bool = False, lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.padder = padder
+        self.mode = mode
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.padder(d[key]) if self.mode is None else self.padder(d[key], mode=self.mode)
+        return d
+
+    def inverse(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.padder.inverse(d[key])
+        return d
+
+
+class Cropd(MapTransform, InvertibleTransform):
+    """Generic dict wrapper around a Crop instance (reference: croppad/dictionary.py:329)."""
+
+    def __init__(self, keys: KeysCollection, cropper, allow_missing_keys: bool = False,
+                 lazy: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.cropper = cropper
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.cropper(d[key])
+        return d
+
+    def inverse(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            d[key] = self.cropper.inverse(d[key])
+        return d
+
+
+class RandCropd(Cropd, Randomizable):
+    """Cropd with shared randomization across keys (reference: croppad/dictionary.py:371)."""
+
+    def set_random_state(self, seed=None, state=None):
+        if isinstance(self.cropper, Randomizable):
+            self.cropper.set_random_state(seed, state)
+        Randomizable.set_random_state(self, seed, state)
+        return self
+
+    def randomize(self, img_size) -> None:
+        if isinstance(self.cropper, Randomizable):
+            self.cropper.randomize(img_size)
+
+    def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+        d = dict(data)
+        first_key = self.first_key(d)
+        if first_key == ():
+            return d
+        item = d[first_key]
+        self.randomize((item.data if isinstance(item, MetaImage) else item).shape[1:])
+        for key in self.key_iterator(d):
+            kwargs = {"randomize": False} if isinstance(self.cropper, Randomizable) else {}
+            d[key] = self.cropper(d[key], **kwargs)
+        return d
+
+
+class FlattenSubKeysd(MapTransform):
+    """Lift the sub-keys of a dict entry into the top-level dict
+    (reference: utility/dictionary.py FlattenSubKeysd)."""
+
+    def __init__(self, keys: KeysCollection, sub_keys=None, delete_keys: bool = True,
+                 prefix: str | None = None, allow_missing_keys: bool = False):
+        super().__init__(keys, allow_missing_keys)
+        self.sub_keys = sub_keys
+        self.delete_keys = delete_keys
+        self.prefix = prefix
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key in self.key_iterator(d):
+            sub = d[key]
+            sub_keys = sub.keys() if self.sub_keys is None else self.sub_keys
+            for sk in sub_keys:
+                name = f"{self.prefix}_{sk}" if self.prefix else sk
+                if name in d and name not in self.keys:
+                    raise ValueError(f"flattened key {name} already exists.")
+                d[name] = sub[sk]
+            if self.delete_keys:
+                del d[key]
+        return d
+
+
+class SaveClassificationd(MapTransform):
+    """Append classification results to a CSVSaver (reference: handlers-backed
+    utility/dictionary.py SaveClassificationd)."""
+
+    def __init__(self, keys: KeysCollection, meta_keys=None, meta_key_postfix: str = "meta_dict",
+                 saver=None, output_dir: str = "./", filename: str = "predictions.csv",
+                 delimiter: str = ",", overwrite: bool = True, flush: bool = True,
+                 allow_missing_keys: bool = False):
+        super().__init__(keys, allow_missing_keys)
+        if len(self.keys) != 1:
+            raise ValueError("only 1 key is allowed when saving the classification result.")
+        from ..data.csv_saver import CSVSaver
+
+        self.saver = saver or CSVSaver(output_dir, filename, overwrite, flush, delimiter)
+        self.flush = flush
+        self.meta_keys = ensure_tuple_rep(meta_keys, len(self.keys))
+        self.meta_key_postfix = ensure_tuple_rep(meta_key_postfix, len(self.keys))
+
+    def get_saver(self):
+        return self.saver
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        for key, meta_key, postfix in self.key_iterator(d, self.meta_keys,
+                                                        self.meta_key_postfix):
+            if meta_key is None and postfix is not None:
+                meta_key = f"{key}_{postfix}"
+            meta_data = None
+            item = d[key]
+            if isinstance(item, MetaImage):
+                meta_data = item.meta
+            elif meta_key and meta_key in d:
+                meta_data = d[meta_key]
+            self.saver.save(item.data if isinstance(item, MetaImage) else item, meta_data)
+            if self.flush:
+                self.saver.finalize()
+        return d
+
+
+# dict wrappers over newly added array transforms
+GridDistortiond = _mapped("GridDistortiond", GridDistortion, "spatial/dictionary.py:—",
+                          lazy=False)
+from .utility_array import CuCIM, ImageFilter, RandImageFilter, TorchIO, TorchVision  # noqa: E402
+
+ImageFilterd = _mapped("ImageFilterd", ImageFilter, "utility/dictionary.py:—")
+RandImageFilterd = _mapped_rand("RandImageFilterd", RandImageFilter, "utility/dictionary.py:—",
+                                randomize_arg=True)
+TorchVisiond = _mapped("TorchVisiond", TorchVision, "utility/dictionary.py:1384")
+RandTorchVisiond = TorchVisiond
+TorchIOd = _mapped("TorchIOd", TorchIO, "utility/dictionary.py:—")
+RandTorchIOd = TorchIOd
+CuCIMd = _mapped("CuCIMd", CuCIM, "utility/dictionary.py:—")
+RandCuCIMd = CuCIMd
+from .intensity_array import RandScaleIntensityFixedMean, ScaleIntensityFixedMean  # noqa: E402
+
+RandScaleIntensityFixedMeand = _mapped_rand("RandScaleIntensityFixedMeand",
+                                            RandScaleIntensityFixedMean,
+                                            "intensity/dictionary.py:—")
+from .post_array import Invert, LabelFilter  # noqa: E402
+
+LabelFilterd = _mapped("LabelFilterd", LabelFilter, "post/dictionary.py:—")
+BoundingRectd = _mapped("BoundingRectd", BoundingRect, "croppad/dictionary.py:—")
+from .regularization_array import CutMix, CutOut, MixUp  # noqa: E402
+
+
+class MixUpd(MapTransform, RandomizableTransform):
+    """Apply MixUp with the SAME shuffled pairing/weights to all keys
+    (reference: regularization/dictionary.py MixUpd)."""
+
+    def __init__(self, keys: KeysCollection, batch_size: int, alpha: float = 1.0,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.mixup = MixUp(batch_size, alpha)
+
+    def set_random_state(self, seed=None, state=None):
+        self.mixup.set_random_state(seed, state)
+        return self
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        self.mixup.randomize(None)
+        for key in self.key_iterator(d):
+            d[key] = self.mixup(d[key], randomize=False)
+        return d
+
+
+class CutMixd(MapTransform, RandomizableTransform):
+    """CutMix over image keys with matching label mixing
+    (reference: regularization/dictionary.py CutMixd)."""
+
+    def __init__(self, keys: KeysCollection, batch_size: int, label_keys=None,
+                 alpha: float = 1.0, allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.mixer = CutMix(batch_size, alpha)
+        self.label_keys = ensure_tuple(label_keys) if label_keys is not None else ()
+
+    def set_random_state(self, seed=None, state=None):
+        self.mixer.set_random_state(seed, state)
+        return self
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        self.mixer.randomize(d[self.first_key(d)])
+        for key in self.key_iterator(d):
+            d[key] = self.mixer(d[key], randomize=False)
+        return d
+
+
+class CutOutd(MapTransform, RandomizableTransform):
+    """CutOut over keys with a shared mask (reference: regularization/dictionary.py CutOutd)."""
+
+    def __init__(self, keys: KeysCollection, batch_size: int,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.cutout = CutOut(batch_size)
+
+    def set_random_state(self, seed=None, state=None):
+        self.cutout.set_random_state(seed, state)
+        return self
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        self.cutout.randomize(d[self.first_key(d)])
+        for key in self.key_iterator(d):
+            d[key] = self.cutout(d[key], randomize=False)
+        return d
+
+
+from .signal_array import SignalFillEmpty  # noqa: E402
+
+SignalFillEmptyd = _mapped("SignalFillEmptyd", SignalFillEmpty, "signal/dictionary.py:—")
+from .smooth_field_array import (  # noqa: E402
+    RandSmoothDeform,
+    RandSmoothFieldAdjustContrast,
+    RandSmoothFieldAdjustIntensity,
+)
+
+RandSmoothFieldAdjustContrastd = _mapped_rand("RandSmoothFieldAdjustContrastd",
+                                              RandSmoothFieldAdjustContrast,
+                                              "smooth_field/dictionary.py:—")
+RandSmoothFieldAdjustIntensityd = _mapped_rand("RandSmoothFieldAdjustIntensityd",
+                                               RandSmoothFieldAdjustIntensity,
+                                               "smooth_field/dictionary.py:—")
+RandSmoothDeformd = _mapped_rand("RandSmoothDeformd", RandSmoothDeform,
+                                 "smooth_field/dictionary.py:—")
+from .io_array import WriteFileMapping  # noqa: E402
+
+WriteFileMappingd = _mapped("WriteFileMappingd", WriteFileMapping, "io/dictionary.py:—")
+
+
 # exported names
 __all__ = [n for n in dir() if n.endswith("d") and not n.startswith("_")] + [
     "ToTensord", "RandLambdad", "Invertd", "Decollated",

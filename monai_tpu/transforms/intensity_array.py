@@ -52,6 +52,8 @@ __all__ = [
     "HistogramNormalize",
     "ForegroundMask",
     "UltrasoundConfidenceMapTransform",
+    "ScaleIntensityFixedMean",
+    "RandScaleIntensityFixedMean",
     "ComputeHoVerMaps",
     "IntensityRemap",
     "RandIntensityRemap",
@@ -1359,3 +1361,65 @@ class UltrasoundConfidenceMapTransform(Transform):
                 raise ValueError("The mask must have the same shape as the image.")
         out = self._compute(img2d, mask_np)[None].astype(np.float32)
         return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class ScaleIntensityFixedMean(Transform):
+    """Scale by ``v = v * (1 + factor)``, optionally mean-centered and range-preserving
+    (reference: intensity/array.py:500 ScaleIntensityFixedMean)."""
+
+    def __init__(self, factor: float = 0, preserve_range: bool = False,
+                 fixed_mean: bool = True, channel_wise: bool = False, dtype=np.float32):
+        self.factor = factor
+        self.preserve_range = preserve_range
+        self.fixed_mean = fixed_mean
+        self.channel_wise = channel_wise
+        self.dtype = dtype
+
+    def _scale(self, d, factor):
+        ns = xp(d)
+        if self.preserve_range:
+            clip_min, clip_max = d.min(), d.max()
+        mn = d.mean() if self.fixed_mean else 0.0
+        out = (d - mn) * (1 + factor) + mn
+        if self.preserve_range:
+            out = ns.clip(out, clip_min, clip_max)
+        return out
+
+    def __call__(self, img: Any, factor: float | None = None):
+        factor = self.factor if factor is None else factor
+        data = img.data if isinstance(img, MetaImage) else img
+        if self.channel_wise:
+            out = xp(data).stack([self._scale(c, factor) for c in data])
+        else:
+            out = self._scale(data, factor)
+        out = out.astype(self.dtype) if self.dtype is not None else out
+        return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class RandScaleIntensityFixedMean(RandomizableTransform):
+    """Random mean-preserving intensity scaling (reference: intensity/array.py:588)."""
+
+    def __init__(self, prob: float = 0.1, factors=0, fixed_mean: bool = True,
+                 preserve_range: bool = False, dtype=np.float32):
+        RandomizableTransform.__init__(self, prob)
+        if isinstance(factors, (int, float)):
+            self.factors = (min(-factors, factors), max(-factors, factors))
+        else:
+            self.factors = (min(factors), max(factors))
+        self.fixed_mean = fixed_mean
+        self.preserve_range = preserve_range
+        self.dtype = dtype
+        self.factor = 0.0
+
+    def randomize(self, data=None) -> None:
+        super().randomize(None)
+        if self._do_transform:
+            self.factor = self.R.uniform(low=self.factors[0], high=self.factors[1])
+
+    def __call__(self, img: Any, randomize: bool = True):
+        if randomize:
+            self.randomize()
+        if not self._do_transform:
+            return img
+        return ScaleIntensityFixedMean(self.factor, self.preserve_range, self.fixed_mean,
+                                       dtype=self.dtype)(img)

@@ -149,3 +149,24 @@ def apply_pending_transforms_in_order(transform: Any, data: Any, lazy: bool | No
     if must_apply:
         return apply_pending_transforms(data, overrides=overrides)
     return data
+
+
+class ApplyPending:
+    """Pipeline barrier: forces pending lazy ops to be resampled before the next
+    transform (reference: lazy/array.py:19). A no-op itself — Compose flushes pending
+    operations when it encounters a non-lazy transform."""
+
+    def __call__(self, data):
+        return data
+
+
+class ApplyPendingd:
+    """Dict-key variant of ApplyPending (reference: lazy/dictionary.py ApplyPendingd)."""
+
+    def __init__(self, keys):
+        from ..utils.misc import ensure_tuple
+
+        self.keys = ensure_tuple(keys)
+
+    def __call__(self, data):
+        return data

@@ -37,6 +37,8 @@ __all__ = [
     "VoteEnsemble",
     "ProbNMS",
     "SobelGradients",
+    "LabelFilter",
+    "Invert",
     "DistanceTransformEDT",
 ]
 
@@ -412,3 +414,42 @@ class DistanceTransformEDT(Transform):
         data = img.data if isinstance(img, MetaImage) else img
         out = distance_transform_edt(data, sampling=sampling)
         return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class LabelFilter(Transform):
+    """Keep only the listed label values, zero the rest (reference: post/array.py:445)."""
+
+    def __init__(self, applied_labels):
+        self.applied_labels = ensure_tuple(applied_labels)
+
+    def __call__(self, img: Any):
+        data = img.data if isinstance(img, MetaImage) else img
+        ns = xp(data)
+        mask = ns.zeros(data.shape, dtype=bool)
+        for lab in self.applied_labels:
+            mask = mask | (data == lab)
+        out = ns.where(mask, data, ns.zeros_like(data))
+        return img.new_like(out) if isinstance(img, MetaImage) else out
+
+
+class Invert(Transform):
+    """Invert the transforms recorded on the prediction's MetaImage
+    (reference: post/array.py:832 Invert; the array counterpart of Invertd)."""
+
+    def __init__(self, transform=None, nearest_interp: bool = True, device=None,
+                 post_func=None):
+        self.transform = transform
+        self.nearest_interp = nearest_interp
+        self.post_func = post_func
+
+    def __call__(self, data: Any):
+        if self.transform is None:
+            raise ValueError("transform is not given.")
+        if self.nearest_interp and isinstance(data, MetaImage):
+            for op in data.applied_operations:
+                from ..utils.enums import LazyAttr
+
+                if LazyAttr.INTERP_MODE in op:
+                    op[LazyAttr.INTERP_MODE] = "nearest"
+        out = self.transform.inverse(data)
+        return self.post_func(out) if callable(self.post_func) else out

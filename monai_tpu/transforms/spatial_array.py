@@ -29,7 +29,7 @@ from ..data.affine_utils import (
 )
 from ..data.meta_image import MetaImage, get_track_meta
 from ..ops.resample import grid_pull
-from ..utils.backend import is_jax, to_numpy
+from ..utils.backend import is_jax, to_jax, to_numpy
 from ..utils.enums import GridSampleMode, GridSamplePadMode, TraceKeys
 from ..utils.misc import ensure_tuple, ensure_tuple_rep, ensure_tuple_size, fall_back_tuple, issequenceiterable
 from .inverse import InvertibleTransform
@@ -39,6 +39,8 @@ from .traits import MultiSampleTrait
 from .utils import create_rotate, create_scale, create_shear, create_translate, map_spatial_axes, resolves_modes
 
 __all__ = [
+    "RandDeformGrid",
+    "Resample",
     "SpatialResample",
     "ResampleToMatch",
     "Spacing",
@@ -1033,3 +1035,66 @@ class RandSimulateLowResolution(RandomizableTransform):
             out.pop_applied_operation()
             out.pop_applied_operation()
         return out
+
+
+class RandDeformGrid(Randomizable, Transform):
+    """Random control-grid deformation field (reference: spatial/array.py:1918)."""
+
+    def __init__(self, spacing, magnitude_range: tuple[float, float], device=None):
+        self.spacing = spacing
+        self.magnitude = magnitude_range
+        self.rand_mag = 1.0
+        self.random_offset: np.ndarray | None = None
+
+    def randomize(self, grid_size) -> None:
+        self.random_offset = self.R.normal(
+            size=([len(grid_size)] + list(grid_size))).astype(np.float32)
+        self.rand_mag = self.R.uniform(self.magnitude[0], self.magnitude[1])
+
+    def __call__(self, spatial_size):
+        from .utils import create_control_grid
+
+        spacing = fall_back_tuple(self.spacing, (1.0,) * len(spatial_size))
+        control_grid = create_control_grid(spatial_size, spacing)
+        self.randomize(control_grid.shape[1:])
+        control_grid = np.asarray(control_grid, dtype=np.float32)
+        control_grid[: len(spatial_size)] += self.rand_mag * self.random_offset
+        return control_grid
+
+
+class Resample(Transform):
+    """Resample an image at the positions of a dense (homogeneous, centered) coordinate
+    grid (reference: spatial/array.py:1962). The grid convention matches
+    ``create_grid``/``AffineGrid``: coordinates are offsets from the volume center."""
+
+    def __init__(self, mode: str = "bilinear", padding_mode: str = "border",
+                 norm_coords: bool = True, device=None, align_corners: bool = False,
+                 dtype=np.float64):
+        self.mode = mode
+        self.padding_mode = padding_mode
+        self.align_corners = align_corners
+        self.dtype = dtype
+
+    def __call__(self, img: Any, grid: Any = None, mode: str | None = None,
+                 padding_mode: str | None = None, dtype=None, align_corners=None):
+        if grid is None:
+            raise ValueError("Unknown grid.")
+        import jax.numpy as jnp
+
+        from ..ops.resample import grid_pull, resolve_mode
+
+        data = img.data if isinstance(img, MetaImage) else img
+        arr = to_jax(data).astype(jnp.float32)
+        grid_j = to_jax(grid).astype(jnp.float32)
+        spatial = arr.shape[1:]
+        sd = len(spatial)
+        # centered homogeneous grid -> absolute voxel coordinates, channel-last
+        center = jnp.asarray([(s - 1) / 2.0 for s in spatial], jnp.float32)
+        coords = grid_j[:sd] + center.reshape((sd,) + (1,) * sd)
+        coords = jnp.moveaxis(coords, 0, -1)
+        interp = resolve_mode(mode or self.mode)
+        bound = padding_mode or self.padding_mode
+        out = grid_pull(arr, coords, interpolation=interp, bound=bound,
+                        align_corners=self.align_corners if align_corners is None
+                        else align_corners)
+        return img.new_like(out) if isinstance(img, MetaImage) else out

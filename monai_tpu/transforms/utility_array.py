@@ -20,6 +20,7 @@ from ..utils.enums import MetaKeys, TraceKeys
 from ..utils.misc import ensure_tuple, ensure_tuple_rep, issequenceiterable
 from ..utils.type_conversion import convert_to_dst_type
 from .inverse import InvertibleTransform
+from .traits import RandomizableTrait
 from .transform import Randomizable, RandomizableTransform, Transform
 from .utils import (
     extreme_points_to_image,
@@ -60,6 +61,9 @@ __all__ = [
     "TorchVision",
     "TorchIO",
     "CuCIM",
+    "RandIdentity",
+    "ToPIL",
+    "ToCupy",
 ]
 
 
@@ -841,3 +845,46 @@ class CuCIM(Transform):
 RandTorchVision = TorchVision  # the reference marks these as randomizable pass-throughs
 RandTorchIO = TorchIO
 RandCuCIM = CuCIM
+
+
+class RandIdentity(RandomizableTrait):
+    """No-op that composes as a randomizable transform (caching boundary marker)
+    (reference: utility/array.py:132)."""
+
+    def __call__(self, data: Any) -> Any:
+        return data
+
+
+class ToPIL(Transform):
+    """Convert a 2D array (C, H, W) or (H, W) to a PIL image (reference:
+    utility/array.py ToPIL)."""
+
+    def __call__(self, img: Any):
+        from PIL import Image
+
+        data = to_numpy(img.data if isinstance(img, MetaImage) else img)
+        if data.ndim == 3:
+            data = np.moveaxis(data, 0, -1)
+            if data.shape[-1] == 1:
+                data = data[..., 0]
+        if data.dtype != np.uint8:
+            lo, hi = data.min(), data.max()
+            data = ((data - lo) / (hi - lo + 1e-12) * 255).astype(np.uint8)
+        return Image.fromarray(data)
+
+
+class ToCupy(Transform):
+    """Convert to a cupy array (reference: utility/array.py ToCupy). cupy is CUDA-only
+    and not available on TPU hosts; gated."""
+
+    def __init__(self, dtype=None, wrap_sequence: bool = True):
+        from ..utils.module import optional_import
+
+        self._cp, has = optional_import("cupy")
+        if not has:
+            raise ImportError("ToCupy requires 'cupy' (CUDA-only; not available here).")
+        self.dtype = dtype
+
+    def __call__(self, img: Any):
+        data = to_numpy(img.data if isinstance(img, MetaImage) else img)
+        return self._cp.asarray(data, dtype=self.dtype)

@@ -49,6 +49,7 @@ __all__ = [
     "convert_points_to_disc",
     "sample_points_from_label",
     "keep_merge_components_with_points",
+    "Fourier",
     "remove_small_objects",
     "fill_holes",
     "distance_transform_edt",
@@ -664,3 +665,27 @@ def keep_merge_components_with_points(img_pos, img_neg, point_coords, point_labe
                     out[b, 0] |= np.isin(features, ids)
                     break
     return out
+
+
+class Fourier:
+    """Centered FFT helpers over spatial dims (reference: transforms/utils.py:1859)."""
+
+    @staticmethod
+    def shift_fourier(x, spatial_dims: int, as_contiguous: bool = False):
+        dims = tuple(range(-spatial_dims, 0))
+        if is_jax(x):
+            import jax.numpy as jnp
+
+            return jnp.fft.fftshift(jnp.fft.fftn(x, axes=dims), axes=dims)
+        k = np.fft.fftshift(np.fft.fftn(x, axes=dims), axes=dims)
+        return np.ascontiguousarray(k) if as_contiguous else k
+
+    @staticmethod
+    def inv_shift_fourier(k, spatial_dims: int, n_dims=None, as_contiguous: bool = False):
+        dims = tuple(range(-spatial_dims, 0))
+        if is_jax(k):
+            import jax.numpy as jnp
+
+            return jnp.fft.ifftn(jnp.fft.ifftshift(k, axes=dims), axes=dims).real
+        out = np.fft.ifftn(np.fft.ifftshift(k, axes=dims), axes=dims).real
+        return np.ascontiguousarray(out) if as_contiguous else out
