@@ -7,6 +7,7 @@ from .dictionary import *  # noqa: F401,F403
 from .intensity_array import *  # noqa: F401,F403
 from .inverse import InvertibleTransform, TraceableTransform
 from .inverse_batch_transform import BatchInverseTransform
+from .meta_utility import FromMetaImaged, FromMetaTensord, ToMetaImaged, ToMetaTensord
 from .io_array import LoadImage, SaveImage, WriteFileMapping
 from .profiling_transforms import (
     Mark,

@@ -37,6 +37,7 @@ from .utils import (
 )
 
 __all__ = [
+    "PadListDataCollate",
     "Pad",
     "SpatialPad",
     "BorderPad",
@@ -646,3 +647,30 @@ class BoundingRect(Transform):
                 to_numpy(data)[channel:channel + 1], select_fn=self.select_fn)
             bbox.append([i for k in zip(start_, end_) for i in k])
         return np.stack(bbox, axis=0)
+
+
+class PadListDataCollate(InvertibleTransform):
+    """Collate a list of samples with differing spatial sizes by padding to the max
+    per-dimension size (reference: croppad/batch.py:40 PadListDataCollate). The pad
+    amounts are recorded so `inverse` can crop each decollated item back."""
+
+    def __init__(self, method: str = "symmetric", mode: str = "constant", **kwargs):
+        self.method = method
+        self.mode = mode
+        self.kwargs = kwargs
+
+    def __call__(self, batch: Any):
+        from ..data.utils import pad_list_data_collate
+
+        return pad_list_data_collate(batch, method=self.method, mode=self.mode,
+                                     **self.kwargs)
+
+    @staticmethod
+    def inverse(data: dict) -> dict:
+        d = dict(data)
+        for key, item in list(d.items()):
+            if isinstance(item, MetaImage) and item.applied_operations:
+                last = item.applied_operations[-1]
+                if last.get(TraceKeys.CLASS_NAME) == "SpatialPad":
+                    d[key] = SpatialPad(last[TraceKeys.ORIG_SIZE]).inverse(item)
+        return d

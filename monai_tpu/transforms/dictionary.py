@@ -1385,6 +1385,34 @@ from .io_array import WriteFileMapping  # noqa: E402
 WriteFileMappingd = _mapped("WriteFileMappingd", WriteFileMapping, "io/dictionary.py:—")
 
 
+# (export block at end)
+
+
+class Ensembled(MapTransform):
+    """Base for ensemble dict transforms: stack keyed predictions and apply an
+    ensemble callable (reference: post/dictionary.py:403)."""
+
+    def __init__(self, keys: KeysCollection, ensemble, output_key: str | None = None,
+                 allow_missing_keys: bool = False):
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        if not callable(ensemble):
+            raise TypeError(f"ensemble must be callable but is {type(ensemble).__name__}.")
+        self.ensemble = ensemble
+        if len(self.keys) > 1 and output_key is None:
+            raise ValueError("output_key is required when len(keys) > 1.")
+        self.output_key = output_key if output_key is not None else self.keys[0]
+
+    def __call__(self, data: Mapping) -> dict:
+        d = dict(data)
+        if len(self.keys) == 1 and self.keys[0] in d:
+            items = d[self.keys[0]]
+        else:
+            items = [d[key] for key in self.key_iterator(d)]
+        if len(items) > 0:
+            d[self.output_key] = self.ensemble(items)
+        return d
+
+
 # exported names
 __all__ = [n for n in dir() if n.endswith("d") and not n.startswith("_")] + [
     "ToTensord", "RandLambdad", "Invertd", "Decollated",
