@@ -2,6 +2,7 @@ from .adaptors import FunctionSignature, adaptor, apply_alias, to_kwargs
 from .compose import Compose, OneOf, RandomOrder, SomeOf, execute_compose
 from .grid_ops import GridPatch, GridSplit, RandGridPatch
 from .utils_morphological_ops import dilate, erode
+from .lazy_utils import DisplacementField
 from .croppad_array import *  # noqa: F401,F403
 from .dictionary import *  # noqa: F401,F403
 from .intensity_array import *  # noqa: F401,F403
@@ -37,7 +38,7 @@ from .lazy_utils import (
     resample,
 )
 from .post_array import *  # noqa: F401,F403
-from .regularization_array import CutMix, CutOut, MixUp
+from .regularization_array import CutMix, CutOut, Mixer, MixUp
 from .signal_array import *  # noqa: F401,F403
 from .smooth_field_array import (
     RandSmoothDeform,
@@ -63,6 +64,7 @@ from .transform import (
 )
 from .utility_array import *  # noqa: F401,F403
 from .utils import (
+    Fourier,
     check_non_lazy_pending_ops,
     compute_divisible_spatial_size,
     convert_pad_mode,

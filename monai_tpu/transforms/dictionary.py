@@ -1387,6 +1387,16 @@ WriteFileMappingd = _mapped("WriteFileMappingd", WriteFileMapping, "io/dictionar
 
 # (export block at end)
 
+from .utility_array import ConvertBoxToPoints, ConvertPointsToBoxes, ToCupy, ToPIL  # noqa: E402
+
+ConvertBoxToPointsd = _mapped("ConvertBoxToPointsd", ConvertBoxToPoints,
+                              "spatial/dictionary.py:2618")
+ConvertPointsToBoxesd = _mapped("ConvertPointsToBoxesd", ConvertPointsToBoxes,
+                                "spatial/dictionary.py:—")
+ToPILd = _mapped("ToPILd", ToPIL, "utility/dictionary.py:—")
+ToCupyd = _mapped("ToCupyd", ToCupy, "utility/dictionary.py:—")
+
+
 
 class Ensembled(MapTransform):
     """Base for ensemble dict transforms: stack keyed predictions and apply an

@@ -54,6 +54,7 @@ __all__ = [
     "UltrasoundConfidenceMapTransform",
     "ScaleIntensityFixedMean",
     "RandScaleIntensityFixedMean",
+    "RandCoarseTransform",
     "ComputeHoVerMaps",
     "IntensityRemap",
     "RandIntensityRemap",

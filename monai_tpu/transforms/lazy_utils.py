@@ -23,7 +23,7 @@ from ..ops.resample import affine_resample
 from ..utils.backend import is_jax
 from ..utils.enums import LazyAttr
 
-__all__ = ["pending_op", "combine_transforms", "kwargs_from_pending", "is_compatible_apply_kwargs",
+__all__ = ["DisplacementField", "pending_op", "combine_transforms", "kwargs_from_pending", "is_compatible_apply_kwargs",
            "requires_interp", "apply_affine_to_data", "affine_from_pending", "resample"]
 
 
@@ -226,3 +226,23 @@ def resample(data: Any, matrix: np.ndarray, kwargs: dict | None = None):
     if dtype is not None and out.dtype != dtype:
         out = out.astype(dtype)
     return out
+
+
+class DisplacementField:
+    """Marker wrapper for a dense displacement field in the lazy pipeline
+    (reference: lazy/utils.py:48). Affine pending ops are (D+1, D+1) matrices; anything
+    spatially-shaped is treated as a DDF."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
+
+    @staticmethod
+    def is_ddf_shaped(data) -> bool:
+        if isinstance(data, DisplacementField):
+            return True
+        if not hasattr(data, "shape") or len(getattr(data, "shape", ())) < 3:
+            return False
+        shape = tuple(data.shape)
+        return not (len(shape) == 2 and shape[0] == shape[1] and shape[0] in (3, 4))

@@ -64,6 +64,11 @@ __all__ = [
     "RandIdentity",
     "ToPIL",
     "ToCupy",
+    "ConvertBoxToPoints",
+    "ConvertPointsToBoxes",
+    "RandTorchVision",
+    "RandTorchIO",
+    "RandCuCIM",
 ]
 
 
@@ -888,3 +893,31 @@ class ToCupy(Transform):
     def __call__(self, img: Any):
         data = to_numpy(img.data if isinstance(img, MetaImage) else img)
         return self._cp.asarray(data, dtype=self.dtype)
+
+
+class ConvertBoxToPoints(Transform):
+    """Standard-mode boxes (N, 2*sd) -> corner points (N, 2^sd, sd)
+    (reference: spatial/array.py:3552)."""
+
+    def __init__(self, mode=None):
+        self.mode = mode
+
+    def __call__(self, data: Any):
+        from ..data.box_utils import convert_box_to_standard_mode
+
+        boxes = to_numpy(convert_box_to_standard_mode(data, mode=self.mode))
+        sd = boxes.shape[-1] // 2
+        corners = []
+        for mask in range(2 ** sd):
+            pick = [(boxes[:, d + sd] if (mask >> d) & 1 else boxes[:, d]) for d in range(sd)]
+            corners.append(np.stack(pick, axis=-1))
+        return np.stack(corners, axis=1)  # (N, 2^sd, sd)
+
+
+class ConvertPointsToBoxes(Transform):
+    """Corner points (N, 2^sd, sd) -> standard-mode boxes (N, 2*sd)
+    (reference: spatial/array.py:3583)."""
+
+    def __call__(self, data: Any):
+        pts = to_numpy(data)
+        return np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=1)
