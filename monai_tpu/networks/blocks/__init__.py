@@ -40,3 +40,20 @@ from .aspp import SimpleASPP
 from .denseblock import ConvDenseBlock, DenseBlock
 from .feature_pyramid_network import BackboneWithFPN, FeaturePyramidNetwork, LastLevelMaxPool
 from .text_embedding import TextEncoder
+from .acti_norm import ADN
+from .downsample import DownSample, Downsample, MaxAvgPool, SubpixelDownsample
+from .encoder import BaseEncoder
+from .feature_pyramid_network import ExtraFPNBlock, LastLevelP6P7
+from .localnet_block import (
+    LocalNetDownSampleBlock,
+    LocalNetFeatureExtractorBlock,
+    LocalNetResidualBlock,
+    LocalNetUpSampleBlock,
+    ResidualBlock,
+)
+from .regunet_block import (
+    RegistrationDownSampleBlock,
+    RegistrationExtractionBlock,
+    RegistrationResidualConvBlock,
+)
+from .spatialattention import SpatialAttentionBlock

@@ -83,3 +83,36 @@ class BackboneWithFPN(nnx.Module):
                 f"feat{i}" for i in range(len(feats))]
             named = dict(zip(names, feats))
         return self.fpn(named)
+
+
+class ExtraFPNBlock(nnx.Module):
+    """Base class for extra FPN levels (reference: feature_pyramid_network.py
+    ExtraFPNBlock)."""
+
+    def __call__(self, results: list, names: list):
+        raise NotImplementedError
+
+
+class LastLevelP6P7(nnx.Module):
+    """P6/P7 levels from strided convs on the last map (RetinaNet-style)
+    (reference: feature_pyramid_network.py LastLevelP6P7)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int,
+                 *, rngs: nnx.Rngs):
+        self.p6 = nnx.Conv(in_channels, out_channels, kernel_size=(3,) * spatial_dims,
+                           strides=(2,) * spatial_dims, padding=(1,) * spatial_dims,
+                           rngs=rngs)
+        self.p7 = nnx.Conv(out_channels, out_channels, kernel_size=(3,) * spatial_dims,
+                           strides=(2,) * spatial_dims, padding=(1,) * spatial_dims,
+                           rngs=rngs)
+        self.use_P5 = in_channels == out_channels
+
+    def __call__(self, results: list, names: list):
+        import jax
+
+        last = results[-1]
+        p6 = self.p6(last)
+        p7 = self.p7(jax.nn.relu(p6))
+        results.extend([p6, p7])
+        names.extend(["p6", "p7"])
+        return results, names

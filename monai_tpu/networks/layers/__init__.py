@@ -37,3 +37,14 @@ from .vector_quantizer import EMAQuantizer, VectorQuantizer
 from .conjugate_gradient import ConjugateGradient
 from .drop_path import DropPath
 from .weight_init import icnr_init, normal_init, trunc_normal
+from .simplelayers import (
+    GEGLU,
+    ApplyFilter,
+    EllipticalFilter,
+    LaplaceFilter,
+    MemoryEfficientSwish,
+    Mish,
+    SharpenFilter,
+    Swish,
+)
+from .spatial_transforms import AffineTransform, grid_count, grid_pull, grid_push, normalize_transform, to_norm_affine

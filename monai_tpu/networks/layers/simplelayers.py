@@ -251,3 +251,70 @@ class LLTM(nnx.Module):
         new_cell = old_cell + cand * i_gate
         new_h = jnp.tanh(new_cell) * o_gate
         return new_h, new_cell
+
+
+class Swish(nnx.Module):
+    """x * sigmoid(alpha x) (reference: layers/factories Swish)."""
+
+    def __init__(self, alpha: float = 1.0):
+        self.alpha = alpha
+
+    def __call__(self, x):
+        return x * jax.nn.sigmoid(self.alpha * x)
+
+
+class MemoryEfficientSwish(Swish):
+    """In jax the VJP of silu is already memory-efficient via XLA fusion; provided for
+    API parity (reference: layers MemoryEfficientSwish)."""
+
+
+class Mish(nnx.Module):
+    """x * tanh(softplus(x)) (reference: layers Mish)."""
+
+    def __call__(self, x):
+        return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class GEGLU(nnx.Module):
+    """Gated GELU: splits the last dim in two, gates one half (reference: blocks GEGLU)."""
+
+    def __call__(self, x):
+        a, b = jnp.split(x, 2, axis=-1)
+        return a * jax.nn.gelu(b)
+
+
+class ApplyFilter(nnx.Module):
+    """Wrap a fixed kernel as a module (reference: simplelayers.py ApplyFilter)."""
+
+    def __init__(self, filter):
+        self.filter = jnp.asarray(filter, jnp.float32)
+
+    def __call__(self, x):
+        return apply_filter(x, self.filter)
+
+
+class LaplaceFilter(ApplyFilter):
+    """(reference: simplelayers.py LaplaceFilter)."""
+
+    def __init__(self, spatial_dims: int, size: int = 3):
+        k = -np.ones((size,) * spatial_dims, np.float32)
+        k[(size // 2,) * spatial_dims] = size ** spatial_dims - 1
+        super().__init__(k)
+
+
+class EllipticalFilter(ApplyFilter):
+    """(reference: simplelayers.py EllipticalFilter)."""
+
+    def __init__(self, spatial_dims: int, size: int = 3):
+        grid = np.stack(np.meshgrid(*[np.linspace(-1, 1, size)] * spatial_dims,
+                                    indexing="ij"))
+        super().__init__(((grid ** 2).sum(0) <= 1.0).astype(np.float32))
+
+
+class SharpenFilter(ApplyFilter):
+    """(reference: simplelayers.py SharpenFilter)."""
+
+    def __init__(self, spatial_dims: int, size: int = 3):
+        k = -np.ones((size,) * spatial_dims, np.float32)
+        k[(size // 2,) * spatial_dims] = size ** spatial_dims
+        super().__init__(k)
