@@ -19,4 +19,4 @@ from .scripts import (
     verify_metadata,
     verify_net_in_out,
 )
-from .workflows import BundleWorkflow, ConfigWorkflow
+from .workflows import BundleWorkflow, ConfigWorkflow, PythonicWorkflow

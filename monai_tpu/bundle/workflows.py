@@ -156,3 +156,61 @@ class ConfigWorkflow(BundleWorkflow):
         ret = [n for n, p in (self.properties or {}).items()
                if p.get("required", False) and self._get_prop_id(n, {**p, "required": False}) is None]
         return ret
+
+
+class PythonicWorkflow(BundleWorkflow):
+    """Bundle workflow defined in python code: properties are resolved from (1) values
+    set by the user, (2) cached computations of ``_get_<name>`` getter methods, (3) the
+    parsed config/meta files (reference: bundle/workflows.py:243)."""
+
+    supported_train_type = ("train", "training")
+    supported_infer_type = ("infer", "inference", "eval", "evaluation")
+
+    def __init__(self, workflow_type: str | None = None, workflow: str | None = None,
+                 properties_path=None, config_file=None, meta_file=None,
+                 logging_file=None, **override):
+        workflow_type = workflow or workflow_type
+        super().__init__(workflow_type=workflow_type, properties_path=properties_path)
+        self._props_vals: dict = {}
+        self._set_props_vals: dict = {}
+        from .config_parser import ConfigParser
+
+        self.parser = ConfigParser()
+        if config_file is not None:
+            self.parser.read_config(f=config_file)
+        if meta_file is not None:
+            self.parser.read_meta(f=meta_file)
+        self.parser.update(pairs=override)
+        self._is_initialized: bool = False
+
+    def initialize(self, *args, **kwargs):
+        self._props_vals = {}
+        self._is_initialized = True
+
+    def _get_property(self, name: str, property: dict):
+        if not self._is_initialized:
+            raise RuntimeError("initialize the workflow before getting any properties.")
+        if name in self._set_props_vals:
+            return self._set_props_vals[name]
+        if name in self._props_vals:
+            return self._props_vals[name]
+        getter = getattr(self, f"get_{name}", None)
+        if callable(getter):
+            value = getter()
+            self._props_vals[name] = value
+            return value
+        try:
+            return self.parser.get_parsed_content(name)
+        except Exception as e:
+            if property.get("required", False):
+                raise KeyError(f"required property {name} is not resolvable") from e
+            return None
+
+    def _set_property(self, name: str, property: dict, value):
+        self._set_props_vals[name] = value
+
+    def run(self, *args, **kwargs):
+        raise NotImplementedError("subclass a PythonicWorkflow and implement run().")
+
+    def finalize(self, *args, **kwargs):
+        pass

@@ -50,6 +50,8 @@ _LAZY_ATTRS = {
     # video
     "VideoDataset": ".video_dataset", "VideoFileDataset": ".video_dataset",
     "CameraDataset": ".video_dataset",
+    "ImageDataset": ".image_dataset",
+    "MetaObj": ".meta_image", "FolderLayoutBase": ".folder_layout",
     "UltrasoundConfidenceMap": ".ultrasound_confidence_map",
     # folder layout
     "FolderLayout": ".folder_layout", "default_name_formatter": ".folder_layout",
@@ -78,6 +80,10 @@ _LAZY_ATTRS = {
     "DatasetSummary": ".dataset_summary",
     "TestTimeAugmentation": ".test_time_augmentation",
     # boxes
+    "BoxMode": ".box_utils", "CornerCornerModeTypeA": ".box_utils",
+    "CornerCornerModeTypeB": ".box_utils", "CornerCornerModeTypeC": ".box_utils",
+    "CornerSizeMode": ".box_utils", "CenterSizeMode": ".box_utils",
+    "StandardMode": ".box_utils",
     "box_area": ".box_utils", "box_centers": ".box_utils", "box_giou": ".box_utils",
     "box_iou": ".box_utils", "box_pair_giou": ".box_utils", "centers_in_boxes": ".box_utils",
     "clip_boxes_to_image": ".box_utils", "convert_box_mode": ".box_utils",

@@ -247,3 +247,52 @@ def non_max_suppression(boxes, scores, nms_thresh: float, max_proposals: int = -
         suppressed |= ious[i] > nms_thresh
         suppressed[i] = True  # self
     return np.asarray(keep, dtype=np.int64)
+
+
+class BoxMode:
+    """Box-mode class hierarchy mapping to the string modes used by ``convert_box_mode``
+    (reference: box_utils.py:52 BoxMode and subclasses). Instances are callable
+    converters to standard mode."""
+
+    name: dict[int, str] = {}
+
+    @classmethod
+    def get_name(cls, spatial_dims: int) -> str:
+        return cls.name[spatial_dims]
+
+    def __call__(self, boxes):
+        d = get_spatial_dims(boxes=boxes)
+        return convert_box_mode(boxes, src_mode=self.get_name(d), dst_mode=None)
+
+
+class CornerCornerModeTypeA(BoxMode):
+    """[xmin, ymin, (zmin,) xmax, ymax(, zmax)] — StandardMode (reference: box_utils.py)."""
+
+    name = {2: "xyxy", 3: "xyzxyz"}
+
+
+class CornerCornerModeTypeB(BoxMode):
+    """[xmin, xmax, ymin, ymax(, zmin, zmax)]."""
+
+    name = {2: "xxyy", 3: "xxyyzz"}
+
+
+class CornerCornerModeTypeC(BoxMode):
+    """[xmin, ymin, xmax, ymax(, zmin, zmax)]."""
+
+    name = {2: "xyxy", 3: "xyxyzz"}
+
+
+class CornerSizeMode(BoxMode):
+    """[xmin, ymin, (zmin,) xsize, ysize(, zsize)]."""
+
+    name = {2: "xywh", 3: "xyzwhd"}
+
+
+class CenterSizeMode(BoxMode):
+    """[xcenter, ycenter, (zcenter,) xsize, ysize(, zsize)]."""
+
+    name = {2: "ccwh", 3: "cccwhd"}
+
+
+StandardMode = CornerCornerModeTypeA

@@ -61,3 +61,10 @@ def _create_file_basename(postfix: str, input_file_name: str, folder_path: str,
     if patch_index is not None:
         output += f"_{patch_index}"
     return output
+
+
+class FolderLayoutBase:
+    """ABC for output filename layouts (reference: folder_layout.py FolderLayoutBase)."""
+
+    def filename(self, **kwargs):
+        raise NotImplementedError

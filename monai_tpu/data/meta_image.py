@@ -303,3 +303,23 @@ class MetaImage:
 
     def copy(self) -> "MetaImage":
         return self.clone()
+
+
+class MetaObj:
+    """Base metadata container (reference: meta_obj.py:63 MetaObj). MetaImage is the
+    array-carrying subclass in this framework; MetaObj is provided for API parity as
+    the minimal meta/applied-operations holder."""
+
+    def __init__(self):
+        self._meta: dict = {}
+        self.applied_operations: list = []
+        self.pending_operations: list = []
+        self.is_batch: bool = False
+
+    @property
+    def meta(self) -> dict:
+        return self._meta
+
+    @meta.setter
+    def meta(self, d: dict):
+        self._meta = dict(d)

@@ -3,6 +3,8 @@ from .events import EventEmitter, Events, IterationEvents
 from .gan_trainer import AdversarialTrainer, GanTrainer
 from .trainer import SupervisedTrainer, Trainer
 from .utils import (
+    DiffusionPrepareBatch,
+    VPredictionPrepareBatch,
     PrepareBatch,
     PrepareBatchDefault,
     PrepareBatchExtraInput,

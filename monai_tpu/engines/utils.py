@@ -12,7 +12,8 @@ from ..utils.backend import to_jax
 from ..utils.enums import CommonKeys
 
 __all__ = ["IterationEvents", "get_devices_spec", "default_prepare_batch", "PrepareBatch",
-           "PrepareBatchDefault", "PrepareBatchExtraInput", "default_metric_cmp_fn",
+           "PrepareBatchDefault", "PrepareBatchExtraInput", "DiffusionPrepareBatch",
+           "VPredictionPrepareBatch", "default_metric_cmp_fn",
            "default_make_latent", "engine_apply_transform"]
 
 from .events import IterationEvents  # noqa: F401 (re-export, reference keeps it here)
@@ -114,3 +115,62 @@ def engine_apply_transform(batch: Any, output: Any, transform: Callable):
     else:
         output = apply_transform(transform, output, map_items=False)
     return batch, output
+
+
+class DiffusionPrepareBatch(PrepareBatch):
+    """Generate (image, noise-target) pairs + "noise"/"timesteps" kwargs for diffusion
+    training engines (reference: engines/utils.py:243)."""
+
+    def __init__(self, num_train_timesteps: int, condition_name: str | None = None,
+                 seed: int = 0):
+        self.condition_name = condition_name
+        self.num_train_timesteps = num_train_timesteps
+        import jax
+
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def get_noise(self, images):
+        import jax
+
+        return jax.random.normal(self._next_key(), images.shape, images.dtype)
+
+    def get_timesteps(self, images):
+        import jax
+
+        return jax.random.randint(self._next_key(), (images.shape[0],), 0,
+                                  self.num_train_timesteps)
+
+    def get_target(self, images, noise, timesteps):
+        return noise
+
+    def __call__(self, batchdata: dict, device=None, non_blocking: bool = False, **kwargs):
+        import jax.numpy as jnp
+
+        from ..utils.backend import to_jax
+
+        images = to_jax(batchdata["image"])
+        noise = self.get_noise(images)
+        timesteps = self.get_timesteps(images)
+        target = self.get_target(images, noise, timesteps)
+        infer_kwargs = {"noise": noise, "timesteps": timesteps}
+        if self.condition_name is not None and isinstance(batchdata, dict):
+            infer_kwargs["condition"] = to_jax(batchdata[self.condition_name])
+        return images, target, (), infer_kwargs
+
+
+class VPredictionPrepareBatch(DiffusionPrepareBatch):
+    """v-prediction target variant (reference: engines/utils.py:293)."""
+
+    def __init__(self, scheduler, num_train_timesteps: int,
+                 condition_name: str | None = None, seed: int = 0):
+        super().__init__(num_train_timesteps, condition_name, seed)
+        self.scheduler = scheduler
+
+    def get_target(self, images, noise, timesteps):
+        return self.scheduler.get_velocity(images, noise, timesteps)

@@ -1,4 +1,4 @@
-from .client import ClientAlgo, ClientAlgoStats, MonaiAlgo, MonaiAlgoStats
+from .client import BaseClient, ClientAlgo, ClientAlgoStats, MonaiAlgo, MonaiAlgoStats
 from .utils.exchange_object import ExchangeObject
 from .utils.filters import Filter, SummaryFilter
 from .utils.constants import ExtraItems, FlPhase, FlStatistics, ModelType, WeightType

@@ -206,3 +206,6 @@ class MonaiAlgo(ClientAlgo, MonaiAlgoStats):
                     wf.finalize()
                 except Exception:
                     pass
+
+
+BaseClient = ClientAlgo  # ABC alias (reference: fl/client BaseClient)

@@ -37,3 +37,20 @@ from .tensorboard_handlers import (
     TensorBoardImageHandler,
     TensorBoardStatsHandler,
 )
+from .handlers import (
+    ClearMLHandler,
+    ClearMLImageHandler,
+    ClearMLStatsHandler,
+    MarkHandler,
+    MetricLoggerKeys,
+    RangeHandler,
+    RangePopHandler,
+    RangePushHandler,
+    TrtHandler,
+)
+from .ignite_metric import (
+    AveragePrecision,
+    MetricsReloadedBinaryHandler,
+    MetricsReloadedCategoricalHandler,
+    PanopticQuality,
+)

@@ -389,3 +389,115 @@ class ClassificationSaver:
                 fname = filenames[i] if i < len(filenames) else str(i)
                 items = np.atleast_1d(o).tolist()
                 f.write(self.delimiter.join([fname] + [str(x) for x in items]) + "\n")
+
+
+class MetricLoggerKeys:
+    """(reference: handlers/metric_logger.py MetricLoggerKeys)."""
+
+    METRICS = "Metrics"
+    LOSS = "Loss"
+
+
+class RangeHandler:
+    """Open a profiler range on a start event and close it on an end event — the TPU
+    analog of the NVTX range handler (reference: handlers/nvtx_handlers.py RangeHandler)."""
+
+    def __init__(self, events, msg: str | None = None):
+        if isinstance(events, str):
+            self.start_event = f"{events}_STARTED"
+            self.end_event = f"{events}_COMPLETED"
+        else:
+            self.start_event, self.end_event = events
+        self.msg = msg or str(self.start_event)
+        self._ctx = None
+
+    def attach(self, engine) -> None:
+        engine.add_event_handler(self.start_event, self.range_push)
+        engine.add_event_handler(self.end_event, self.range_pop)
+
+    def range_push(self, engine=None):
+        import jax.profiler
+
+        self._ctx = jax.profiler.TraceAnnotation(self.msg)
+        self._ctx.__enter__()
+
+    def range_pop(self, engine=None):
+        if self._ctx is not None:
+            self._ctx.__exit__(None, None, None)
+            self._ctx = None
+
+
+class RangePushHandler:
+    """(reference: nvtx_handlers.py RangePushHandler)."""
+
+    _stack: list = []
+
+    def __init__(self, event, msg: str | None = None):
+        self.event = event
+        self.msg = msg or str(event)
+
+    def attach(self, engine) -> None:
+        engine.add_event_handler(self.event, self.range_push)
+
+    def range_push(self, engine=None):
+        import jax.profiler
+
+        ctx = jax.profiler.TraceAnnotation(self.msg)
+        ctx.__enter__()
+        RangePushHandler._stack.append(ctx)
+
+
+class RangePopHandler:
+    """(reference: nvtx_handlers.py RangePopHandler)."""
+
+    def __init__(self, event):
+        self.event = event
+
+    def attach(self, engine) -> None:
+        engine.add_event_handler(self.event, self.range_pop)
+
+    def range_pop(self, engine=None):
+        if RangePushHandler._stack:
+            RangePushHandler._stack.pop().__exit__(None, None, None)
+
+
+class MarkHandler:
+    """(reference: nvtx_handlers.py MarkHandler)."""
+
+    def __init__(self, event, msg: str | None = None):
+        self.event = event
+        self.msg = msg or str(event)
+
+    def attach(self, engine) -> None:
+        engine.add_event_handler(self.event, self.mark)
+
+    def mark(self, engine=None):
+        import jax.profiler
+
+        with jax.profiler.TraceAnnotation(self.msg):
+            pass
+
+
+class TrtHandler:
+    """TensorRT export handler (reference: handlers/trt_handler.py TrtHandler).
+    TensorRT is CUDA-only with no TPU counterpart; on TPU, ahead-of-time compilation is
+    handled by XLA (jax.jit + AOT lowering). Construction raises to make this explicit."""
+
+    def __init__(self, *args, **kwargs):
+        raise RuntimeError(
+            "TrtHandler is CUDA/TensorRT-specific and has no TPU equivalent; use "
+            "jax.jit AOT compilation (jax.jit(fn).lower(...).compile()) instead.")
+
+
+def _clearml_gated(name):
+    class _Gated:
+        def __init__(self, *args, **kwargs):
+            raise ImportError(f"{name} requires the optional 'clearml' package "
+                              "(not installed).")
+    _Gated.__name__ = name
+    return _Gated
+
+
+ClearMLHandler = _clearml_gated("ClearMLHandler")
+ClearMLStatsHandler = _clearml_gated("ClearMLStatsHandler")
+ClearMLImageHandler = _clearml_gated("ClearMLImageHandler")

@@ -186,3 +186,59 @@ class PeakSignalToNoiseRatio(IgniteMetricHandler):
                  output_transform: Callable = lambda x: x):
         super().__init__(metric_fn=PSNRMetric(max_val=max_val, reduction=reduction),
                          output_transform=output_transform)
+
+
+class AveragePrecision(IgniteMetricHandler):
+    """(reference: handlers/average_precision.py AveragePrecision)."""
+
+    def __init__(self, average="macro", output_transform=lambda x: x,
+                 save_details: bool = True):
+        from ..metrics.regression import AveragePrecisionMetric
+
+        super().__init__(metric_fn=AveragePrecisionMetric(average=average),
+                         output_transform=output_transform, save_details=save_details)
+
+
+class PanopticQuality(IgniteMetricHandler):
+    """(reference: handlers/panoptic_quality.py PanopticQuality)."""
+
+    def __init__(self, num_classes: int, metric_name: str = "pq",
+                 reduction="mean_batch", match_iou_threshold: float = 0.5,
+                 smooth_numerator: float = 1e-6, output_transform=lambda x: x,
+                 save_details: bool = True):
+        from ..metrics.extra_metrics import PanopticQualityMetric
+
+        metric_fn = PanopticQualityMetric(num_classes=num_classes, metric_name=metric_name,
+                                          reduction=reduction,
+                                          match_iou_threshold=match_iou_threshold,
+                                          smooth_numerator=smooth_numerator)
+        super().__init__(metric_fn=metric_fn, output_transform=output_transform,
+                         save_details=save_details)
+
+
+class MetricsReloadedBinaryHandler(IgniteMetricHandler):
+    """(reference: handlers/metrics_reloaded_handler.py). Requires the optional
+    MetricsReloaded package via metrics.metrics_reloaded."""
+
+    def __init__(self, metric_name: str, include_background: bool = True,
+                 reduction="mean", get_not_nans: bool = False,
+                 output_transform=lambda x: x, save_details: bool = True):
+        from ..metrics.metrics_reloaded import MetricsReloadedBinary
+
+        super().__init__(metric_fn=MetricsReloadedBinary(metric_name, include_background,
+                                                         reduction, get_not_nans),
+                         output_transform=output_transform, save_details=save_details)
+
+
+class MetricsReloadedCategoricalHandler(IgniteMetricHandler):
+    """(reference: handlers/metrics_reloaded_handler.py)."""
+
+    def __init__(self, metric_name: str, include_background: bool = True,
+                 reduction="mean", get_not_nans: bool = False,
+                 output_transform=lambda x: x, save_details: bool = True):
+        from ..metrics.metrics_reloaded import MetricsReloadedCategorical
+
+        super().__init__(metric_fn=MetricsReloadedCategorical(metric_name,
+                                                              include_background,
+                                                              reduction, get_not_nans),
+                         output_transform=output_transform, save_details=save_details)

@@ -42,6 +42,9 @@ class _CAMBase:
         return jax.image.resize(acti_map, out_shape, method="linear")
 
 
+CAMBase = _CAMBase  # public alias (reference: class_activation_maps.py CAMBase)
+
+
 class CAM(_CAMBase):
     """Class activation map using the classifier weights (reference: :218).
 
@@ -108,3 +111,30 @@ class GradCAMpp(GradCAM):
         weights = (alpha * relu_grad).sum(axis=axes, keepdims=True)
         acti_map = jax.nn.relu((weights * acti).sum(axis=1, keepdims=True))
         return acti_map
+
+
+class ModelWithHooks:
+    """Functional analog of the reference's forward/backward-hook wrapper
+    (reference: visualize/class_activation_maps.py ModelWithHooks).
+
+    jax has no module hooks; intermediate features are obtained by splitting the model
+    into a feature function and a head function. This wrapper adapts (feature_fn,
+    head_fn) pairs to the hook-style API: calling it returns (logits, features).
+    """
+
+    def __init__(self, nn_module=None, target_layer_names=(), register_forward: bool = False,
+                 register_backward: bool = False, feature_fn=None, head_fn=None):
+        if feature_fn is None or head_fn is None:
+            if hasattr(nn_module, "feature_fn") and hasattr(nn_module, "head_fn"):
+                feature_fn, head_fn = nn_module.feature_fn, nn_module.head_fn
+            else:
+                raise ValueError(
+                    "ModelWithHooks requires feature_fn/head_fn callables (jax has no "
+                    "module hooks); pass them explicitly or provide a model exposing them.")
+        self.feature_fn = feature_fn
+        self.head_fn = head_fn
+
+    def __call__(self, x, class_idx=None, retain_graph=False):
+        feats = self.feature_fn(x)
+        logits = self.head_fn(feats)
+        return logits, feats
