@@ -57,3 +57,4 @@ from .regunet_block import (
     RegistrationResidualConvBlock,
 )
 from .spatialattention import SpatialAttentionBlock
+from .fcn import FCN, GCN, MCFCN, Refine

@@ -4,7 +4,7 @@ from .cell_sam_wrapper import CellSamWrapper
 from .fullyconnectednet import FullyConnectedNet, VarFullyConnectedNet
 from .autoencoderkl import AutoencoderKL
 from .controlnet import ControlNet
-from .diffusion_model_unet import DiffusionModelUNet
+from .diffusion_model_unet import DiffusionModelEncoder, DiffusionModelUNet
 from .spade_autoencoderkl import SPADEAutoencoderKL
 from .spade_diffusion_model_unet import SPADEDiffusionModelUNet
 from .spade_network import SPADEDecoder, SPADEEncoder, SPADENet, SPADENetResBlock

@@ -218,3 +218,69 @@ class DiffusionModelUNet(nnx.Module):
         h = self.conv_out(jax.nn.silu(self.norm_out(h)))
         perm_out = (0, h.ndim - 1) + tuple(range(1, h.ndim - 1))
         return jnp.transpose(h, perm_out)
+
+
+class DiffusionModelEncoder(nnx.Module):
+    """Classifier/encoder over noisy inputs: the down path of DiffusionModelUNet plus a
+    linear head (reference: diffusion_model_unet.py:1877 DiffusionModelEncoder)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int,
+                 num_res_blocks: Sequence[int] | int = (2, 2, 2, 2),
+                 channels: Sequence[int] = (32, 64, 64, 64),
+                 attention_levels: Sequence[bool] = (False, False, True, True),
+                 norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                 resblock_updown: bool = False, num_head_channels=8,
+                 with_conditioning: bool = False, transformer_num_layers: int = 1,
+                 cross_attention_dim: int | None = None, num_class_embeds: int | None = None,
+                 upcast_attention: bool = False, *, rngs: nnx.Rngs):
+        n_levels = len(channels)
+        nrb = ensure_tuple_rep(num_res_blocks, n_levels)
+        head_ch = ensure_tuple_rep(num_head_channels, n_levels)
+        ca_dim = cross_attention_dim if with_conditioning else None
+        time_dim = channels[0] * 4
+        self.base_channels = channels[0]
+        self.out_channels = out_channels
+        self.conv_in = nnx.Conv(in_channels, channels[0], kernel_size=(3,) * spatial_dims,
+                                rngs=rngs)
+        self.time_embed = _TimeEmbed(channels[0], time_dim, rngs=rngs)
+        self.num_class_embeds = num_class_embeds
+        if num_class_embeds is not None:
+            self.class_embedding = nnx.Embed(num_class_embeds, time_dim, rngs=rngs)
+        downs = []
+        ch = channels[0]
+        for lvl in range(n_levels):
+            out_ch = channels[lvl]
+            blocks = []
+            for _ in range(nrb[lvl]):
+                blocks.append(_ResBlock(spatial_dims, ch, time_dim, out_ch, norm_num_groups,
+                                        norm_eps, rngs=rngs))
+                ch = out_ch
+                if attention_levels[lvl]:
+                    blocks.append(_AttnBlock(ch, head_ch[lvl], norm_num_groups, ca_dim,
+                                             rngs=rngs))
+            blocks.append(nnx.Conv(ch, ch, kernel_size=(3,) * spatial_dims,
+                                   strides=(2,) * spatial_dims, rngs=rngs))
+            downs.append(nnx.List(blocks))
+        self.down_blocks = nnx.List(downs)
+        self.out_lin = nnx.Linear(ch, out_channels, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 context: jnp.ndarray | None = None,
+                 class_labels: jnp.ndarray | None = None) -> jnp.ndarray:
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        h = jnp.transpose(x, perm_in)
+        t_emb = get_timestep_embedding(jnp.atleast_1d(timesteps), self.base_channels)
+        temb = self.time_embed(t_emb)
+        if self.num_class_embeds is not None and class_labels is not None:
+            temb = temb + self.class_embedding(class_labels)
+        h = self.conv_in(h)
+        for blocks in self.down_blocks:
+            for blk in blocks:
+                if isinstance(blk, _ResBlock):
+                    h = blk(h, temb)
+                elif isinstance(blk, _AttnBlock):
+                    h = blk(h, context)
+                else:
+                    h = blk(h)
+        h = h.mean(axis=tuple(range(1, h.ndim - 1)))  # global average pool
+        return self.out_lin(h)
