@@ -53,6 +53,7 @@ _LAZY_ATTRS = {
     "ImageDataset": ".image_dataset",
     "MetaObj": ".meta_image", "FolderLayoutBase": ".folder_layout",
     "UltrasoundConfidenceMap": ".ultrasound_confidence_map",
+    "NrrdImage": ".nrrd_io",
     # folder layout
     "FolderLayout": ".folder_layout", "default_name_formatter": ".folder_layout",
     # grid dataset
@@ -62,7 +63,7 @@ _LAZY_ATTRS = {
     "ImageReader": ".image_reader", "ITKReader": ".image_reader", "NibabelReader": ".image_reader",
     "NiftiReader": ".image_reader", "NrrdReader": ".image_reader", "PydicomReader": ".image_reader", "NumpyReader": ".image_reader", "PILReader": ".image_reader",
     "ImageWriter": ".image_writer", "NibabelWriter": ".image_writer", "NiftiWriter": ".image_writer",
-    "PILWriter": ".image_writer", "register_writer": ".image_writer", "resolve_writer": ".image_writer",
+    "PILWriter": ".image_writer", "ITKWriter": ".image_writer", "register_writer": ".image_writer", "resolve_writer": ".image_writer",
     # iterable
     "CSVIterableDataset": ".iterable_dataset", "IterableDataset": ".iterable_dataset",
     "ShuffleBuffer": ".iterable_dataset",

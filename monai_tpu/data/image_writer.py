@@ -141,3 +141,20 @@ register_writer("jpg", PILWriter)
 register_writer("jpeg", PILWriter)
 register_writer("bmp", PILWriter)
 register_writer("*", NiftiWriter)
+
+
+class ITKWriter(ImageWriter):
+    """ITK-backed writer (reference: image_writer.py:347 ITKWriter). Requires the
+    optional `itk` package (not bundled); NiftiWriter covers the common volumetric
+    output path without it."""
+
+    def __init__(self, output_dtype=None, affine_lps_to_ras: bool = True, **kwargs):
+        from ..utils.module import optional_import
+
+        self._itk, has = optional_import("itk")
+        if not has:
+            raise ImportError("ITKWriter requires the optional 'itk' package "
+                              "(not installed); use NiftiWriter instead.")
+        super().__init__(**kwargs)
+        self.output_dtype = output_dtype
+        self.affine_lps_to_ras = affine_lps_to_ras

@@ -11,7 +11,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["read_nrrd"]
+__all__ = ["read_nrrd", "NrrdImage"]
 
 _NRRD_TYPES = {
     "signed char": np.int8, "int8": np.int8, "int8_t": np.int8,
@@ -88,3 +88,14 @@ def read_nrrd(filename: str) -> tuple[np.ndarray, dict]:
     if "space origin" in header:
         header["space origin"] = _parse_vector(header["space origin"])
     return data, header
+
+
+class NrrdImage:
+    """Bundle of (array, header) as returned by the NRRD reader
+    (reference: image_reader.py:1423 NrrdImage)."""
+
+    __slots__ = ("array", "header")
+
+    def __init__(self, array, header):
+        self.array = array
+        self.header = header
