@@ -114,3 +114,30 @@ def test_ms_ssim_identical_is_one():
     x = jnp.asarray(np.random.RandomState(0).rand(1, 1, 64, 64).astype(np.float32))
     m = MultiScaleSSIMMetric(spatial_dims=2, weights=(0.5, 0.5))(x, x)
     assert abs(float(np.asarray(m).ravel()[0]) - 1.0) < 1e-6
+
+
+def test_sharded_sliding_window_matches_unsharded():
+    import jax
+
+    from monai_tpu.inferers import sliding_window_inference
+    from monai_tpu.networks.nets import UNet
+    from monai_tpu.parallel import create_mesh, sharded_sliding_window_inference
+
+    mesh = create_mesh((len(jax.devices()),), ("data",))
+    net = UNet(spatial_dims=3, in_channels=1, out_channels=2, channels=(4, 8),
+               strides=(2,), num_res_units=1, rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(net)
+
+    @jax.jit
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    def predictor(w):
+        return fwd(state, w)
+
+    vol = jnp.asarray(np.random.RandomState(0).rand(1, 1, 32, 32, 32).astype(np.float32))
+    out = sharded_sliding_window_inference(vol, (16, 16, 16), 8, predictor, mesh,
+                                           overlap=0.25)
+    ref = sliding_window_inference(vol, (16, 16, 16), 8, predictor, overlap=0.25,
+                                   mode="gaussian")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
