@@ -351,3 +351,130 @@ class LabelStatsKeys(StrEnum):
     LABEL = "label"
     LABEL_SHAPE = "shape"
     LABEL_NCOMP = "ncomponents"
+
+
+class UpsampleMode(StrEnum):
+    """(reference: utils/enums.py UpsampleMode)."""
+
+    DECONV = "deconv"
+    DECONVGROUP = "deconvgroup"
+    NONTRAINABLE = "nontrainable"
+    PIXELSHUFFLE = "pixelshuffle"
+
+
+class DownsampleMode(StrEnum):
+    """(reference: utils/enums.py DownsampleMode)."""
+
+    CONV = "conv"
+    CONVGROUP = "convgroup"
+    NONTRAINABLE = "nontrainable"
+    PIXELUNSHUFFLE = "pixelunshuffle"
+    MAXPOOL = "maxpool"
+    AVGPOOL = "avgpool"
+
+
+class SplineMode(StrEnum):
+    """Spline interpolation orders (reference: utils/enums.py SplineMode)."""
+
+    ZERO = 0
+    ONE = 1
+    TWO = 2
+    THREE = 3
+    FOUR = 4
+    FIVE = 5
+
+
+class NdimageMode(StrEnum):
+    """scipy.ndimage boundary modes (reference: utils/enums.py NdimageMode)."""
+
+    REFLECT = "reflect"
+    GRID_MIRROR = "grid-mirror"
+    CONSTANT = "constant"
+    GRID_CONSTANT = "grid-constant"
+    NEAREST = "nearest"
+    MIRROR = "mirror"
+    GRID_WRAP = "grid-wrap"
+    WRAP = "wrap"
+
+
+class ForwardMode(StrEnum):
+    """(reference: utils/enums.py ForwardMode)."""
+
+    TRAIN = "train"
+    EVAL = "eval"
+
+
+class GridPatchSort(StrEnum):
+    """(reference: utils/enums.py GridPatchSort)."""
+
+    RANDOM = "random"
+    MIN = "min"
+    MAX = "max"
+
+
+class ProbMapKeys(StrEnum):
+    """(reference: utils/enums.py ProbMapKeys)."""
+
+    LOCATION = "mask_location"
+    SIZE = "mask_size"
+    COUNT = "num_patches"
+    NAME = "name"
+
+
+class FastMRIKeys(StrEnum):
+    """(reference: utils/enums.py FastMRIKeys)."""
+
+    KSPACE = "kspace"
+    MASK = "mask"
+    FILENAME = "filename"
+    RECON = "reconstruction_rss"
+    ACQUISITION = "acquisition"
+    MAX = "max"
+    NORM = "norm"
+    PID = "patient_id"
+
+
+class BundleProperty(StrEnum):
+    """(reference: utils/enums.py BundleProperty)."""
+
+    DESC = "description"
+    REQUIRED = "required"
+
+
+class BundlePropertyConfig(StrEnum):
+    """(reference: utils/enums.py BundlePropertyConfig)."""
+
+    ID = "id"
+    REF_ID = "refer_id"
+
+
+class StatusMembers(StrEnum):
+    """(reference: utils/enums.py StatusMembers)."""
+
+    STATUS = "status"
+    EPOCHS = "epochs"
+    ITERS = "iters"
+    LOSS = "loss"
+
+
+class TraceStatusKeys(StrEnum):
+    """(reference: utils/enums.py TraceStatusKeys)."""
+
+    PENDING_DURING_APPLY = "pending_during_apply"
+
+
+class AdversarialIterationEvents(StrEnum):
+    """Event names fired inside adversarial training iterations
+    (reference: utils/enums.py AdversarialIterationEvents)."""
+
+    RECONSTRUCTION_LOSS_COMPLETED = "reconstruction_loss_completed"
+    GENERATOR_FORWARD_COMPLETED = "generator_forward_completed"
+    GENERATOR_DISCRIMINATOR_FORWARD_COMPLETED = "generator_discriminator_forward_completed"
+    GENERATOR_LOSS_COMPLETED = "generator_loss_completed"
+    GENERATOR_BACKWARD_COMPLETED = "generator_backward_completed"
+    GENERATOR_MODEL_COMPLETED = "generator_model_completed"
+    DISCRIMINATOR_REALS_FORWARD_COMPLETED = "discriminator_reals_forward_completed"
+    DISCRIMINATOR_FAKES_FORWARD_COMPLETED = "discriminator_fakes_forward_completed"
+    DISCRIMINATOR_LOSS_COMPLETED = "discriminator_loss_completed"
+    DISCRIMINATOR_BACKWARD_COMPLETED = "discriminator_backward_completed"
+    DISCRIMINATOR_MODEL_COMPLETED = "discriminator_model_completed"

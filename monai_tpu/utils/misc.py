@@ -213,3 +213,174 @@ def pprint_edges(val: Any, n_lines: int = 20) -> str:
         hidden = len(val_str) - n_lines * 2
         val_str = val_str[:n_lines] + [f"\n ... omitted {hidden} line(s)\n\n"] + val_str[-n_lines:]
     return "".join(val_str)
+
+
+def unsqueeze_right(arr, ndim: int):
+    """Append singleton dims until arr.ndim == ndim (reference: utils/misc.py)."""
+    return arr[(...,) + (None,) * (ndim - arr.ndim)]
+
+
+def unsqueeze_left(arr, ndim: int):
+    """Prepend singleton dims until arr.ndim == ndim (reference: utils/misc.py)."""
+    return arr[(None,) * (ndim - arr.ndim)]
+
+
+def convert_to_list(data):
+    """tuple/set -> list, passthrough otherwise (reference: utils/misc.py)."""
+    return list(data) if isinstance(data, (tuple, set)) else data
+
+
+def list_to_dict(items):
+    """['a=1', 'b=2'] -> {'a': 1, 'b': 2} with literal-eval values
+    (reference: utils/misc.py list_to_dict)."""
+    import ast as _ast
+
+    def _parse(val):
+        try:
+            return _ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            return val
+
+    d = {}
+    if items:
+        for item in items:
+            key, _, value = str(item).partition("=")
+            d[key.strip()] = _parse(value.strip()) if value else None
+    return d
+
+
+def flatten_dict(metrics: dict) -> dict:
+    """Flatten nested dicts one level deep (reference: utils/misc.py flatten_dict)."""
+    result = {}
+    for key, value in metrics.items():
+        if isinstance(value, dict):
+            for sub_key, sub_value in value.items():
+                if sub_key in result:
+                    raise KeyError(f"duplicated key {sub_key}")
+                result[sub_key] = sub_value
+        else:
+            result[key] = value
+    return result
+
+
+def to_tuple_of_dictionaries(dictionary_of_tuples: dict, keys) -> tuple:
+    """{'a': (1, 2)} with keys (k1, k2) -> ({'a': 1}, {'a': 2})
+    (reference: utils/misc.py to_tuple_of_dictionaries)."""
+    keys = ensure_tuple(keys)
+    out = []
+    for i in range(len(keys)):
+        entry = {}
+        for k, v in dictionary_of_tuples.items():
+            if isinstance(v, tuple):
+                if len(v) != len(keys):
+                    raise ValueError(f"tuple length for {k} must match number of keys")
+                entry[k] = v[i]
+            else:
+                entry[k] = v
+        out.append(entry)
+    return tuple(out)
+
+
+def zip_with(op, *vals, mapfunc=map):
+    """Apply op elementwise over zipped sequences (reference: utils/misc.py zip_with)."""
+    return mapfunc(op, zip(*vals))
+
+
+def is_sqrt(num) -> bool:
+    """Whether prod(sqrt-rounded dims)^2 == prod(num) (reference: utils/misc.py is_sqrt)."""
+    import numpy as _np
+
+    num = ensure_tuple(num)
+    sqrt_num = [int(_np.round(_np.sqrt(n))) for n in num]
+    ret = [s * s == n for s, n in zip(sqrt_num, num)]
+    return all(ret)
+
+
+def check_parent_dir(path, create_dir: bool = True) -> None:
+    """(reference: utils/misc.py check_parent_dir)."""
+    import os
+
+    parent = os.path.dirname(os.path.abspath(str(path)))
+    if not os.path.exists(parent):
+        if create_dir:
+            os.makedirs(parent, exist_ok=True)
+        else:
+            raise ValueError(f"the directory of the specified path does not exist: {parent}")
+
+
+def save_obj(obj, path, create_dir: bool = True, atomic: bool = True, **kwargs) -> None:
+    """Pickle an object to disk atomically (reference: utils/misc.py save_obj)."""
+    import os
+    import pickle
+    import tempfile
+
+    check_parent_dir(path, create_dir)
+    if not atomic:
+        with open(path, "wb") as f:
+            pickle.dump(obj, f, **kwargs)
+        return
+    with tempfile.NamedTemporaryFile(dir=os.path.dirname(os.path.abspath(str(path))),
+                                     delete=False) as tmp:
+        pickle.dump(obj, tmp, **kwargs)
+        tmp_name = tmp.name
+    os.replace(tmp_name, str(path))
+
+
+def run_cmd(cmd_list, **kwargs):
+    """subprocess.run with check=True surfacing stderr (reference: utils/misc.py run_cmd)."""
+    import subprocess
+
+    kwargs.setdefault("check", True)
+    try:
+        return subprocess.run(cmd_list, **kwargs)
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(f"command {cmd_list} failed: {e.stderr}") from e
+
+
+def has_option(obj, keywords) -> bool:
+    """Whether the callable accepts all the given keyword args
+    (reference: utils/module.py has_option)."""
+    import inspect
+
+    if not callable(obj):
+        return False
+    sig = inspect.signature(obj)
+    return all(k in sig.parameters for k in ensure_tuple(keywords))
+
+
+def is_immutable(obj) -> bool:
+    """(reference: utils/misc.py is_immutable)."""
+    return isinstance(obj, (str, bytes, int, float, complex, frozenset, type(None), tuple))
+
+
+def sample_slices(data, dim: int = 1, as_indices: bool = True, *slicevals):
+    """Take slices of `data` along `dim` (reference: utils/misc.py sample_slices)."""
+    slices = [slice(None)] * data.ndim
+    if as_indices:
+        import numpy as _np
+
+        idx = _np.asarray(slicevals, dtype=int)
+        slices[dim] = idx
+        return data[tuple(slices)]
+    slices[dim] = slice(*slicevals)
+    return data[tuple(slices)]
+
+
+def prob2class(x, sigmoid: bool = False, threshold: float = 0.5, **argmax_kwargs):
+    """Probabilities -> class index/binary mask (reference: utils/misc.py prob2class)."""
+    import numpy as _np
+
+    from .backend import is_jax
+
+    ns = __import__("jax.numpy", fromlist=["numpy"]) if is_jax(x) else _np
+    return (x >= threshold).astype(x.dtype) if sigmoid else ns.argmax(x, **argmax_kwargs)
+
+
+class RestartGenerator:
+    """Wraps a generator factory so it can be re-iterated (reference: utils/misc.py)."""
+
+    def __init__(self, create_gen):
+        self.create_gen = create_gen
+
+    def __iter__(self):
+        return self.create_gen()
