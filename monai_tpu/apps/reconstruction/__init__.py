@@ -6,3 +6,14 @@ from .complex_utils import (
 )
 from .mri_utils import root_sum_of_squares
 from .networks import CoilSensitivityModel, ComplexUnet, VariationalNetworkModel
+from .fastmri_reader import FastMRIReader
+from .transforms import (
+    EquispacedKspaceMask,
+    EquispacedKspaceMaskd,
+    ExtractDataKeyFromMetaKeyd,
+    KspaceMask,
+    RandomKspaceMask,
+    RandomKspaceMaskd,
+    ReferenceBasedNormalizeIntensityd,
+    ReferenceBasedSpatialCropd,
+)
