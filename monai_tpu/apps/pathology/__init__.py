@@ -6,4 +6,22 @@ from .hovernet_utils import (
     GenerateWatershedMarkers,
     HoVerNetInstanceMapPostProcessing,
 )
+from .post_transforms import (
+    Watershed,
+    GenerateSuccinctContour,
+    GenerateInstanceContour,
+    GenerateInstanceCentroid,
+    GenerateInstanceType,
+    HoVerNetNuclearTypePostProcessing,
+    Watershedd,
+    GenerateSuccinctContourd,
+    GenerateInstanceContourd,
+    GenerateInstanceCentroidd,
+    GenerateInstanceTyped,
+    HoVerNetNuclearTypePostProcessingd,
+    find_contours,
+    watershed,
+)
+from .inferers import SlidingWindowHoVerNetInferer
+from .utils import PathologyProbNMS, compute_isolated_tumor_cells, compute_multi_instance_mask
 from .metrics import LesionFROC, compute_fp_tp_probs, compute_froc_curve_data, compute_froc_score

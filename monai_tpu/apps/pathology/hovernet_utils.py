@@ -109,32 +109,51 @@ class GenerateWatershedMarkers(Transform):
 
 
 class HoVerNetInstanceMapPostProcessing(Transform):
-    """Full HoVerNet instance segmentation postprocessing pipeline
-    (reference: apps/pathology/transforms/post/array.py + scipy watershed)."""
+    """Full HoVerNet instance segmentation postprocessing pipeline: watershed the
+    hover-gradient distance map, then extract per-instance bounding box, contour,
+    and centroid (reference: apps/pathology/transforms/post/array.py:655)."""
 
     def __init__(self, activation: str = "softmax", mask_threshold: float | None = None,
                  min_object_size: int = 10, sobel_kernel_size: int = 5,
-                 marker_threshold: float = 0.4, marker_radius: int = 2):
+                 distance_smooth_fn=None, marker_threshold: float = 0.4,
+                 marker_radius: int = 2, marker_postprocess_fn=None,
+                 watershed_connectivity: int | None = 1, min_num_points: int = 3,
+                 contour_level: float | None = None):
+        from .post_transforms import GenerateInstanceCentroid, GenerateInstanceContour, Watershed
+
         self.generate_mask = GenerateWatershedMask(activation, mask_threshold, min_object_size)
         self.generate_border = GenerateInstanceBorder(sobel_kernel_size)
-        self.generate_dist = GenerateDistanceMap()
+        self.generate_dist = GenerateDistanceMap(smooth_fn=distance_smooth_fn)
         self.generate_markers = GenerateWatershedMarkers(marker_threshold, marker_radius,
                                                          min_object_size)
+        self.marker_postprocess_fn = marker_postprocess_fn
+        self.watershed = Watershed(connectivity=watershed_connectivity)
+        self.generate_instance_contour = GenerateInstanceContour(min_num_points, contour_level)
+        self.generate_instance_centroid = GenerateInstanceCentroid()
 
     def __call__(self, nuclear_prediction, hover_map):
+        from ...transforms.croppad_array import BoundingRect
+        from ...transforms.post_array import FillHoles
+
         mask = self.generate_mask(nuclear_prediction)
         border = self.generate_border(mask, hover_map)
         dist = self.generate_dist(mask, border)
         markers = self.generate_markers(mask, border)
-        # watershed: prefer skimage, fall back to nearest-marker assignment
-        try:
-            from skimage.segmentation import watershed
+        if self.marker_postprocess_fn is not None:
+            markers = self.marker_postprocess_fn(markers)
+        instance_map = self.watershed(dist, mask, markers)
 
-            inst_map = watershed(dist[0], markers[0], mask=mask[0].astype(bool))
-        except ImportError:
-            from scipy import ndimage as ndi
-
-            inv_markers = markers[0] == 0
-            _, (ind0, ind1) = ndi.distance_transform_edt(inv_markers, return_indices=True)
-            inst_map = markers[0][ind0, ind1] * mask[0]
-        return inst_map[None]
+        instance_info = {}
+        for inst_id in sorted(set(np.unique(instance_map)) - {0}):
+            inst_mask = instance_map == inst_id
+            bbox = BoundingRect()(inst_mask)
+            inst_mask = inst_mask[:, bbox[0][0]:bbox[0][1], bbox[0][2]:bbox[0][3]]
+            offset = [bbox[0][2], bbox[0][0]]
+            contour = self.generate_instance_contour(np.asarray(FillHoles()(inst_mask)), offset)
+            if contour is not None:
+                instance_info[int(inst_id)] = {
+                    "bounding_box": bbox,
+                    "centroid": self.generate_instance_centroid(inst_mask, offset),
+                    "contour": contour,
+                }
+        return instance_info, instance_map

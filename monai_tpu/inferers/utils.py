@@ -109,8 +109,15 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     win_shape = (batch_size * sw_batch_size, x.shape[1]) + tuple(roi_size_)
     out_aval = jax.eval_shape(lambda w: predictor(w, *args, **kwargs),
                               jax.ShapeDtypeStruct(win_shape, x.dtype))
-    if not hasattr(out_aval, "shape"):
-        raise NotImplementedError("sliding_window_inference currently supports single-array predictors.")
+    out_leaves, out_treedef = jax.tree_util.tree_flatten(out_aval)
+    if not (len(out_leaves) == 1 and jax.tree_util.treedef_is_leaf(out_treedef)):
+        # pytree-output predictors (e.g. HoVerNet's NP/HV/NC dict): one
+        # accumulator per leaf, single forward per chunk (reference:
+        # inferers/utils.py:42 handles tuple/dict seg_prob_out the same way)
+        return _sliding_window_multi(
+            x, inputs, predictor, args, kwargs, out_leaves, out_treedef, batch_size,
+            num_spatial_dims, roi_size_, sw_batch_size, starts_j, mask_j, imp_j,
+            image_size, image_size_, any_pad, pad_width, overlap_, mode, num_win)
     out_channels = out_aval.shape[1]
     out_roi = out_aval.shape[2:]
     if tuple(out_roi) != tuple(roi_size_):
@@ -193,3 +200,93 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
         out_m.is_batch = inputs.is_batch
         return out_m
     return output
+
+
+def _sliding_window_multi(x, inputs, predictor, args, kwargs, out_leaves, out_treedef,
+                          batch_size, num_spatial_dims, roi_size_, sw_batch_size,
+                          starts_j, mask_j, imp_j, image_size, image_size_, any_pad,
+                          pad_width, overlap_, mode, num_win):
+    """Stitch loop for predictors returning a pytree of arrays (dict/tuple heads).
+
+    Same gather→forward→weighted-scatter pipeline as the single-array path, but
+    with one (accumulator, count) pair per output leaf; the network runs once per
+    window chunk and every head is blended with the shared importance map
+    (per-head resize when a head's spatial size differs from the window)."""
+    n_leaves = len(out_leaves)
+    chans = [l.shape[1] for l in out_leaves]
+    rois = [tuple(l.shape[2:]) for l in out_leaves]
+    zooms = [None if r == tuple(roi_size_) else [o / rr for o, rr in zip(r, roi_size_)]
+             for r in rois]
+    spatials = [tuple(int(round(s * (rois[i][k] / roi_size_[k]))) for k, s in enumerate(image_size))
+                if zooms[i] else tuple(image_size) for i in range(n_leaves)]
+    dtypes = [l.dtype for l in out_leaves]
+
+    def _run(x_in):
+        outs = tuple(jnp.zeros((batch_size, chans[i]) + spatials[i], dtype=dtypes[i])
+                     for i in range(n_leaves))
+        cnts = tuple(jnp.zeros((1, 1) + spatials[i], dtype=jnp.float32) for i in range(n_leaves))
+
+        def chunk_body(carry, chunk):
+            outs_a, cnts_a = carry
+            starts_c, mask_c = chunk
+
+            def gather_one(st):
+                idx = (0, 0) + tuple(st[d] for d in range(num_spatial_dims))
+                return jax.lax.dynamic_slice(x_in, idx, (batch_size, x_in.shape[1]) + tuple(roi_size_))
+
+            wins = jax.vmap(gather_one)(starts_c)
+            wins = wins.reshape((sw_batch_size * batch_size, x_in.shape[1]) + tuple(roi_size_))
+            preds_leaves = jax.tree_util.tree_leaves(predictor(wins, *args, **kwargs))
+            new_outs, new_cnts = [], []
+            for li in range(n_leaves):
+                preds = preds_leaves[li].reshape((sw_batch_size, batch_size, chans[li]) + rois[li])
+                imp_w = jax.image.resize(imp_j, rois[li], method="linear") if zooms[li] else imp_j
+                weighted = preds * imp_w[None, None, None].astype(dtypes[li]) * mask_c.reshape(
+                    (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(dtypes[li])
+
+                def scatter_one(i, carry2, li=li, weighted=weighted, imp_w=imp_w):
+                    out_a, cnt_a = carry2
+                    st = starts_c[i]
+                    if zooms[li]:
+                        o_idx = tuple(jnp.round(st[d] * zooms[li][d]).astype(jnp.int32)
+                                      for d in range(num_spatial_dims))
+                    else:
+                        o_idx = tuple(st[d] for d in range(num_spatial_dims))
+                    idx_full = (0, 0) + o_idx
+                    cur = jax.lax.dynamic_slice(out_a, idx_full, (batch_size, chans[li]) + rois[li])
+                    out_a = jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
+                    cur_c = jax.lax.dynamic_slice(cnt_a, idx_full[:2] + o_idx, (1, 1) + rois[li])
+                    contrib = (imp_w * mask_c[i]).astype(jnp.float32)[None, None]
+                    cnt_a = jax.lax.dynamic_update_slice(cnt_a, cur_c + contrib, idx_full[:2] + o_idx)
+                    return out_a, cnt_a
+
+                o, c = jax.lax.fori_loop(0, sw_batch_size, scatter_one, (outs_a[li], cnts_a[li]))
+                new_outs.append(o)
+                new_cnts.append(c)
+            return (tuple(new_outs), tuple(new_cnts)), None
+
+        (outs, cnts), _ = jax.lax.scan(chunk_body, (outs, cnts), (starts_j, mask_j))
+        return tuple(o / jnp.maximum(c, 1e-8).astype(o.dtype) for o, c in zip(outs, cnts))
+
+    cache_key = (id(predictor), x.shape, x.dtype.name, tuple(roi_size_), sw_batch_size,
+                 tuple(overlap_), str(mode), num_win, "multi")
+    jitted = _SW_JIT_CACHE.get(cache_key)
+    if jitted is None:
+        jitted = jax.jit(_run)
+        _SW_JIT_CACHE[cache_key] = jitted
+        if len(_SW_JIT_CACHE) > 32:
+            _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
+    outputs = jitted(x)
+
+    results = []
+    for li, o in enumerate(outputs):
+        if any_pad:
+            cs = [slice(None), slice(None)]
+            z = zooms[li]
+            for k in range(num_spatial_dims):
+                lo = pad_width[2 + k][0]
+                cs.append(slice(int(round(lo * (z[k] if z else 1))),
+                                int(round((lo + image_size_[k]) * (z[k] if z else 1)))))
+            o = o[tuple(cs)]
+        results.append(o)
+    return jax.tree_util.tree_unflatten(out_treedef, results)
