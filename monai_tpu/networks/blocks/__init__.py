@@ -58,3 +58,17 @@ from .regunet_block import (
 )
 from .spatialattention import SpatialAttentionBlock
 from .fcn import FCN, GCN, MCFCN, Refine
+from .attention_utils import DecomposedRelativePosEmbedding, add_decomposed_rel_pos, get_rel_pos
+from .dynunet_block import get_output_padding, get_padding
+from .fft_utils_t import (
+    fftn_centered,
+    fftn_centered_t,
+    fftshift,
+    ifftn_centered,
+    ifftn_centered_t,
+    ifftshift,
+    roll,
+    roll_1d,
+)
+from .pos_embed_utils import build_sincos_position_embedding
+from .segresnet_block import get_upsample_layer

@@ -165,3 +165,30 @@ class UnetrPrUpBlock(nnx.Module):
             for m in mods:
                 x = m(x)
         return x
+
+
+def get_padding(kernel_size, stride):
+    """SAME-style pad for the given kernel/stride (reference: dynunet_block.py:304)."""
+    import numpy as np
+
+    kernel_size_np = np.atleast_1d(kernel_size)
+    stride_np = np.atleast_1d(stride)
+    pad_np = (kernel_size_np - stride_np + 1) / 2
+    if np.min(pad_np) < 0:
+        raise AssertionError("padding value should not be negative, please change the kernel size and/or stride.")
+    padding = tuple(int(p) for p in pad_np)
+    return padding if len(padding) > 1 else padding[0]
+
+
+def get_output_padding(kernel_size, stride, padding):
+    """Transposed-conv output padding (reference: dynunet_block.py:315)."""
+    import numpy as np
+
+    kernel_size_np = np.atleast_1d(kernel_size)
+    stride_np = np.atleast_1d(stride)
+    padding_np = np.atleast_1d(padding)
+    out_padding_np = 2 * padding_np + stride_np - kernel_size_np
+    if np.min(out_padding_np) < 0:
+        raise AssertionError("out_padding value should not be negative, please change the kernel size and/or stride.")
+    out_padding = tuple(int(p) for p in out_padding_np)
+    return out_padding if len(out_padding) > 1 else out_padding[0]

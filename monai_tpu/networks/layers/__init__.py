@@ -47,4 +47,8 @@ from .simplelayers import (
     SharpenFilter,
     Swish,
 )
-from .spatial_transforms import AffineTransform, grid_count, grid_pull, grid_push, normalize_transform, to_norm_affine
+from .spatial_transforms import AffineTransform, grid_count, grid_grad, grid_pull, grid_push, normalize_transform, to_norm_affine
+from .convutils import calculate_out_shape, gaussian_1d, polyval
+from .factories import Pad, RelPosEmbedding, get_pad_layer, get_rel_pos_embedding_layer
+from .simplelayers import get_binary_kernel, median_filter
+from .weight_init import trunc_normal_

@@ -322,3 +322,63 @@ def get_dropout_layer(name, dropout_dim: int = 1, rngs=None):
 def get_pool_layer(name, spatial_dims: int = 1, rngs=None):
     pool_name, pool_args = split_args(name)
     return Pool[pool_name, spatial_dims](rngs=rngs, **pool_args)
+
+
+# --- Pad factory (reference: factories.py constant_pad_factory / replication_pad_factory)
+Pad = LayerFactory("Pad")
+
+
+class _PadModule(nnx.Module):
+    """Channel-first spatial padding module."""
+
+    def __init__(self, padding, mode: str, value: float = 0.0, spatial_dims: int = 1):
+        self.padding = ensure_tuple_rep(padding, spatial_dims) if isinstance(padding, int) else padding
+        self.mode = mode
+        self.value = value
+
+    def __call__(self, x):
+        pads = [(0, 0), (0, 0)] + [(p, p) if isinstance(p, int) else tuple(p) for p in self.padding]
+        if self.mode == "constant":
+            return jnp.pad(x, pads, mode="constant", constant_values=self.value)
+        return jnp.pad(x, pads, mode=self.mode)
+
+
+@Pad.factory_function("constantpad")
+def constant_pad_factory(dim: int):
+    def make(padding, value: float = 0.0, rngs=None):
+        return _PadModule(padding, "constant", value, spatial_dims=dim)
+    return make
+
+
+@Pad.factory_function("replicationpad")
+def replication_pad_factory(dim: int):
+    def make(padding, rngs=None):
+        return _PadModule(padding, "edge", spatial_dims=dim)
+    return make
+
+
+# --- relative positional embedding factory (reference: factories.py RelPosEmbedding,
+# layers/utils.py:131 get_rel_pos_embedding_layer)
+RelPosEmbedding = LayerFactory("RelPosEmbedding")
+
+
+@RelPosEmbedding.factory_function("decomposed")
+def decomposed_rel_pos_embedding(_dim: int = 1):
+    from ..blocks.attention_utils import DecomposedRelativePosEmbedding
+
+    return DecomposedRelativePosEmbedding
+
+
+def get_rel_pos_embedding_layer(name, s_input_dims, c_dim: int, num_heads: int, rngs=None):
+    """Instantiate a relative positional embedding block by factory name
+    (reference: layers/utils.py:131)."""
+    embedding_name, embedding_args = split_args(name)
+    cls = RelPosEmbedding.factories[str(embedding_name).upper()](1)
+    return cls(s_input_dims=s_input_dims, c_dim=c_dim, num_heads=num_heads,
+               rngs=rngs or nnx.Rngs(0), **embedding_args)
+
+
+def get_pad_layer(name, spatial_dims: int = 1, rngs=None):
+    """Instantiate a padding layer by factory name."""
+    pad_name, pad_args = split_args(name)
+    return Pad[pad_name, spatial_dims](rngs=rngs, **pad_args)

@@ -318,3 +318,26 @@ class SharpenFilter(ApplyFilter):
         k = -np.ones((size,) * spatial_dims, np.float32)
         k[(size // 2,) * spatial_dims] = size ** spatial_dims
         super().__init__(k)
+
+
+def get_binary_kernel(window_size: Sequence[int], dtype=jnp.float32) -> jnp.ndarray:
+    """One-hot unfold kernel: (prod(window), 1, *window) with a single 1 per output
+    channel (reference: simplelayers.py:get_binary_kernel)."""
+    win = tuple(int(w) for w in window_size)
+    prod = int(np.prod(win))
+    kernel = jnp.eye(prod, dtype=dtype).reshape((prod, 1) + win)
+    return kernel
+
+
+def median_filter(in_tensor, kernel_size: Sequence[int] = (3, 3, 3), spatial_dims: int = 3,
+                  **kwargs):
+    """Functional median filter over the last ``spatial_dims`` axes, edge-padded
+    (reference: simplelayers.py:median_filter)."""
+    x = jnp.asarray(in_tensor)
+    orig_shape = x.shape
+    # normalize to (B, C, *spatial)
+    while x.ndim < spatial_dims + 2:
+        x = x[None]
+    radii = [max((k - 1) // 2, 0) for k in ensure_tuple_rep(kernel_size, spatial_dims)]
+    out = MedianFilter(radius=radii, spatial_dims=spatial_dims)(x)
+    return out.reshape(orig_shape)

@@ -16,10 +16,10 @@ import numpy as np
 import jax.numpy as jnp
 from flax import nnx
 
-from ...ops.resample import grid_count, grid_pull, grid_push, resolve_mode
+from ...ops.resample import grid_count, grid_grad, grid_pull, grid_push, resolve_mode
 from ...utils.misc import ensure_tuple
 
-__all__ = ["AffineTransform", "normalize_transform", "to_norm_affine", "grid_pull",
+__all__ = ["AffineTransform", "normalize_transform", "to_norm_affine", "grid_pull", "grid_grad",
            "grid_push", "grid_count"]
 
 

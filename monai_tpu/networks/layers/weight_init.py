@@ -45,3 +45,7 @@ def icnr_init(key, shape, upsample_factor: int = 2, dtype=jnp.float32) -> jnp.nd
     sub = normal_init(key, shape[:-1] + (max(out_ch // scale, 1),), dtype=dtype)
     k = jnp.repeat(sub, scale, axis=-1)
     return k[..., :out_ch]
+
+
+# functional-style alias matching the reference's in-place name (weight_init.py trunc_normal_)
+trunc_normal_ = trunc_normal

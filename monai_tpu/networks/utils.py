@@ -112,3 +112,248 @@ def _unflatten_dict(flat: dict) -> dict:
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params) if hasattr(p, "shape"))
+
+
+def pixelunshuffle(x: Any, spatial_dims: int, scale_factor: int) -> Any:
+    """Inverse of pixelshuffle: fold (f, ...) spatial blocks into channels
+    (reference: networks/utils.py:415)."""
+    f = scale_factor
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    if any(s % f != 0 for s in spatial):
+        raise ValueError(f"spatial shape {spatial} not divisible by {f}.")
+    # (B, C, h, f, w, f, ...) -> (B, C, f, f, ..., h, w, ...)
+    new_shape = [b, c]
+    for s in spatial:
+        new_shape.extend([s // f, f])
+    y = jnp.reshape(x, new_shape)
+    perm = [0, 1] + [3 + 2 * d for d in range(spatial_dims)] + [2 + 2 * d for d in range(spatial_dims)]
+    y = jnp.transpose(y, perm)
+    return jnp.reshape(y, (b, c * f ** spatial_dims) + tuple(s // f for s in spatial))
+
+
+def meshgrid_xy(*tensors):
+    """'xy'-indexed meshgrid (reference: networks/utils.py meshgrid_xy)."""
+    return jnp.meshgrid(*tensors, indexing="xy")
+
+
+def predict_segmentation(logits: Any, mutually_exclusive: bool = False,
+                         threshold: float = 0.0) -> Any:
+    """Discrete labels from logits: threshold (multi-label) or channel argmax
+    (multi-class) (reference: networks/utils.py predict_segmentation)."""
+    import warnings
+
+    if not mutually_exclusive:
+        return (logits >= threshold).astype(jnp.int32)
+    if logits.shape[1] == 1:
+        warnings.warn("single channel prediction, `mutually_exclusive=True` ignored, "
+                      "use threshold instead.")
+        return (logits >= threshold).astype(jnp.int32)
+    return jnp.argmax(logits, axis=1, keepdims=True)
+
+
+class eval_mode:
+    """Context manager putting nnx modules in eval mode and restoring after
+    (reference: networks/utils.py:458 eval_mode; no_grad is implicit in jax)."""
+
+    def __init__(self, *modules):
+        self.modules = modules
+
+    def __enter__(self):
+        for m in self.modules:
+            if hasattr(m, "eval"):
+                m.eval()
+        return self.modules
+
+    def __exit__(self, *exc):
+        for m in self.modules:
+            if hasattr(m, "train"):
+                m.train()
+        return False
+
+
+class train_mode:
+    """Context manager putting nnx modules in train mode and restoring after
+    (reference: networks/utils.py:493 train_mode)."""
+
+    def __init__(self, *modules):
+        self.modules = modules
+
+    def __enter__(self):
+        for m in self.modules:
+            if hasattr(m, "train"):
+                m.train()
+        return self.modules
+
+    def __exit__(self, *exc):
+        for m in self.modules:
+            if hasattr(m, "eval"):
+                m.eval()
+        return False
+
+
+def get_state_dict(obj):
+    """Flat {path: array} state of an nnx module or pytree
+    (reference: networks/utils.py get_state_dict)."""
+    from flax import nnx as _nnx
+
+    if isinstance(obj, _nnx.Module):
+        state = _nnx.state(obj)
+        flat = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.to_pure_dict())[0]:
+            key = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            flat[key] = leaf
+        return flat
+    return obj
+
+
+def save_state(src, path, **kwargs):
+    """Save a module/state dict to ``path`` via numpy .npz
+    (reference: networks/utils.py save_state; torch.save -> npz here)."""
+    import numpy as _np
+
+    flat = get_state_dict(src)
+    _np.savez(path, **{k: _np.asarray(v) for k, v in flat.items()})
+
+
+def look_up_named_module(name: str, mod, print_all_options: bool = False):
+    """Fetch a submodule by dotted path, None if absent
+    (reference: networks/utils.py look_up_named_module)."""
+    obj = mod
+    for part in name.split("."):
+        if not part:
+            continue
+        if part.isdigit():
+            try:
+                obj = obj[int(part)]
+                continue
+            except Exception:
+                return None
+        if not hasattr(obj, part):
+            return None
+        obj = getattr(obj, part)
+    return obj
+
+
+def set_named_module(mod, name: str, new_layer):
+    """Replace the submodule at dotted path ``name`` with ``new_layer``
+    (reference: networks/utils.py set_named_module)."""
+    *parents, last = name.split(".")
+    obj = mod
+    for part in parents:
+        obj = obj[int(part)] if part.isdigit() else getattr(obj, part)
+    if last.isdigit():
+        obj[int(last)] = new_layer
+    else:
+        setattr(obj, last, new_layer)
+    return mod
+
+
+def replace_modules_by_type(parent, match_type, constructor) -> list:
+    """Replace every child module of ``match_type`` with ``constructor(old)``;
+    returns (path, old) pairs (reference: networks/utils.py replace_modules)."""
+    from flax import nnx as _nnx
+
+    replaced = []
+
+    def _walk(mod, prefix):
+        for attr in list(vars(mod)):
+            child = getattr(mod, attr)
+            if isinstance(child, match_type):
+                setattr(mod, attr, constructor(child))
+                replaced.append((f"{prefix}{attr}", child))
+            elif isinstance(child, _nnx.Module):
+                _walk(child, f"{prefix}{attr}.")
+            elif isinstance(child, (list, _nnx.List)):
+                for i, item in enumerate(child):
+                    if isinstance(item, match_type):
+                        child[i] = constructor(item)
+                        replaced.append((f"{prefix}{attr}.{i}", item))
+                    elif isinstance(item, _nnx.Module):
+                        _walk(item, f"{prefix}{attr}.{i}.")
+
+    _walk(parent, "")
+    return replaced
+
+
+replace_modules = replace_modules_by_type
+
+
+def freeze_layers(model, freeze_vars=None, exclude_vars=None):
+    """Mark matching parameters as frozen by converting nnx.Param leaves whose
+    path matches to non-trainable Variables is not supported in-place; instead
+    this returns an `optax.multi_transform`-style mask pytree: True = trainable
+    (reference: networks/utils.py freeze_layers — torch sets requires_grad).
+
+    Use with `optax.masked(optimizer, mask)` in the training step.
+    """
+    import re
+    from flax import nnx as _nnx
+
+    state = _nnx.state(model, _nnx.Param)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state.to_pure_dict())
+    mask_leaves = []
+    for path, _ in flat:
+        name = ".".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        trainable = True
+        if freeze_vars is not None and re.compile(freeze_vars).search(name):
+            trainable = False
+        if exclude_vars is not None and not re.compile(exclude_vars).search(name):
+            trainable = False
+        mask_leaves.append(trainable)
+    return jax.tree_util.tree_unflatten(treedef, mask_leaves)
+
+
+def convert_to_onnx(*args, **kwargs):
+    """Not applicable on TPU: export with `jax.export` / StableHLO instead
+    (reference: networks/utils.py:661 convert_to_onnx)."""
+    raise NotImplementedError(
+        "ONNX export is a torch workflow; on TPU use jax.export (StableHLO) or "
+        "jax.jit(...).lower(...).compile() AOT artifacts.")
+
+
+def convert_to_torchscript(*args, **kwargs):
+    """Not applicable on TPU (reference: networks/utils.py:788)."""
+    raise NotImplementedError(
+        "TorchScript export is a torch workflow; on TPU use jax.export or AOT "
+        "lowering via jax.jit(...).lower(...).")
+
+
+def convert_to_trt(*args, **kwargs):
+    """Not applicable on TPU: XLA is the ahead-of-time compiler here
+    (reference: networks/utils.py:932)."""
+    raise NotImplementedError(
+        "TensorRT is CUDA-only; XLA compiles the TPU program — use "
+        "jax.jit(...).lower(...).compile() for AOT compilation.")
+
+
+def cast_tensor(x, from_dtype=jnp.float16, to_dtype=jnp.float32):
+    """Cast arrays of ``from_dtype`` to ``to_dtype``, recursively through pytrees
+    (reference: networks/utils.py cast_tensor)."""
+    return jax.tree_util.tree_map(
+        lambda t: t.astype(to_dtype) if hasattr(t, "dtype") and t.dtype == jnp.dtype(from_dtype) else t, x)
+
+
+def cast_all(x, from_dtype=jnp.float16, to_dtype=jnp.float32):
+    """Alias of cast_tensor over arbitrary containers (reference: networks/utils.py
+    cast_all)."""
+    return cast_tensor(x, from_dtype, to_dtype)
+
+
+class CastTempType:
+    """Wrap a module: cast input to a temporary dtype for the submodule, cast the
+    output back (reference: networks/utils.py:1228 CastTempType)."""
+
+    def __init__(self, initial_type, temporary_type, submodule):
+        self.initial_type = jnp.dtype(initial_type)
+        self.temporary_type = jnp.dtype(temporary_type)
+        self.submodule = submodule
+
+    def __call__(self, x, *args, **kwargs):
+        dtype = x.dtype
+        if dtype == self.initial_type:
+            x = x.astype(self.temporary_type)
+        out = self.submodule(x, *args, **kwargs)
+        if hasattr(out, "dtype") and out.dtype == self.temporary_type and dtype == self.initial_type:
+            out = out.astype(self.initial_type)
+        return out

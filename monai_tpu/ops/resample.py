@@ -348,3 +348,26 @@ def affine_resample(img: Any, matrix: Any, out_shape: Sequence[int], mode: Any =
 @jax.jit
 def _affine_resample_jit(img, grid):
     return grid_pull(img, grid, interpolation=1, bound="zeros")
+
+
+def grid_grad(input: Any, grid: Any, interpolation: Any = 1, bound: str = "zeros",
+              align_corners: bool = False):
+    """Spatial gradient of ``grid_pull`` w.r.t. the sampling coordinates
+    (reference: monai/networks/layers/spatial_transforms.py grid_grad / csrc pushpull).
+
+    Each output point depends only on its own grid coordinate, so the per-point
+    Jacobian is obtained from one reverse-mode pass per channel.
+
+    Args:
+        input: ``(C, *in_spatial)`` array.
+        grid: ``(*out_spatial, D)`` voxel coordinates.
+
+    Returns ``(C, *out_spatial, D)``.
+    """
+    import jax
+
+    def per_channel(inp_c):
+        return jax.grad(lambda g: jnp.sum(grid_pull(inp_c[None], g, interpolation,
+                                                    bound, align_corners)))(grid)
+
+    return jax.vmap(per_channel)(jnp.asarray(input))
