@@ -107,3 +107,25 @@ class LesionFROC:
         fps_per_image, total_sensitivity = compute_froc_curve_data(fp_probs, tp_probs,
                                                                    num_targets, num_images)
         return compute_froc_score(fps_per_image, total_sensitivity, self.eval_thresholds)
+
+
+def compute_fp_tp_probs_nd(probs, coords, evaluation_mask, labels_to_exclude=None):
+    """n-D variant of compute_fp_tp_probs: ``coords`` is (n, n_dim) in mask order
+    (reference: metrics/froc.py:22 compute_fp_tp_probs_nd)."""
+    probs = to_numpy(probs)
+    coords = to_numpy(coords).astype(np.int64)
+    evaluation_mask = to_numpy(evaluation_mask)
+    if len(probs) != len(coords):
+        raise ValueError(f"len(probs) {len(probs)} != len(coords) {len(coords)}.")
+    if coords.ndim < 2 or coords.shape[1] != evaluation_mask.ndim:
+        raise ValueError(f"coords {coords.shape} must match mask rank {evaluation_mask.ndim}.")
+    labels_to_exclude = labels_to_exclude or []
+    max_label = int(evaluation_mask.max())
+    tp_probs = np.zeros((max_label,), dtype=np.float32)
+    hit_labels = evaluation_mask[tuple(coords.T)]
+    fp_probs = probs[hit_labels == 0]
+    for i in range(1, max_label + 1):
+        if i not in labels_to_exclude and i in hit_labels:
+            tp_probs[i - 1] = probs[hit_labels == i].max()
+    num_targets = max_label - len(labels_to_exclude)
+    return fp_probs, tp_probs, num_targets

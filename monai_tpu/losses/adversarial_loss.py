@@ -145,3 +145,32 @@ class AdversarialCriterions(StrEnum):
     BCE = "bce"
     HINGE = "hinge"
     LEAST_SQUARE = "least_squares"
+
+
+def complex_diff_abs_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """MSE of complex-difference magnitudes; inputs are (B, 2, H, W) real pairs
+    (reference: sure_loss.py:21)."""
+    diff = x - y
+    mag = jnp.sqrt(diff[:, 0] ** 2 + diff[:, 1] ** 2 + 1e-12)
+    return jnp.mean(mag ** 2)
+
+
+def sure_loss_function(operator, x: jnp.ndarray, y_pseudo_gt: jnp.ndarray, y_ref=None,
+                       eps: float | None = -1.0, perturb_noise=None,
+                       complex_input: bool = False, key=None) -> jnp.ndarray:
+    """Functional SURE loss (reference: sure_loss.py:41). ``perturb_noise`` or
+    ``key`` supplies the Monte-Carlo divergence probe (jax has no global RNG)."""
+    if perturb_noise is None:
+        key = jax.random.PRNGKey(0) if key is None else key
+        perturb_noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    if eps == -1.0 or eps is None:
+        eps = float(jnp.abs(y_pseudo_gt).max()) / 1000
+    if y_ref is None:
+        y_ref = operator(x)
+    y_perturbed = operator(x + eps * perturb_noise)
+    divergence = jnp.sum(perturb_noise * (y_perturbed - y_ref)) / eps
+    if complex_input:
+        l2_loss = complex_diff_abs_loss(y_ref, y_pseudo_gt)
+    else:
+        l2_loss = jnp.mean((y_ref - y_pseudo_gt) ** 2)
+    return l2_loss + 2.0 * divergence / x.size

@@ -611,3 +611,18 @@ class AsymmetricFocalTverskyLoss:
         back = 1 - dice[:, 0]
         fore = (1 - dice[:, 1]) * jnp.abs(1 - dice[:, 1]) ** (-self.gamma)
         return jnp.mean(jnp.stack([back, fore], axis=-1))
+
+
+# public functional aliases (reference: cldice.py soft_erode/soft_dilate/soft_open/soft_dice,
+# deform.py spatial_gradient)
+soft_erode = _soft_erode
+soft_dilate = _soft_dilate
+soft_open = _soft_open
+spatial_gradient = _spatial_gradient
+
+
+def soft_dice(y_true: jnp.ndarray, y_pred: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """Soft dice over non-background channels (reference: cldice.py:95)."""
+    intersection = jnp.sum((y_true * y_pred)[:, 1:])
+    coeff = (2.0 * intersection + smooth) / (jnp.sum(y_true[:, 1:]) + jnp.sum(y_pred[:, 1:]) + smooth)
+    return 1.0 - coeff

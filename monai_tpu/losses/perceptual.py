@@ -73,3 +73,76 @@ class PerceptualLoss:
         if self.spatial_dims == 3 and self.is_fake_3d:
             return self._fake_3d(inputs, targets)
         return self._loss_2d(inputs, targets)
+
+
+class PercetualNetworkType:
+    """Supported perceptual backbones (reference: perceptual.py:26; name typo kept
+    for API parity)."""
+    alex = "alex"
+    vgg = "vgg"
+    squeeze = "squeeze"
+    radimagenet_resnet50 = "radimagenet_resnet50"
+    medicalnet_resnet10_23datasets = "medicalnet_resnet10_23datasets"
+    medicalnet_resnet50_23datasets = "medicalnet_resnet50_23datasets"
+
+
+def spatial_average_3d(x, keepdim: bool = True):
+    """(reference: perceptual.py:270)"""
+    return x.mean(axis=(2, 3, 4), keepdims=keepdim)
+
+
+def spatial_average(x, keepdim: bool = True):
+    """(reference: perceptual.py:419)"""
+    return x.mean(axis=(2, 3), keepdims=keepdim)
+
+
+def normalize_tensor(x, eps: float = 1e-10):
+    """Unit-norm over the channel axis (reference: perceptual.py:274)."""
+    norm_factor = jnp.sqrt(jnp.sum(x ** 2, axis=1, keepdims=True))
+    return x / (norm_factor + eps)
+
+
+def medicalnet_intensity_normalisation(volume):
+    """Z-score over the whole volume (reference: perceptual.py:279)."""
+    return (volume - volume.mean()) / volume.std()
+
+
+def torchvision_zscore_norm(x):
+    """ImageNet z-score per RGB channel (reference: perceptual.py:423)."""
+    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(1, 3, 1, 1)
+    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(1, 3, 1, 1)
+    return (x - mean) / std
+
+
+def subtract_mean(x):
+    """Subtract BGR-ordered ImageNet mean (reference: perceptual.py:432)."""
+    mean = jnp.asarray([0.406, 0.456, 0.485]).reshape(1, 3, 1, 1)
+    return x - mean
+
+
+def _pretrained_unavailable(name: str):
+    raise RuntimeError(
+        f"{name} requires downloading pretrained torch weights, which this "
+        "zero-egress TPU environment cannot do. Pass an explicit "
+        "`feature_network` callable to PerceptualLoss instead.")
+
+
+class MedicalNetPerceptualSimilarity:
+    """Gated: needs MedicalNet pretrained weights (reference: perceptual.py)."""
+
+    def __init__(self, *args, **kwargs):
+        _pretrained_unavailable("MedicalNetPerceptualSimilarity")
+
+
+class RadImageNetPerceptualSimilarity:
+    """Gated: needs RadImageNet pretrained weights (reference: perceptual.py)."""
+
+    def __init__(self, *args, **kwargs):
+        _pretrained_unavailable("RadImageNetPerceptualSimilarity")
+
+
+class TorchvisionModelPerceptualSimilarity:
+    """Gated: needs torchvision pretrained weights (reference: perceptual.py)."""
+
+    def __init__(self, *args, **kwargs):
+        _pretrained_unavailable("TorchvisionModelPerceptualSimilarity")
