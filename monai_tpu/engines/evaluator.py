@@ -72,6 +72,7 @@ class SupervisedEvaluator(Evaluator):
         self.network = network
         self.inferer = SimpleInferer() if inferer is None else inferer
         self._fwd = None
+        self._predictor = None
 
     def _iteration(self, engine, batchdata: dict) -> dict:
         if batchdata is None:
@@ -86,15 +87,23 @@ class SupervisedEvaluator(Evaluator):
         inputs_j = to_jax(inputs.data if isinstance(inputs, MetaImage) else inputs)
         if self.amp:
             inputs_j = inputs_j.astype(jnp.bfloat16)
-        if self._fwd is None:
-            net = self.network
+        if self._predictor is None:
+            # built ONCE: a stable predictor identity lets sliding_window_inference's
+            # jit cache hit across iterations. An nnx.Module network is passed to
+            # non-Simple inferers as-is — sliding_window_inference splits it and
+            # passes the weights as jit arguments (updates between validations are
+            # picked up; the predictor also works under jax.eval_shape). For
+            # SimpleInferer an nnx.jit wrapper provides the compiled forward.
+            if isinstance(self.network, nnx.Module) and not isinstance(self.inferer, SimpleInferer):
+                self._predictor = self.network
+            else:
+                @nnx.jit
+                def _fwd(model, x):
+                    return model(x)
 
-            @nnx.jit
-            def _fwd(model, x):
-                return model(x)
-
-            self._fwd = _fwd
-        preds = self.inferer(inputs_j, lambda x, *a, **kw: self._fwd(self.network, x), *args, **kwargs)
+                self._fwd = _fwd
+                self._predictor = lambda x, *a, **kw: self._fwd(self.network, x)
+        preds = self.inferer(inputs_j, self._predictor, *args, **kwargs)
         preds = preds.astype(jnp.float32) if hasattr(preds, "astype") else preds
         engine.fire_event(IterationEvents.FORWARD_COMPLETED)
         engine.fire_event(IterationEvents.MODEL_COMPLETED)

@@ -30,6 +30,15 @@ def _state_of(obj: Any):
     return obj
 
 
+def _np_leaf(x):
+    """numpy-ify a leaf; typed PRNG keys are stored as their raw uint32 key data."""
+    import jax
+
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        return np.asarray(jax.random.key_data(x))
+    return np.asarray(x)
+
+
 def save_checkpoint(save_dict: Mapping[str, Any], path: str) -> None:
     """Write a checkpoint directory with one orbax item per key."""
     import orbax.checkpoint as ocp
@@ -38,7 +47,7 @@ def save_checkpoint(save_dict: Mapping[str, Any], path: str) -> None:
     ckptr = ocp.PyTreeCheckpointer()
     import jax
 
-    tree = {k: jax.tree_util.tree_map(np.asarray, _tree_of(_state_of(v))) for k, v in save_dict.items()}
+    tree = {k: jax.tree_util.tree_map(_np_leaf, _tree_of(_state_of(v))) for k, v in save_dict.items()}
     ckptr.save(path_p, tree, force=True)
 
 
@@ -68,6 +77,19 @@ def load_checkpoint(load_dict: Mapping[str, Any], path: str, strict: bool = True
         data = restored[k]
         if isinstance(obj, (nnx.Module, nnx.Optimizer)):
             state = nnx.state(obj)
+            # re-wrap raw uint32 key data where the live leaf is a typed PRNG key
+            import jax
+            import jax.numpy as jnp
+
+            def _rewrap(r, live):
+                if hasattr(live, "dtype") and jax.dtypes.issubdtype(live.dtype, jax.dtypes.prng_key):
+                    return jax.random.wrap_key_data(jnp.asarray(r, dtype=jnp.uint32))
+                return r
+
+            try:
+                data = jax.tree_util.tree_map(_rewrap, data, _tree_of(state))
+            except Exception:
+                pass
             try:
                 if hasattr(nnx, "replace_by_pure_dict"):
                     nnx.replace_by_pure_dict(state, data)
@@ -95,6 +117,11 @@ class CheckpointSaver:
                  save_interval: int = 0, n_saved: int | None = None):
         if save_dir is None:
             raise AssertionError("must provide directory to save the checkpoints.")
+        if key_metric_filename is not None and key_metric_n_saved > 1:
+            # a fixed filename cannot hold N distinct best checkpoints: every save
+            # would overwrite the same path and eviction would delete the survivors
+            # (reference: checkpoint_saver.py:33 raises the same)
+            raise ValueError("if using fixed filename to save the best metric model, we should only save 1 model.")
         self.save_dir = save_dir
         self.save_dict = save_dict
         self.file_prefix = file_prefix

@@ -84,6 +84,22 @@ class IgniteMetricHandler:
 
         self.metric_fn(_stack(y_pred), _stack(y) if y is not None else None)
 
+    # -- CumulativeIterationMetric protocol delegation ------------------------
+    # The reference's Workflow accepts handler instances directly in
+    # key_val_metric/additional_metrics (workflow.py metric wiring); delegating
+    # lets these handlers double as metrics there.
+    def __call__(self, y_pred, y=None):
+        return self.metric_fn(y_pred, y)
+
+    def aggregate(self, *args, **kwargs):
+        return self.metric_fn.aggregate(*args, **kwargs)
+
+    def reset(self) -> None:
+        self.metric_fn.reset()
+
+    def get_buffer(self):
+        return self.metric_fn.get_buffer()
+
     def _aggregate(self, engine) -> None:
         result = self.metric_fn.aggregate()
         if isinstance(result, (tuple, list)):

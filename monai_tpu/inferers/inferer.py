@@ -75,6 +75,7 @@ class SliceInferer(SlidingWindowInferer):
         self.spatial_dim = spatial_dim
         super().__init__(*args, **kwargs)
         self.orig_roi_size = self.roi_size
+        self._wrapper_cache: dict = {}
 
     def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
         if self.spatial_dim > 2:
@@ -88,10 +89,18 @@ class SliceInferer(SlidingWindowInferer):
         roi.insert(self.spatial_dim, 1)
         self.roi_size = tuple(roi)
 
-        def network_wrapper(x, *a, **kw):
-            xs = jnp.squeeze(x, axis=self.spatial_dim + 2)
-            out = network(xs, *a, **kw)
-            return jnp.expand_dims(out, axis=self.spatial_dim + 2)
+        # reuse the wrapper for a given network so sliding_window_inference's
+        # id(predictor)-keyed jit cache can hit across calls
+        wrap_key = (id(network), self.spatial_dim)
+        network_wrapper = self._wrapper_cache.get(wrap_key)
+        if network_wrapper is None:
+            def network_wrapper(x, *a, **kw):
+                xs = jnp.squeeze(x, axis=self.spatial_dim + 2)
+                out = network(xs, *a, **kw)
+                return jnp.expand_dims(out, axis=self.spatial_dim + 2)
+
+            self._wrapper_cache.clear()
+            self._wrapper_cache[wrap_key] = network_wrapper
 
         return super().__call__(inputs, network_wrapper, *args, **kwargs)
 

@@ -6,10 +6,19 @@ TPU design (vs the reference's Python loop over window batches):
 - the scan grid is precomputed on host (dense_patch_slices);
 - the whole stitch runs inside ONE jit: `lax.scan` over window chunks, each chunk
   gathered with `dynamic_slice`, batched through the network, weighted by the
-  (constant-folded) Gaussian importance map and accumulated with
-  `dynamic_update_slice` read-modify-write;
+  Gaussian importance map and accumulated with `dynamic_update_slice`
+  read-modify-write;
 - window count is padded to a multiple of sw_batch_size with zero-weight dummy
   windows, keeping shapes static (one compilation per image-shape bucket).
+
+Caching correctness: everything that can vary between calls with the same shapes —
+the window grid, the importance map (sigma_scale / roi_weight_map), array-valued
+predictor ``*args``/``**kwargs``, and (for ``nnx.Module`` predictors) the network
+weights — is passed INTO the jitted program as arguments, never baked in as traced
+constants. Non-array args/kwargs are static and participate in the cache key.
+The one remaining caveat: a plain-callable predictor that closes over arrays bakes
+them in; pass an ``nnx.Module`` (weights become jit arguments) or route changing
+arrays through ``args``/``kwargs`` instead.
 """
 from __future__ import annotations
 
@@ -19,6 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import nnx
 
 from ..data.meta_image import MetaImage
 from ..data.utils import compute_importance_map, dense_patch_slices, get_valid_patch_size
@@ -29,6 +39,7 @@ from ..utils.misc import ensure_tuple_rep, fall_back_tuple
 __all__ = ["sliding_window_inference", "compute_scan_interval"]
 
 _SW_JIT_CACHE: dict = {}
+_SW_JIT_CACHE_MAX = 32
 
 
 def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], num_spatial_dims: int,
@@ -42,6 +53,59 @@ def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], nu
             interval = int(roi_size[i] * (1 - o))
             scan_interval.append(interval if interval > 0 else 1)
     return tuple(scan_interval)
+
+
+def _split_dynamic_args(args: tuple, kwargs: dict):
+    """Partition predictor (args, kwargs) into array leaves (passed through jit as
+    arguments) and static leaves (baked into the trace, keyed in the cache)."""
+    leaves, treedef = jax.tree_util.tree_flatten((tuple(args), dict(kwargs)))
+    dyn_idx, dyn_leaves, fixed = [], [], []
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, (jax.Array, np.ndarray)):
+            dyn_idx.append(i)
+            dyn_leaves.append(leaf)
+            fixed.append(None)
+        else:
+            fixed.append(leaf)
+    static_sig = (treedef, tuple(dyn_idx),
+                  tuple(repr(l) for i, l in enumerate(fixed) if i not in dyn_idx))
+
+    def rebuild(dyn):
+        merged = list(fixed)
+        for j, i in enumerate(dyn_idx):
+            merged[i] = dyn[j]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return dyn_leaves, rebuild, static_sig
+
+
+def _make_call_pred(predictor: Callable, rebuild):
+    """Return (call(state, wins, dyn), state) where state carries the nnx module
+    weights as a jit argument (None for plain callables)."""
+    if isinstance(predictor, nnx.Module):
+        graphdef, pred_state = nnx.split(predictor)
+
+        def call(state, wins, dyn):
+            a, k = rebuild(dyn)
+            return nnx.merge(graphdef, state)(wins, *a, **k)
+
+        return call, pred_state
+
+    def call(state, wins, dyn):
+        a, k = rebuild(dyn)
+        return predictor(wins, *a, **k)
+
+    return call, None
+
+
+def _cache_get(key, builder):
+    jitted = _SW_JIT_CACHE.get(key)
+    if jitted is None:
+        jitted = jax.jit(builder)
+        _SW_JIT_CACHE[key] = jitted
+        if len(_SW_JIT_CACHE) > _SW_JIT_CACHE_MAX:
+            _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
+    return jitted
 
 
 def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batch_size: int,
@@ -85,7 +149,7 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     starts = np.asarray([[s[0] for s in sl] for sl in slices], dtype=np.int32)  # (N, D)
     num_win = starts.shape[0]
 
-    # importance map (host-constant)
+    # importance map (host-computed, passed into the jit as an argument)
     valid_patch = get_valid_patch_size(image_size, roi_size_)
     if roi_weight_map is not None and tuple(roi_weight_map.shape) == tuple(valid_patch):
         imp = np.asarray(roi_weight_map, dtype=np.float32)
@@ -105,19 +169,23 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     mask_j = jnp.asarray(win_mask.reshape(n_chunks, sw_batch_size))
     imp_j = jnp.asarray(imp)
 
+    dyn_leaves, rebuild, static_sig = _split_dynamic_args(args, kwargs)
+    call_pred, pred_state = _make_call_pred(predictor, rebuild)
+
     # infer output channels/shape with eval_shape (no FLOPs)
     win_shape = (batch_size * sw_batch_size, x.shape[1]) + tuple(roi_size_)
-    out_aval = jax.eval_shape(lambda w: predictor(w, *args, **kwargs),
-                              jax.ShapeDtypeStruct(win_shape, x.dtype))
+    out_aval = jax.eval_shape(call_pred, pred_state,
+                              jax.ShapeDtypeStruct(win_shape, x.dtype), dyn_leaves)
     out_leaves, out_treedef = jax.tree_util.tree_flatten(out_aval)
     if not (len(out_leaves) == 1 and jax.tree_util.treedef_is_leaf(out_treedef)):
         # pytree-output predictors (e.g. HoVerNet's NP/HV/NC dict): one
         # accumulator per leaf, single forward per chunk (reference:
         # inferers/utils.py:42 handles tuple/dict seg_prob_out the same way)
         return _sliding_window_multi(
-            x, inputs, predictor, args, kwargs, out_leaves, out_treedef, batch_size,
-            num_spatial_dims, roi_size_, sw_batch_size, starts_j, mask_j, imp_j,
-            image_size, image_size_, any_pad, pad_width, overlap_, mode, num_win)
+            x, inputs, call_pred, pred_state, dyn_leaves, static_sig, predictor,
+            out_leaves, out_treedef, batch_size, num_spatial_dims, roi_size_,
+            sw_batch_size, starts_j, mask_j, imp_j, image_size, image_size_, any_pad,
+            pad_width, overlap_, mode, num_win, is_meta)
     out_channels = out_aval.shape[1]
     out_roi = out_aval.shape[2:]
     if tuple(out_roi) != tuple(roi_size_):
@@ -133,11 +201,12 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     # the whole gather→forward→stitch pipeline must be ONE compiled program: eager
     # per-op dispatch (especially via a remote TPU tunnel) is orders of magnitude slower
     cache_key = (id(predictor), x.shape, x.dtype.name, tuple(roi_size_), sw_batch_size,
-                 tuple(overlap_), str(mode), num_win)
+                 tuple(overlap_), str(mode), num_win, static_sig)
 
-    def _run(x_in):
+    def _run(x_in, starts_a, mask_a, imp_a, state_a, dyn_a):
         out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
         count = jnp.zeros((1, 1) + out_spatial, dtype=jnp.float32)
+        imp_w = jax.image.resize(imp_a, out_roi, method="linear") if zoom else imp_a
 
         def chunk_body(carry, chunk):
             out_acc, cnt_acc = carry
@@ -149,11 +218,8 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
 
             wins = jax.vmap(gather_one)(starts_c)  # (sw, B, C, *roi)
             wins = wins.reshape((sw_batch_size * batch_size, x_in.shape[1]) + tuple(roi_size_))
-            preds = predictor(wins, *args, **kwargs)
+            preds = call_pred(state_a, wins, dyn_a)
             preds = preds.reshape((sw_batch_size, batch_size, out_channels) + tuple(out_roi))
-            imp_w = imp_j
-            if zoom:
-                imp_w = jax.image.resize(imp_j, out_roi, method="linear")
             weighted = preds * imp_w[None, None, None].astype(compute_dtype) * mask_c.reshape(
                 (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(compute_dtype)
 
@@ -175,16 +241,11 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
             out_acc, cnt_acc = jax.lax.fori_loop(0, sw_batch_size, scatter_one, (out_acc, cnt_acc))
             return (out_acc, cnt_acc), None
 
-        (out_img, count), _ = jax.lax.scan(chunk_body, (out_img, count), (starts_j, mask_j))
+        (out_img, count), _ = jax.lax.scan(chunk_body, (out_img, count), (starts_a, mask_a))
         return out_img / jnp.maximum(count, 1e-8).astype(compute_dtype)
 
-    jitted = _SW_JIT_CACHE.get(cache_key)
-    if jitted is None:
-        jitted = jax.jit(_run)
-        _SW_JIT_CACHE[cache_key] = jitted
-        if len(_SW_JIT_CACHE) > 32:
-            _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
-    output = jitted(x)
+    jitted = _cache_get(cache_key, _run)
+    output = jitted(x, starts_j, mask_j, imp_j, pred_state, dyn_leaves)
 
     # crop away the symmetric pad
     if any_pad:
@@ -202,10 +263,11 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     return output
 
 
-def _sliding_window_multi(x, inputs, predictor, args, kwargs, out_leaves, out_treedef,
-                          batch_size, num_spatial_dims, roi_size_, sw_batch_size,
+def _sliding_window_multi(x, inputs, call_pred, pred_state, dyn_leaves, static_sig,
+                          predictor, out_leaves, out_treedef, batch_size,
+                          num_spatial_dims, roi_size_, sw_batch_size,
                           starts_j, mask_j, imp_j, image_size, image_size_, any_pad,
-                          pad_width, overlap_, mode, num_win):
+                          pad_width, overlap_, mode, num_win, is_meta):
     """Stitch loop for predictors returning a pytree of arrays (dict/tuple heads).
 
     Same gather→forward→weighted-scatter pipeline as the single-array path, but
@@ -221,10 +283,12 @@ def _sliding_window_multi(x, inputs, predictor, args, kwargs, out_leaves, out_tr
                 if zooms[i] else tuple(image_size) for i in range(n_leaves)]
     dtypes = [l.dtype for l in out_leaves]
 
-    def _run(x_in):
+    def _run(x_in, starts_a, mask_a, imp_a, state_a, dyn_a):
         outs = tuple(jnp.zeros((batch_size, chans[i]) + spatials[i], dtype=dtypes[i])
                      for i in range(n_leaves))
         cnts = tuple(jnp.zeros((1, 1) + spatials[i], dtype=jnp.float32) for i in range(n_leaves))
+        imp_ws = [jax.image.resize(imp_a, rois[i], method="linear") if zooms[i] else imp_a
+                  for i in range(n_leaves)]
 
         def chunk_body(carry, chunk):
             outs_a, cnts_a = carry
@@ -236,11 +300,11 @@ def _sliding_window_multi(x, inputs, predictor, args, kwargs, out_leaves, out_tr
 
             wins = jax.vmap(gather_one)(starts_c)
             wins = wins.reshape((sw_batch_size * batch_size, x_in.shape[1]) + tuple(roi_size_))
-            preds_leaves = jax.tree_util.tree_leaves(predictor(wins, *args, **kwargs))
+            preds_leaves = jax.tree_util.tree_leaves(call_pred(state_a, wins, dyn_a))
             new_outs, new_cnts = [], []
             for li in range(n_leaves):
                 preds = preds_leaves[li].reshape((sw_batch_size, batch_size, chans[li]) + rois[li])
-                imp_w = jax.image.resize(imp_j, rois[li], method="linear") if zooms[li] else imp_j
+                imp_w = imp_ws[li]
                 weighted = preds * imp_w[None, None, None].astype(dtypes[li]) * mask_c.reshape(
                     (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(dtypes[li])
 
@@ -265,18 +329,13 @@ def _sliding_window_multi(x, inputs, predictor, args, kwargs, out_leaves, out_tr
                 new_cnts.append(c)
             return (tuple(new_outs), tuple(new_cnts)), None
 
-        (outs, cnts), _ = jax.lax.scan(chunk_body, (outs, cnts), (starts_j, mask_j))
+        (outs, cnts), _ = jax.lax.scan(chunk_body, (outs, cnts), (starts_a, mask_a))
         return tuple(o / jnp.maximum(c, 1e-8).astype(o.dtype) for o, c in zip(outs, cnts))
 
     cache_key = (id(predictor), x.shape, x.dtype.name, tuple(roi_size_), sw_batch_size,
-                 tuple(overlap_), str(mode), num_win, "multi")
-    jitted = _SW_JIT_CACHE.get(cache_key)
-    if jitted is None:
-        jitted = jax.jit(_run)
-        _SW_JIT_CACHE[cache_key] = jitted
-        if len(_SW_JIT_CACHE) > 32:
-            _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
-    outputs = jitted(x)
+                 tuple(overlap_), str(mode), num_win, static_sig, "multi")
+    jitted = _cache_get(cache_key, _run)
+    outputs = jitted(x, starts_j, mask_j, imp_j, pred_state, dyn_leaves)
 
     results = []
     for li, o in enumerate(outputs):

@@ -84,20 +84,29 @@ class PSNRMetric(RegressionMetric):
 
 
 
-def _ssim_gaussian_filter_valid(v: np.ndarray, win_size: int, sigma: float) -> np.ndarray:
-    """Separable gaussian filtering with VALID (unpadded) output over the spatial dims of
-    (B, C, *spatial), matching the reference's conv-without-padding SSIM kernels
-    (reference: monai/metrics/regression.py _compute_metric / ssim kernels)."""
+def _ssim_filter_valid(v: np.ndarray, win_size, sigma, kernel_type: str = "gaussian") -> np.ndarray:
+    """Separable gaussian/uniform filtering with VALID (unpadded) output over the
+    spatial dims of (B, C, *spatial), matching the reference's conv-without-padding
+    SSIM kernels (reference: monai/metrics/regression.py _compute_metric /
+    monai/metrics/utils.py KernelType)."""
     from scipy.ndimage import correlate1d
 
-    coords = np.arange(win_size, dtype=np.float64) - (win_size - 1) / 2.0
-    g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
-    g /= g.sum()
+    nsp = v.ndim - 2
+    sizes = list(win_size) if isinstance(win_size, (list, tuple)) else [int(win_size)] * nsp
+    sigmas = list(sigma) if isinstance(sigma, (list, tuple)) else [float(sigma)] * nsp
     out = v.astype(np.float64)
-    half = win_size // 2
+    halves = []
     for axis in range(2, v.ndim):
+        ws = int(sizes[axis - 2])
+        if str(kernel_type) == "uniform":
+            g = np.full(ws, 1.0 / ws, dtype=np.float64)
+        else:
+            coords = np.arange(ws, dtype=np.float64) - (ws - 1) / 2.0
+            g = np.exp(-(coords ** 2) / (2 * float(sigmas[axis - 2]) ** 2))
+            g /= g.sum()
         out = correlate1d(out, g, axis=axis, mode="constant")
-    slicer = tuple([slice(None)] * 2 + [slice(half, s - half) for s in v.shape[2:]])
+        halves.append(ws // 2)
+    slicer = tuple([slice(None)] * 2 + [slice(h, s - h) for h, s in zip(halves, v.shape[2:])])
     return out[slicer]
 
 
@@ -110,6 +119,10 @@ class SSIMMetric(RegressionMetric):
         super().__init__(reduction, get_not_nans)
         self.spatial_dims = spatial_dims
         self.data_range = data_range
+        self.kernel_type = str(kernel_type)
+        if self.kernel_type not in ("gaussian", "uniform"):
+            raise ValueError(f"kernel_type must be 'gaussian' or 'uniform', got {kernel_type}.")
+        self.win_size = win_size
         self.kernel_sigma = kernel_sigma
         self.k1, self.k2 = k1, k2
 
@@ -120,7 +133,7 @@ class SSIMMetric(RegressionMetric):
         yp_ = to_numpy(y).astype(np.float64)
 
         def filt(v):
-            return _ssim_gaussian_filter_valid(v, 11, self.kernel_sigma)
+            return _ssim_filter_valid(v, self.win_size, self.kernel_sigma, self.kernel_type)
 
         mu_x, mu_y = filt(xp_), filt(yp_)
         mu_xx, mu_yy, mu_xy = filt(xp_ * xp_), filt(yp_ * yp_), filt(xp_ * yp_)
@@ -393,6 +406,10 @@ class MultiScaleSSIMMetric(RegressionMetric):
         super().__init__(reduction, get_not_nans)
         self.spatial_dims = spatial_dims
         self.data_range = data_range
+        self.kernel_type = str(kernel_type)
+        if self.kernel_type not in ("gaussian", "uniform"):
+            raise ValueError(f"kernel_type must be 'gaussian' or 'uniform', got {kernel_type}.")
+        self.kernel_size = kernel_size
         self.kernel_sigma = kernel_sigma
         self.k1, self.k2 = k1, k2
         self.weights = list(weights)
@@ -402,7 +419,7 @@ class MultiScaleSSIMMetric(RegressionMetric):
         c2 = (self.k2 * self.data_range) ** 2
 
         def filt(v):
-            return _ssim_gaussian_filter_valid(v, 11, self.kernel_sigma)
+            return _ssim_filter_valid(v, self.kernel_size, self.kernel_sigma, self.kernel_type)
 
         mu_x, mu_y = filt(x), filt(y)
         mu_xx, mu_yy, mu_xy = filt(x * x), filt(y * y), filt(x * y)
