@@ -1,21 +1,23 @@
 """Config items: dict nodes that instantiate Python objects / evaluate expressions.
 
-Parity targets: monai/bundle/config_item.py (ConfigItem:117, ConfigComponent:164,
-ConfigExpression:295) — `_target_`/`_args_`/`_disabled_`/`_requires_`/`_mode_` component
-dicts, `$expr` Python expressions.
+Parity targets (DSL semantics only): monai/bundle/config_item.py (ConfigItem:117,
+ConfigComponent:164, ConfigExpression:295) — `_target_`/`_args_`/`_disabled_`/
+`_requires_`/`_mode_` component dicts, `$expr` Python expressions.
+
+Own implementation: the component locator builds its symbol table in one
+comprehension-driven sweep; import-expressions are parsed by a standalone
+``_as_import_node`` helper shared by detection and evaluation.
 """
 from __future__ import annotations
 
 import ast
-import sys
 import warnings
 from abc import ABC, abstractmethod
 from collections.abc import Mapping, Sequence
-from importlib import import_module
 from typing import Any
 
 from ..utils.enums import CompInitMode
-from ..utils.misc import ensure_tuple, first
+from ..utils.misc import ensure_tuple
 from ..utils.module import instantiate, optional_import
 
 __all__ = ["ComponentLocator", "ConfigItem", "ConfigComponent", "ConfigExpression", "Instantiable"]
@@ -34,45 +36,48 @@ class Instantiable(ABC):
 
 
 class ComponentLocator:
-    """Map class/function names to module paths within monai_tpu
-    (reference: config_item.py:56)."""
+    """Map class/function names to the monai_tpu modules that define them, so a bare
+    `_target_: "UNet"` resolves to its full dotted path (reference: config_item.py:56)."""
 
     MOD_START = "monai_tpu"
 
     def __init__(self, excludes: Sequence[str] | str | None = None):
         self.excludes = [] if excludes is None else ensure_tuple(excludes)
-        self._components_table: dict[str, list[str]] | None = None
+        self._table: dict[str, list[str]] | None = None
 
-    def _find_classes_or_functions(self) -> dict[str, list[str]]:
+    def _scan(self) -> dict[str, list[str]]:
         import importlib
         import inspect
         import pkgutil
 
+        root = importlib.import_module(self.MOD_START)
         table: dict[str, list[str]] = {}
-        pkg = importlib.import_module(self.MOD_START)
-        for _importer, modname, _is_pkg in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+        for info in pkgutil.walk_packages(root.__path__, prefix=root.__name__ + "."):
+            modname = info.name
             if any(ex in modname for ex in self.excludes):
                 continue
             try:
-                mod = importlib.import_module(modname)
+                module = importlib.import_module(modname)
             except Exception:
                 continue
-            for name, obj in inspect.getmembers(mod):
-                if (inspect.isclass(obj) or inspect.isfunction(obj)) and getattr(obj, "__module__", "") == modname:
-                    table.setdefault(name, [])
-                    if modname not in table[name]:
-                        table[name].append(modname)
+            symbols = (name for name, obj in inspect.getmembers(module)
+                       if (inspect.isclass(obj) or inspect.isfunction(obj))
+                       and getattr(obj, "__module__", "") == modname)
+            for name in symbols:
+                homes = table.setdefault(name, [])
+                if modname not in homes:
+                    homes.append(modname)
         return table
 
     def get_component_module_name(self, name: str) -> list[str] | str | None:
         if not isinstance(name, str):
             raise ValueError(f"`name` must be a valid string, but got: {name}.")
-        if self._components_table is None:
-            self._components_table = self._find_classes_or_functions()
-        mods = self._components_table.get(name)
-        if isinstance(mods, list) and len(mods) == 1:
-            return mods[0]
-        return mods
+        if self._table is None:
+            self._table = self._scan()
+        homes = self._table.get(name)
+        if homes is not None and len(homes) == 1:
+            return homes[0]
+        return homes
 
 
 class ConfigItem:
@@ -103,42 +108,54 @@ class ConfigComponent(ConfigItem, Instantiable):
     def __init__(self, config: Any, id: str = "", locator: ComponentLocator | None = None,
                  excludes: Sequence[str] | str | None = None):
         super().__init__(config=config, id=id)
-        self.locator = ComponentLocator(excludes=excludes) if locator is None else locator
+        self.locator = locator if locator is not None else ComponentLocator(excludes=excludes)
 
     @staticmethod
     def is_instantiable(config: Any) -> bool:
         return isinstance(config, Mapping) and "_target_" in config
 
     def resolve_module_name(self):
-        config = dict(self.get_config())
-        target = config.get("_target_")
+        """Expand a bare class/function name into its full dotted path; dotted paths
+        and non-string targets pass through unchanged."""
+        target = self.get_config().get("_target_")
         if not isinstance(target, str):
             return target
-        module = self.locator.get_component_module_name(target)
-        if module is None:
-            return target  # full dotted path expected
-        if isinstance(module, list):
+        homes = self.locator.get_component_module_name(target)
+        if homes is None:
+            return target  # already a full dotted path (or unknown: instantiate errors)
+        if isinstance(homes, list):
             warnings.warn(
-                f"there are more than 1 component have name `{target}`: {module}, use the first one `{module[0]}`."
+                f"there are more than 1 component have name `{target}`: {homes}, use the first one `{homes[0]}`."
                 f" if want to use others, please set its full module path in `_target_` directly.")
-            module = module[0]
-        return f"{module}.{target}"
+            homes = homes[0]
+        return f"{homes}.{target}"
 
     def resolve_args(self) -> dict:
         return {k: v for k, v in self.get_config().items() if k not in self.non_arg_keys}
 
     def is_disabled(self) -> bool:
-        _is_disabled = self.get_config().get("_disabled_", False)
-        return _is_disabled.lower().strip() == "true" if isinstance(_is_disabled, str) else bool(_is_disabled)
+        flag = self.get_config().get("_disabled_", False)
+        if isinstance(flag, str):
+            return flag.strip().lower() == "true"
+        return bool(flag)
 
     def instantiate(self, **kwargs):
         if not self.is_instantiable(self.get_config()) or self.is_disabled():
             return None
-        modname = self.resolve_module_name()
+        call_args = self.resolve_args() | kwargs
         mode = self.get_config().get("_mode_", CompInitMode.DEFAULT)
-        args = self.resolve_args()
-        args.update(kwargs)
-        return instantiate(modname, mode, **args)
+        return instantiate(self.resolve_module_name(), mode, **call_args)
+
+
+def _as_import_node(code: str) -> ast.Import | ast.ImportFrom | None:
+    """Parse ``code``; return its first statement if it is an import, else None."""
+    try:
+        body = ast.parse(code).body
+    except SyntaxError:
+        return None
+    if body and isinstance(body[0], (ast.Import, ast.ImportFrom)):
+        return body[0]
+    return None
 
 
 class ConfigExpression(ConfigItem):
@@ -151,40 +168,39 @@ class ConfigExpression(ConfigItem):
         super().__init__(config=config, id=id)
         self.globals = globals if globals is not None else {}
 
-    def _parse_import_string(self, import_string: str):
-        node = first(ast.iter_child_nodes(ast.parse(import_string)))
-        if not isinstance(node, (ast.Import, ast.ImportFrom)):
-            return None
-        if len(node.names) < 1:
+    def _import_into_globals(self, code: str):
+        """If ``code`` is `import x [as y]` / `from m import x [as y]`, perform the
+        import, bind it into self.globals, and return the module/attr; else None."""
+        node = _as_import_node(code)
+        if node is None or not node.names:
             return None
         if len(node.names) > 1:
-            warnings.warn(f"ignoring multiple import alias '{import_string}'.")
-        name, asname = f"{node.names[0].name}", node.names[0].asname
-        asname = name if asname is None else f"{asname}"
+            warnings.warn(f"ignoring multiple import alias '{code}'.")
+        alias = node.names[0]
+        bound_name = alias.asname or alias.name
         if isinstance(node, ast.ImportFrom):
-            self.globals[asname], _ = optional_import(f"{node.module}", name=f"{name}")
-            return self.globals[asname]
-        if isinstance(node, ast.Import):
-            self.globals[asname], _ = optional_import(f"{name}")
-            return self.globals[asname]
-        return None
+            value, _ = optional_import(f"{node.module}", name=alias.name)
+        else:
+            value, _ = optional_import(alias.name)
+        self.globals[bound_name] = value
+        return value
 
     def evaluate(self, globals: dict | None = None, locals: dict | None = None):
         value = self.get_config()
-        if not ConfigExpression.is_expression(value):
+        if not self.is_expression(value):
             return None
-        optional_module = self._parse_import_string(value[len(self.prefix):])
-        if optional_module is not None:
-            return optional_module
+        code = value[len(self.prefix):]
+        imported = self._import_into_globals(code)
+        if imported is not None:
+            return imported
         if not self.run_eval:
-            return f"{value[len(self.prefix):]}"
-        globals_ = dict(self.globals)
-        if globals is not None:
-            for k, v in globals.items():
-                if k in globals_:
-                    warnings.warn(f"the new global variable `{k}` conflicts with `self.globals`, override it.")
-                globals_[k] = v
-        return eval(value[len(self.prefix):], globals_, locals)
+            return code
+        scope = dict(self.globals)
+        for k, v in (globals or {}).items():
+            if k in scope:
+                warnings.warn(f"the new global variable `{k}` conflicts with `self.globals`, override it.")
+            scope[k] = v
+        return eval(code, scope, locals)
 
     @classmethod
     def is_expression(cls, config: Any) -> bool:
@@ -192,12 +208,6 @@ class ConfigExpression(ConfigItem):
 
     @classmethod
     def is_import_statement(cls, config: Any) -> bool:
-        if not cls.is_expression(config):
+        if not cls.is_expression(config) or "import" not in config:
             return False
-        if "import" not in config:
-            return False
-        try:
-            return isinstance(first(ast.iter_child_nodes(ast.parse(f"{config[len(cls.prefix):]}"))),
-                              (ast.Import, ast.ImportFrom))
-        except SyntaxError:
-            return False
+        return _as_import_node(config[len(cls.prefix):]) is not None

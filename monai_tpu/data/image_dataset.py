@@ -1,5 +1,9 @@
 """ImageDataset: paired image/segmentation file dataset with separate transform chains
-(reference: monai/data/image_dataset.py:26 ImageDataset)."""
+(reference API: monai/data/image_dataset.py:26 ImageDataset).
+
+Own implementation: the per-branch "reseed randomizable pipeline, then apply"
+step is a single helper, and the output tuple is assembled declaratively.
+"""
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
@@ -14,7 +18,9 @@ __all__ = ["ImageDataset"]
 
 
 class ImageDataset(Randomizable):
-    """(reference: image_dataset.py:26)."""
+    """Loads image (and optional seg/label) files, applying an independent transform
+    chain to each, with image/seg chains sharing one random seed per item so paired
+    augmentations stay aligned."""
 
     def __init__(self, image_files: Sequence[str], seg_files: Sequence[str] | None = None,
                  labels: Sequence | None = None, transform: Callable | None = None,
@@ -24,14 +30,14 @@ class ImageDataset(Randomizable):
         if seg_files is not None and len(image_files) != len(seg_files):
             raise ValueError("Must have same the number of segmentation as image files: "
                              f"images={len(image_files)}, segmentations={len(seg_files)}.")
+        if image_only and transform_with_metadata:
+            raise ValueError("transform_with_metadata=True requires image_only=False.")
         self.image_files = image_files
         self.seg_files = seg_files
         self.labels = labels
         self.transform = transform
         self.seg_transform = seg_transform
         self.label_transform = label_transform
-        if image_only and transform_with_metadata:
-            raise ValueError("transform_with_metadata=True requires image_only=False.")
         self.image_only = image_only
         self.transform_with_metadata = transform_with_metadata
         self.loader = LoadImage(reader=reader, image_only=True, dtype=dtype, *args, **kwargs)
@@ -43,30 +49,25 @@ class ImageDataset(Randomizable):
     def randomize(self, data=None) -> None:
         self._seed = self.R.randint(MAX_SEED, dtype="uint32")
 
+    def _apply_seeded(self, chain: Callable | None, value):
+        """Run one transform chain; Randomizable chains are reseeded with this
+        item's seed first so image and seg branches randomize identically."""
+        if chain is None or value is None:
+            return value
+        if isinstance(chain, Randomizable):
+            chain.set_random_state(seed=self._seed)
+        return apply_transform(chain, value, map_items=False)
+
     def __getitem__(self, index: int):
         self.randomize()
-        img = self.loader(self.image_files[index])
-        seg = None
+        img = self._apply_seeded(self.transform, self.loader(self.image_files[index]))
+        outputs = [img]
         if self.seg_files is not None:
-            seg = self.loader(self.seg_files[index])
-        if self.transform is not None:
-            if isinstance(self.transform, Randomizable):
-                self.transform.set_random_state(seed=self._seed)
-            img = apply_transform(self.transform, img, map_items=False)
-        if self.seg_files is not None and self.seg_transform is not None:
-            if isinstance(self.seg_transform, Randomizable):
-                self.seg_transform.set_random_state(seed=self._seed)
-            seg = apply_transform(self.seg_transform, seg, map_items=False)
-        label = None
+            seg = self._apply_seeded(self.seg_transform, self.loader(self.seg_files[index]))
+            outputs.append(seg)
         if self.labels is not None:
             label = self.labels[index]
             if self.label_transform is not None:
                 label = apply_transform(self.label_transform, label, map_items=False)
-        data = [img]
-        if seg is not None:
-            data.append(seg)
-        if label is not None:
-            data.append(label)
-        if len(data) == 1:
-            return data[0]
-        return tuple(data)
+            outputs.append(label)
+        return outputs[0] if len(outputs) == 1 else tuple(outputs)

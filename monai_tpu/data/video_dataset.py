@@ -1,10 +1,15 @@
-"""Video datasets backed by OpenCV (reference: monai/data/video_dataset.py:62
-VideoDataset, :154 VideoFileDataset, :212 CameraDataset)."""
+"""Video datasets backed by OpenCV (reference API: monai/data/video_dataset.py:62
+VideoDataset, :154 VideoFileDataset, :212 CameraDataset).
+
+Own implementation: capture handling is centralised in ``_Capture`` (lazy,
+optionally per-access for multiprocessing), and frame decoding/conversion lives
+in one ``_decode`` helper shared by the indexed and streaming variants.
+"""
 from __future__ import annotations
 
 import os
 import tempfile
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from typing import Any
 
 import numpy as np
@@ -17,8 +22,30 @@ cv2, has_cv2 = optional_import("cv2")
 __all__ = ["VideoDataset", "VideoFileDataset", "CameraDataset"]
 
 
+class _Capture:
+    """Wrap a cv2.VideoCapture source; reopens per access when ``per_access`` is set
+    (required for multiprocessing DataLoader workers, which cannot share handles)."""
+
+    def __init__(self, source: str | int, per_access: bool):
+        self.source = source
+        self.per_access = per_access
+        self._cap = None if per_access else self._open()
+
+    def _open(self):
+        if isinstance(self.source, str) and not os.path.isfile(self.source):
+            raise RuntimeError("Video file does not exist: " + self.source)
+        cap = cv2.VideoCapture(self.source)
+        if not cap.isOpened():
+            raise RuntimeError(f"Failed to open video: {self.source}")
+        return cap
+
+    def get(self):
+        return self._open() if self.per_access else self._cap
+
+
 class VideoDataset:
-    """(reference: video_dataset.py:62)."""
+    """Base video source: decode frames, convert color order, move channel dim,
+    apply an optional per-frame transform."""
 
     def __init__(self, video_source: str | int, transform: Callable | None = None,
                  max_num_frames: int | None = None, color_order: str = "rgb",
@@ -31,34 +58,31 @@ class VideoDataset:
         self.channel_dim = channel_dim
         self.video_source = video_source
         self.multiprocessing = multiprocessing
-        if not multiprocessing:
-            self.cap = self.open_video(video_source)
+        self._capture = _Capture(video_source, per_access=multiprocessing)
         self.transform = transform
         self.max_num_frames = max_num_frames
 
+    # kept as API parity with the reference
     @staticmethod
     def open_video(video_source: str | int):
-        if isinstance(video_source, str) and not os.path.isfile(video_source):
-            raise RuntimeError("Video file does not exist: " + video_source)
-        cap = cv2.VideoCapture(video_source)
-        if not cap.isOpened():
-            raise RuntimeError(f"Failed to open video: {video_source}")
-        return cap
+        return _Capture(video_source, per_access=False).get()
 
     def _get_cap(self):
-        return self.open_video(self.video_source) if self.multiprocessing else self.cap
+        return self._capture.get()
 
     def get_fps(self) -> float:
         return self._get_cap().get(cv2.CAP_PROP_FPS)
 
-    def get_frame(self) -> Any:
-        ret, frame = self._get_cap().read()
-        if not ret:
+    def _decode(self, ok: bool, raw) -> Any:
+        if not ok:
             raise RuntimeError("Failed to read frame.")
         if self.color_order == "rgb":
-            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        frame = np.moveaxis(frame, -1, self.channel_dim)
-        return self.transform(frame) if self.transform is not None else frame
+            raw = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+        frame = np.moveaxis(raw, -1, self.channel_dim)
+        return frame if self.transform is None else self.transform(frame)
+
+    def get_frame(self) -> Any:
+        return self._decode(*self._get_cap().read())
 
 
 class VideoFileDataset(VideoDataset):
@@ -66,41 +90,44 @@ class VideoFileDataset(VideoDataset):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        num_frames = self.get_num_frames()
-        if self.max_num_frames is None or num_frames < self.max_num_frames:
-            self.max_num_frames = num_frames
+        available = self.get_num_frames()
+        self.max_num_frames = available if self.max_num_frames is None else min(
+            self.max_num_frames, available)
 
     @staticmethod
     def get_available_codecs() -> dict[str, str]:
+        """Probe which fourcc codecs this OpenCV build can write."""
         if not has_cv2:
             return {}
-        all_codecs = {"mp4v": ".mp4", "X264": ".avi", "H264": ".mp4", "MP42": ".mp4",
+        candidates = {"mp4v": ".mp4", "X264": ".avi", "H264": ".mp4", "MP42": ".mp4",
                       "MJPG": ".mjpeg", "DIVX": ".avi"}
-        codecs = {}
+        usable: dict[str, str] = {}
         with tempfile.TemporaryDirectory() as tmp:
-            for codec, ext in all_codecs.items():
+            for codec, ext in candidates.items():
                 writer = cv2.VideoWriter()
-                fourcc = cv2.VideoWriter_fourcc(*codec)
-                ok = writer.open(os.path.join(tmp, f"test{ext}"), fourcc, 1, (10, 10))
-                if ok:
-                    codecs[codec] = ext
-                writer.release()
-        return codecs
+                try:
+                    if writer.open(os.path.join(tmp, f"probe{ext}"),
+                                   cv2.VideoWriter_fourcc(*codec), 1, (10, 10)):
+                        usable[codec] = ext
+                finally:
+                    writer.release()
+        return usable
 
     def get_num_frames(self) -> int:
-        n = int(self._get_cap().get(cv2.CAP_PROP_FRAME_COUNT))
-        if n == 0:
+        count = int(self._get_cap().get(cv2.CAP_PROP_FRAME_COUNT))
+        if count == 0:
             raise RuntimeError("0 frames found")
-        return n
+        return count
 
-    def __len__(self):
+    def __len__(self) -> int:
         return self.max_num_frames
 
     def __getitem__(self, index: int):
         if self.max_num_frames is not None and index >= self.max_num_frames:
             raise IndexError
-        self._get_cap().set(cv2.CAP_PROP_POS_FRAMES, index)
-        return self.get_frame()
+        cap = self._get_cap()
+        cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+        return self._decode(*cap.read())
 
 
 class CameraDataset(IterableDataset, VideoDataset):
@@ -115,26 +142,23 @@ class CameraDataset(IterableDataset, VideoDataset):
 
     @staticmethod
     def get_num_devices() -> int:
+        """Count consecutive readable capture devices starting at index 0."""
         if not has_cv2:
             return 0
-        n = 0
+        device = 0
         while True:
-            cap = cv2.VideoCapture(n)
-            if not cap.read()[0]:
-                cap.release()
-                break
-            n += 1
+            cap = cv2.VideoCapture(device)
+            readable = cap.read()[0]
             cap.release()
-        return n
+            if not readable:
+                return device
+            device += 1
 
-    def __iter__(self):
-        frame_count = 0
-        while True:
-            if self.max_num_frames is not None and frame_count >= self.max_num_frames:
-                return
+    def __iter__(self) -> Iterator:
+        produced = 0
+        while self.max_num_frames is None or produced < self.max_num_frames:
             try:
-                frame = self.get_frame()
+                yield self.get_frame()
             except RuntimeError:
                 return
-            frame_count += 1
-            yield frame
+            produced += 1

@@ -1,16 +1,40 @@
-"""FL exchange container (reference: monai/fl/utils/exchange_object.py:17)."""
+"""FL exchange container (reference API: monai/fl/utils/exchange_object.py:17).
+
+Own implementation: field validation is table-driven (one `_VALIDATORS` map)
+instead of per-field property boilerplate.
+"""
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Callable
 
 from .constants import WeightType
 
 __all__ = ["ExchangeObject"]
 
 
+def _require_dict(name: str) -> Callable[[Any], None]:
+    def check(value: Any) -> None:
+        if value is not None and not isinstance(value, dict):
+            raise ValueError(f"Expected {name} to be of type dict but received {type(value)}")
+
+    return check
+
+
+def _require_weight_type(value: Any) -> None:
+    if value is not None and value not in (WeightType.WEIGHTS, WeightType.WEIGHT_DIFF):
+        raise ValueError(f"Expected weight type to be a valid WeightType but received {value}")
+
+
 class ExchangeObject(dict):
     """Contents exchanged between FL client and server: weights, optimizer state,
     metrics, statistics (reference: exchange_object.py:17)."""
+
+    _VALIDATORS: dict[str, Callable[[Any], None]] = {
+        "metrics": _require_dict("metrics"),
+        "statistics": _require_dict("statistics"),
+        "weight_type": _require_weight_type,
+    }
+    _FIELDS = ("weights", "optim", "metrics", "weight_type", "statistics")
 
     def __init__(self, weights=None, optim=None, metrics=None, weight_type=None, statistics=None):
         super().__init__()
@@ -19,56 +43,31 @@ class ExchangeObject(dict):
         self.metrics = metrics
         self.weight_type = weight_type
         self.statistics = statistics
-        self._summary: dict = {}
 
-    @property
-    def metrics(self):
-        return self._metrics
-
-    @metrics.setter
-    def metrics(self, metrics):
-        if metrics is not None and not isinstance(metrics, dict):
-            raise ValueError(f"Expected metrics to be of type dict but received {type(metrics)}")
-        self._metrics = metrics
-
-    @property
-    def statistics(self):
-        return self._statistics
-
-    @statistics.setter
-    def statistics(self, statistics):
-        if statistics is not None and not isinstance(statistics, dict):
-            raise ValueError(f"Expected statistics to be of type dict but received {type(statistics)}")
-        self._statistics = statistics
-
-    @property
-    def weight_type(self):
-        return self._weight_type
-
-    @weight_type.setter
-    def weight_type(self, weight_type):
-        if weight_type is not None and weight_type not in (WeightType.WEIGHTS, WeightType.WEIGHT_DIFF):
-            raise ValueError(f"Expected weight type to be a valid WeightType but received {weight_type}")
-        self._weight_type = weight_type
+    def __setattr__(self, name: str, value: Any) -> None:
+        validate = self._VALIDATORS.get(name)
+        if validate is not None:
+            validate(value)
+        object.__setattr__(self, name, value)
 
     def is_valid_weights(self) -> bool:
-        return bool(self.weights is not None and self.weight_type is not None)
-
-    def _add_to_summary(self, key: str, value: Any) -> None:
-        if value:
-            if isinstance(value, dict):
-                self._summary[key] = len(value)
-            elif isinstance(value, (WeightType, str)):
-                self._summary[key] = value
-            else:
-                self._summary[key] = type(value)
+        return self.weights is not None and self.weight_type is not None
 
     def summary(self) -> dict:
-        self._summary.update(self)
-        for k, v in zip(("weights", "optim", "metrics", "weight_type", "statistics"),
-                        (self.weights, self.optim, self.metrics, self.weight_type, self.statistics)):
-            self._add_to_summary(k, v)
-        return self._summary
+        """Compact description: dict fields by size, enums/strings verbatim,
+        everything else by type."""
+        out: dict = dict(self)
+        for name in self._FIELDS:
+            value = getattr(self, name)
+            if not value:
+                continue
+            if isinstance(value, dict):
+                out[name] = len(value)
+            elif isinstance(value, (WeightType, str)):
+                out[name] = value
+            else:
+                out[name] = type(value)
+        return out
 
     def __repr__(self) -> str:
         return str(self.summary())

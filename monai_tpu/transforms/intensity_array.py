@@ -396,31 +396,53 @@ class RandBiasField(RandomizableTransform):
         self.dtype = dtype
         self._coeff = [1.0]
 
+    @staticmethod
+    def _multi_indices(degree: int, rank: int):
+        """All exponent tuples of length ``rank`` with total degree ≤ ``degree``,
+        lexicographic."""
+        if rank == 0:
+            yield ()
+            return
+        for head in range(degree + 1):
+            for tail in RandBiasField._multi_indices(degree - head, rank - 1):
+                yield (head,) + tail
+
     def _generate_random_field(self, spatial_shape: Sequence[int], degree: int, coeff: Sequence[float]):
+        """Evaluate  sum_{|a| <= degree}  c_a * prod_d L_{a_d}(x_d)  on the voxel grid.
+
+        Generic-rank redesign of the reference's 2D/3D-special-cased
+        leggrid2d/leggrid3d evaluation (reference: intensity/array.py:650): per-axis
+        Legendre values are sampled once with ``legval`` and combined by
+        broadcasting, so any spatial rank >= 1 works and the basis set is uniformly
+        "total degree <= degree" in every rank.
+        """
         rank = len(spatial_shape)
-        coeff_mat = np.zeros((degree + 1,) * rank)
-        coords = [np.linspace(-1.0, 1.0, dim, dtype=np.float32) for dim in spatial_shape]
-        if rank == 2:
-            coeff_mat[np.tril_indices(degree + 1)] = coeff
-            return np.polynomial.legendre.leggrid2d(coords[0], coords[1], coeff_mat)
-        if rank == 3:
-            pts: list[list[int]] = [[0, 0, 0]]
-            for i in range(degree + 1):
-                for j in range(degree + 1 - i):
-                    for k in range(degree + 1 - i - j):
-                        pts.append([i, j, k])
-            if len(pts) > 1:
-                pts = pts[1:]
-            np_pts = np.stack(pts)
-            coeff_mat[np_pts[:, 0], np_pts[:, 1], np_pts[:, 2]] = coeff
-            return np.polynomial.legendre.leggrid3d(coords[0], coords[1], coords[2], coeff_mat)
-        raise NotImplementedError("only supports 2D or 3D fields")
+        eye = np.eye(degree + 1)
+        # leg[d][k]: Legendre polynomial L_k sampled along axis d, shaped to broadcast
+        leg: list[list[np.ndarray]] = []
+        for d, n in enumerate(spatial_shape):
+            ax = np.linspace(-1.0, 1.0, n, dtype=np.float32)
+            bshape = [1] * rank
+            bshape[d] = n
+            leg.append([np.polynomial.legendre.legval(ax, eye[k]).reshape(bshape)
+                        for k in range(degree + 1)])
+        field = np.zeros(spatial_shape, dtype=np.float64)
+        for c, alpha in zip(coeff, self._multi_indices(degree, rank)):
+            term = leg[0][alpha[0]]
+            for d in range(1, rank):
+                term = term * leg[d][alpha[d]]
+            field += c * term
+        return field
 
     def randomize(self, img_size: Sequence[int]) -> None:
         super().randomize(None)
         if not self._do_transform:
             return
-        n_coeff = int(np.prod([(self.degree + k) / k for k in range(1, len(img_size) + 1)]))
+        # number of multi-indices with total degree <= self.degree in `rank` dims:
+        # binomial(degree + rank, rank)
+        from math import comb
+
+        n_coeff = comb(self.degree + len(img_size), len(img_size))
         self._coeff = self.R.uniform(*self.coeff_range, n_coeff).tolist()
 
     def __call__(self, img: Any, randomize: bool = True):

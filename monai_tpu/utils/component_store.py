@@ -1,74 +1,87 @@
-"""ComponentStore (reference: monai/utils/component_store.py)."""
+"""ComponentStore (reference API: monai/utils/component_store.py).
+
+Own implementation: components are kept as ``_Entry`` dataclasses in an insertion-
+ordered dict; attribute access and docstring rendering are derived from that map.
+"""
 from __future__ import annotations
 
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 from keyword import iskeyword
 from textwrap import dedent
-from typing import Any, NamedTuple
+from typing import Any
 
 __all__ = ["ComponentStore"]
 
 
-def is_variable(name: str) -> bool:
-    return name.isidentifier() and not iskeyword(name)
+@dataclass(frozen=True)
+class _Entry:
+    value: Any
+    description: str
+
+    def doc(self, name: str) -> str:
+        docstring = getattr(self.value, "__doc__", None)
+        if docstring:
+            return f"\n* {name}:\n{dedent(docstring).strip()}\n"
+        return f"\n* {name}: {self.description}"
 
 
 class ComponentStore:
-    """Named registry of components with docstrings (reference: component_store.py)."""
+    """Named registry of components with attached descriptions.
 
-    class _Component(NamedTuple):
-        description: str
-        value: Any
+    Components are registered with :meth:`add` (or the :meth:`add_def` decorator)
+    and retrieved by attribute, item access, or iteration.
+    """
 
     def __init__(self, name: str, description: str):
-        self.components: dict[str, ComponentStore._Component] = {}
+        self._entries: dict[str, _Entry] = {}
         self.name = name
         self.description = description
         self.__doc__ = f"Component Store '{name}': {description}\n{self.__doc__ or ''}".strip()
 
     def add(self, name: str, desc: str, value: Any) -> Any:
-        if not is_variable(name):
+        """Register ``value`` under ``name`` (must be a valid identifier); returns it."""
+        if not (name.isidentifier() and not iskeyword(name)):
             raise ValueError("Name of component must be valid Python identifier")
-        self.components[name] = self._Component(desc, value)
+        self._entries[name] = _Entry(value=value, description=desc)
         return value
 
     def add_def(self, name: str, desc: str) -> Callable:
-        def deco(func):
-            return self.add(name, desc, func)
+        """Decorator form of :meth:`add` for function components."""
+        def register(fn: Callable) -> Callable:
+            return self.add(name, desc, fn)
 
-        return deco
+        return register
+
+    @property
+    def components(self) -> dict[str, _Entry]:
+        return self._entries
 
     @property
     def names(self) -> tuple[str, ...]:
-        return tuple(self.components)
+        return tuple(self._entries)
 
     def __contains__(self, name: str) -> bool:
-        return name in self.components
+        return name in self._entries
 
     def __len__(self) -> int:
-        return len(self.components)
+        return len(self._entries)
 
-    def __iter__(self) -> Iterable:
-        for k, v in self.components.items():
-            yield k, v.value
+    def __iter__(self) -> Iterator:
+        yield from ((k, e.value) for k, e in self._entries.items())
 
-    def __str__(self):
-        result = f"Component Store '{self.name}': {self.description}\nAvailable components:"
-        for k, v in self.components.items():
-            result += f"\n* {k}:"
-            if hasattr(v.value, "__doc__") and v.value.__doc__:
-                doc = dedent(v.value.__doc__).strip()
-                result += f"\n{doc}\n"
-            else:
-                result += f" {v.description}"
-        return result
+    def __str__(self) -> str:
+        body = "".join(e.doc(k) for k, e in self._entries.items())
+        return f"Component Store '{self.name}': {self.description}\nAvailable components:{body}"
 
     def __getattr__(self, name: str) -> Any:
-        if name in self.__dict__.get("components", {}):
-            return self.components[name].value
+        entries = self.__dict__.get("_entries")
+        if entries and name in entries:
+            return entries[name].value
         return self.__getattribute__(name)
 
     def __getitem__(self, name: str) -> Any:
-        if name in self.components:
-            return self.components[name].value
-        raise ValueError(f"Component '{name}' is not registered")
+        try:
+            return self._entries[name].value
+        except KeyError:
+            raise ValueError(f"Component '{name}' is not registered") from None

@@ -203,12 +203,34 @@ def locate(path: str) -> Any:
     raise ModuleNotFoundError(f"Cannot locate '{path}'.")
 
 
+def _maybe_inject_rngs(component: Any, kwargs: dict) -> dict:
+    """Bundle-config ergonomics: reference configs instantiate torch networks with no
+    RNG argument, but nnx modules require `rngs`. When the target is an nnx.Module
+    class with a required `rngs` parameter not supplied by the config, inject
+    `nnx.Rngs(seed)` (seed from kwargs `_seed_` or 0)."""
+    seed = kwargs.pop("_seed_", 0)
+    if "rngs" in kwargs or not inspect.isclass(component):
+        return kwargs
+    try:
+        from flax import nnx
+
+        if not issubclass(component, nnx.Module):
+            return kwargs
+        sig = inspect.signature(component.__init__)
+        if "rngs" in sig.parameters:
+            kwargs["rngs"] = nnx.Rngs(seed)
+    except Exception:
+        pass
+    return kwargs
+
+
 def instantiate(__path: str, __mode: str = CompInitMode.DEFAULT, **kwargs: Any) -> Any:
     """Instantiate a class / call a function given a dotted path
     (reference: monai/utils/module.py:205)."""
     component = locate(__path) if isinstance(__path, str) else __path
     if component is None:
         raise ModuleNotFoundError(f"Cannot locate class or function path: '{__path}'.")
+    kwargs = _maybe_inject_rngs(component, dict(kwargs))
     m = look_up_option(__mode, CompInitMode)
     try:
         if kwargs.pop("_debug_", False) or m == CompInitMode.DEBUG:
