@@ -340,17 +340,19 @@ def compute_importance_map(patch_size: Sequence[int], mode: str = BlendMode.CONS
         raise ValueError(f"Unsupported mode: {mode}, available options are ['constant', 'gaussian'].")
     sigma_scale_ = ensure_tuple_rep(sigma_scale, len(patch_size))
     sigmas = [i * sigma_s for i, sigma_s in zip(patch_size, sigma_scale_)]
-    center_coords = [i // 2 for i in patch_size]
-    out = np.ones(patch_size, dtype=np.float64)
-    for d, (size, sigma, c) in enumerate(zip(patch_size, sigmas, center_coords)):
-        x = np.arange(size, dtype=np.float64)
-        g = np.exp(-0.5 * ((x - c) / sigma) ** 2)
+    # exact reference formula (data/utils.py:1117-1126): separable outer product of
+    # exp(-x^2 / 2s^2) with x centered at (n-1)/2 (fractional center for even n),
+    # float32 per-dim, NOT renormalized to max 1
+    out = np.ones(patch_size, dtype=np.float32)
+    for d, (size, sigma) in enumerate(zip(patch_size, sigmas)):
+        x = np.arange(-(size - 1) / 2.0, (size - 1) / 2.0 + 1, dtype=np.float32)
+        g = np.exp(x.astype(np.float32) ** 2 / np.float32(-2 * sigma**2))
         shape = [1] * len(patch_size)
         shape[d] = size
         out = out * g.reshape(shape)
-    out = out / out.max()
-    out = np.clip(out, a_min=np.finfo(np.float32).tiny if np.min(out) == 0 else np.min(out), a_max=None)
-    return out.astype(dtype)
+    # handle non-positive weights exactly like the reference (data/utils.py:1131-1133)
+    min_non_zero = max(float(out.min()), 1e-3)
+    return np.clip(out, a_min=min_non_zero, a_max=None).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -152,11 +152,10 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     # importance map (host-computed, passed into the jit as an argument)
     valid_patch = get_valid_patch_size(image_size, roi_size_)
     if roi_weight_map is not None and tuple(roi_weight_map.shape) == tuple(valid_patch):
-        imp = np.asarray(roi_weight_map, dtype=np.float32)
+        imp = np.asarray(roi_weight_map, dtype=np.float32)  # user maps pass through unclamped
     else:
+        # gaussian maps are min-clamped at 1e-3 inside compute_importance_map (ref parity)
         imp = compute_importance_map(valid_patch, mode=mode, sigma_scale=sigma_scale, dtype=np.float32)
-    imp = np.clip(imp, a_min=max(np.min(imp), 1e-3) if str(mode) == str(BlendMode.GAUSSIAN) else np.min(imp),
-                  a_max=None)
 
     # pad window list to a multiple of sw_batch_size with zero-weight dummies
     n_chunks = -(-num_win // sw_batch_size)

@@ -52,8 +52,19 @@ class Convolution(nnx.Module):
             padding = same_padding(kernel_size, dilation)
         conv_type = Conv[Conv.CONVTRANS if is_transposed else Conv.CONV, spatial_dims]
         if is_transposed:
+            # reference semantics (blocks/convolutions.py:25): torch ConvTranspose with
+            # padding p and output_padding op = s + 2p - k. The lax.conv_transpose
+            # equivalent pads the zero-dilated input with (k-1-p, k-1-p+op) per dim.
+            ks = ensure_tuple_rep(kernel_size, spatial_dims)
+            st = ensure_tuple_rep(strides, spatial_dims)
+            pd = ensure_tuple_rep(padding, spatial_dims)
+            if output_padding is None:
+                op = tuple(s + 2 * p - k for s, p, k in zip(st, pd, ks))
+            else:
+                op = ensure_tuple_rep(output_padding, spatial_dims)
+            explicit = [(k - 1 - p, k - 1 - p + o) for k, p, o in zip(ks, pd, op)]
             self.conv = conv_type(in_channels, out_channels, kernel_size=kernel_size, strides=strides,
-                                  bias=bias, padding="SAME", rngs=rngs)
+                                  bias=bias, padding=explicit, rngs=rngs)
         else:
             self.conv = conv_type(in_channels, out_channels, kernel_size=kernel_size, strides=strides,
                                   dilation=dilation, groups=groups, bias=bias,

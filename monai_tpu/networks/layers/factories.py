@@ -115,7 +115,10 @@ def convtrans_factory(dim: int):
 
 @Norm.factory_function("instance")
 def instance_factory(dim: int):
-    def make(num_features, affine: bool = True, eps: float = 1e-5, rngs=None, **kw):
+    # affine defaults to False to match the reference's torch InstanceNorm{n}d
+    # default (monai Norm.INSTANCE -> nn.InstanceNorm3d(num_features)), so copied
+    # reference checkpoints have the same parameter set
+    def make(num_features, affine: bool = False, eps: float = 1e-5, rngs=None, **kw):
         return nnx.GroupNorm(num_features=num_features, num_groups=num_features, epsilon=eps,
                              use_bias=affine, use_scale=affine, rngs=rngs or nnx.Rngs(0))
 
@@ -164,10 +167,25 @@ class _ActModule(nnx.Module):
         return self.fn(x, **self.kwargs)
 
 
+class PReLU(nnx.Module):
+    """Learnable PReLU: y = x if x >= 0 else alpha * x, with `alpha` a trained
+    parameter (init 0.25 like torch.nn.PReLU; reference nets use Act.PRELU by
+    default). Channel-last: a per-channel alpha broadcasts over the trailing axis."""
+
+    def __init__(self, num_parameters: int = 1, init: float = 0.25, rngs=None, **kw):
+        self.alpha = nnx.Param(jnp.full((num_parameters,), init, dtype=jnp.float32))
+
+    def __call__(self, x):
+        a = self.alpha.value.astype(x.dtype)
+        if a.shape[0] != 1:
+            a = a.reshape((1,) * (x.ndim - 1) + (-1,))
+        return jnp.where(x >= 0, x, a * x)
+
+
 _ACTS: dict[str, Callable] = {
     "RELU": jax.nn.relu,
     "LEAKYRELU": jax.nn.leaky_relu,
-    "PRELU": jax.nn.leaky_relu,  # parametric slope approximated; a learned PReLU can be added
+    "PRELU": lambda x: jax.nn.leaky_relu(x, 0.25),  # plain-fn contexts: fixed slope at the PReLU init value
     "ELU": jax.nn.elu,
     "GELU": jax.nn.gelu,
     "SIGMOID": jax.nn.sigmoid,
@@ -198,6 +216,10 @@ for _name, _fn in _ACTS.items():
         return make
 
     Act.add_factory_callable(_name, _act_closure())
+
+# layer-context PRELU is the learnable module (overrides the plain-fn registration)
+Act.add_factory_callable(
+    "PRELU", lambda num_parameters=1, init=0.25, rngs=None, **kw: PReLU(num_parameters, init))
 
 
 def get_act_fn(name) -> Callable:
