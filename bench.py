@@ -1,13 +1,24 @@
-"""Benchmark: Spleen-CT-style 3D UNet sliding-window eval throughput (north star).
+"""Benchmarks on real TPU hardware. Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "extra": {...}}
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Primary metric (BASELINE.json north star): Spleen-CT-style 3D UNet sliding-window
+eval throughput — UNet (16,32,64,128,256)x(2,2,2,2) num_res_units=2, roi (96,96,96),
+overlap 0.25, gaussian blending, 224x224x112 volume, bf16 forward. All windows are
+batched into one forward (sw_batch_size = num_windows) to keep the MXU saturated.
 
-The workload matches BASELINE.json's north star: 3D UNet (16,32,64,128,256)x(2,2,2,2)
-num_res_units=2, sliding-window inference roi (96,96,96), overlap 0.25, gaussian
-blending over a 240x240x96-ish CT volume (bf16 forward).  vs_baseline is measured
-volumes/sec divided by the A100 reference estimate (~1.0 vol/s for this config per the
-reference's published tutorial-scale numbers; BASELINE.json `published` is empty so the
+vs_baseline divides by the A100 reference estimate (~1.0 vol/s for this config per
+the reference's tutorial-scale numbers; BASELINE.json `published` is empty so the
 divisor is this documented estimate).
+
+extra metrics (derivations):
+- unet_mfu: model FLOPs from XLA cost analysis of the compiled window forward
+  (per-window FLOPs x windows/sec) / v5e bf16 peak (197e12 FLOP/s/chip).
+- swinunetr_sw_eval_vols_per_sec: SwinUNETR (feature_size 24) sliding-window eval,
+  roi (96,96,96), same volume/overlap — the second BASELINE network.
+- transform_fused_resample_gbps: lazy-flush fused Spacing resample on device
+  (224x224x112 f32 -> 267x267x89, pixdim 1.2->1.0), einsum/MXU separable path
+  (ops/separable.py, chosen over the Pallas kernel by measurement — see
+  ops/pallas_resample.py docstring). GB/s counts in+out bytes (f32).
 """
 from __future__ import annotations
 
@@ -17,55 +28,132 @@ import time
 import numpy as np
 
 A100_REFERENCE_VOLS_PER_SEC = 1.0  # documented estimate; see module docstring
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main() -> None:
+def _timeit(fn, arg, n_iters=5):
+    out = fn(arg)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(arg)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / n_iters
+
+
+def bench_unet_sw():
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
+    from monai_tpu.data.utils import dense_patch_slices
     from monai_tpu.inferers import SlidingWindowInferer
+    from monai_tpu.inferers.utils import compute_scan_interval
     from monai_tpu.networks.nets import UNet
 
     net = UNet(spatial_dims=3, in_channels=1, out_channels=2, channels=(16, 32, 64, 128, 256),
                strides=(2, 2, 2, 2), num_res_units=2, rngs=nnx.Rngs(0))
     graphdef, state = nnx.split(net)
     state_bf16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        state)
 
     @jax.jit
     def fwd(state, x):
-        model = nnx.merge(graphdef, state)
-        return model(x)
+        return nnx.merge(graphdef, state)(x)
 
     def predictor(w):
         return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    # 18 windows cover the 224x224x112 volume at roi 96^3 / overlap 0.25; batching ALL
-    # of them into one forward keeps the MXU saturated (measured 2x over sw_batch=4)
-    inferer = SlidingWindowInferer(roi_size=(96, 96, 96), sw_batch_size=18, overlap=0.25,
+    vol_shape, roi, overlap = (224, 224, 112), (96, 96, 96), 0.25
+    # batch ALL windows into one forward (measured ~2x over small sw batches)
+    interval = compute_scan_interval(vol_shape, roi, 3, (overlap,) * 3)
+    num_windows = len(dense_patch_slices(vol_shape, roi, interval, return_slice=False))
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=num_windows, overlap=overlap,
                                    mode="gaussian")
 
     rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(1, 1, *vol_shape).astype(np.float32))
+    dt = _timeit(lambda v: inferer(v, predictor), vol)
+    vols_per_sec = 1.0 / dt
+
+    # MFU from the compiled window-forward's XLA cost analysis
+    win = jnp.zeros((num_windows, 1) + roi, jnp.bfloat16)
+    try:
+        cost = fwd.lower(state_bf16, win).compile().cost_analysis()
+        flops_per_batch = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_batch = 0.0
+    mfu = (flops_per_batch * vols_per_sec) / V5E_BF16_PEAK_FLOPS if flops_per_batch else None
+    return vols_per_sec, mfu, num_windows
+
+
+def bench_swinunetr_sw():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from monai_tpu.inferers import SlidingWindowInferer
+    from monai_tpu.networks.nets import SwinUNETR
+
+    net = SwinUNETR(in_channels=1, out_channels=14, feature_size=24, spatial_dims=3,
+                    rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(net)
+    state_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        state)
+
+    @jax.jit
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    def predictor(w):
+        return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    inferer = SlidingWindowInferer(roi_size=(96, 96, 96), sw_batch_size=4, overlap=0.25,
+                                   mode="gaussian")
+    rng = np.random.RandomState(0)
     vol = jnp.asarray(rng.rand(1, 1, 224, 224, 112).astype(np.float32))
+    dt = _timeit(lambda v: inferer(v, predictor), vol, n_iters=3)
+    return 1.0 / dt
 
-    # warmup/compile
-    out = inferer(vol, predictor)
-    out.block_until_ready()
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = inferer(vol, predictor)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    vols_per_sec = n_iters / dt
+def bench_transform_resample():
+    import jax
+    import jax.numpy as jnp
+
+    from monai_tpu.ops.separable import separable_affine_resample
+
+    m = np.diag([224 / 267, 224 / 267, 112 / 89, 1.0])
+    out_shape = (267, 267, 89)
+    run = jax.jit(lambda x: separable_affine_resample(x, m, out_shape, order=1, bound="zeros"))
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, 224, 224, 112).astype(np.float32))
+    dt = _timeit(run, img, n_iters=20)
+    nbytes = img.size * 4 + int(np.prod(out_shape)) * 4
+    return nbytes / dt / 1e9
+
+
+def main() -> None:
+    vols_per_sec, mfu, num_windows = bench_unet_sw()
+    extra = {"unet_num_windows": num_windows}
+    if mfu is not None:
+        extra["unet_mfu"] = round(mfu, 4)
+    try:
+        extra["swinunetr_sw_eval_vols_per_sec"] = round(bench_swinunetr_sw(), 4)
+    except Exception as e:  # keep the primary metric robust
+        extra["swinunetr_sw_eval_error"] = str(e)[:200]
+    try:
+        extra["transform_fused_resample_gbps"] = round(bench_transform_resample(), 2)
+    except Exception as e:
+        extra["transform_fused_resample_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "spleen_unet_sliding_window_eval",
         "value": round(vols_per_sec, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vols_per_sec / A100_REFERENCE_VOLS_PER_SEC, 4),
+        "extra": extra,
     }))
 
 

@@ -40,6 +40,9 @@ __all__ = ["sliding_window_inference", "compute_scan_interval"]
 
 _SW_JIT_CACHE: dict = {}
 _SW_JIT_CACHE_MAX = 32
+# device copies of the (deterministic) window grid / mask / importance map, so
+# repeated calls don't re-upload megabytes over a remote-tunnel TPU every volume
+_SW_CONST_CACHE: dict = {}
 
 
 def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], num_spatial_dims: int,
@@ -164,9 +167,19 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     if pad_n:
         starts = np.concatenate([starts, np.repeat(starts[-1:], pad_n, axis=0)], axis=0)
         win_mask[num_win:] = 0.0
-    starts_j = jnp.asarray(starts.reshape(n_chunks, sw_batch_size, num_spatial_dims))
-    mask_j = jnp.asarray(win_mask.reshape(n_chunks, sw_batch_size))
-    imp_j = jnp.asarray(imp)
+    # starts/mask/imp are fully determined by these config values; reuse device copies
+    const_key = (tuple(image_size), tuple(roi_size_), tuple(overlap_), sw_batch_size,
+                 str(mode), tuple(ensure_tuple_rep(sigma_scale, num_spatial_dims)),
+                 None if roi_weight_map is None else id(roi_weight_map))
+    consts = _SW_CONST_CACHE.get(const_key)
+    if consts is None:
+        consts = (jnp.asarray(starts.reshape(n_chunks, sw_batch_size, num_spatial_dims)),
+                  jnp.asarray(win_mask.reshape(n_chunks, sw_batch_size)),
+                  jnp.asarray(imp))
+        _SW_CONST_CACHE[const_key] = consts
+        if len(_SW_CONST_CACHE) > _SW_JIT_CACHE_MAX:
+            _SW_CONST_CACHE.pop(next(iter(_SW_CONST_CACHE)))
+    starts_j, mask_j, imp_j = consts
 
     dyn_leaves, rebuild, static_sig = _split_dynamic_args(args, kwargs)
     call_pred, pred_state = _make_call_pred(predictor, rebuild)

@@ -93,7 +93,16 @@ def compute_mask(dims: Sequence[int], window_size: Sequence[int], shift_size: Se
             for w_s in (slice(-window_size[1]), slice(-window_size[1], -shift_size[1]), slice(-shift_size[1], None)):
                 img_mask[:, h_s, w_s, :] = cnt
                 cnt += 1
-    mask_windows = np.asarray(window_partition(jnp.asarray(img_mask), window_size))[..., 0]
+    # pure-numpy window partition so this stays a host constant under jit tracing
+    ws = tuple(window_size)
+    if len(dims) == 3:
+        b, d, h, w, c = img_mask.shape
+        mw = img_mask.reshape(b, d // ws[0], ws[0], h // ws[1], ws[1], w // ws[2], ws[2], c)
+        mask_windows = np.transpose(mw, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(-1, ws[0] * ws[1] * ws[2])
+    else:
+        b, h, w, c = img_mask.shape
+        mw = img_mask.reshape(b, h // ws[0], ws[0], w // ws[1], ws[1], c)
+        mask_windows = np.transpose(mw, (0, 1, 3, 2, 4, 5)).reshape(-1, ws[0] * ws[1])
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
     return attn_mask  # (nW, N, N)

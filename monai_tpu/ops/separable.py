@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,7 +159,10 @@ def separable_affine_resample(img: Any, matrix: np.ndarray, out_shape: Sequence[
                           align_corners)
         Wd = jnp.asarray(W) if is_jax(img) else W
         # contract input axis d+1 (after channel): out[..., i, ...] = sum_j W[i,j] x[..., j, ...]
-        x = ns.moveaxis(ns.tensordot(Wd, x, axes=(1, d + 1)), 0, d + 1)
+        if ns is jnp:
+            x = ns.moveaxis(ns.tensordot(Wd, x, axes=(1, d + 1), precision=jax.lax.Precision.HIGHEST), 0, d + 1)
+        else:
+            x = ns.moveaxis(ns.tensordot(Wd, x, axes=(1, d + 1)), 0, d + 1)
     if np.issubdtype(np.dtype(str(orig_dtype)), np.floating):
         x = x.astype(orig_dtype)
     return x
