@@ -1,4 +1,6 @@
 from .analyzer import DataAnalyzer
-from .algo_gen import Algo, AlgoGen, BundleAlgo, SegAlgo
+from .algo_gen import Algo, AlgoGen, SegAlgo
 from .auto_runner import AutoRunner
+from .bundle_gen import BundleAlgo, BundleGen, algo_templates, register_algo_template
 from .ensemble_builder import AlgoEnsemble, AlgoEnsembleBestByFold, AlgoEnsembleBestN, EnsembleBuilder
+from .hpo_gen import GridHPOGen, HPOGen, NNIGen, RandomHPOGen

@@ -15,7 +15,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["Algo", "AlgoGen", "BundleAlgo", "SegAlgo"]
+__all__ = ["Algo", "AlgoGen", "SegAlgo"]
 
 
 class Algo:
@@ -218,4 +218,3 @@ class SegAlgo(Algo):
         return preds
 
 
-BundleAlgo = SegAlgo  # reference-name alias: the in-repo template algo

@@ -44,6 +44,9 @@ class AutoRunner:
         self.train_flag = True if train is None else train
         self.ensemble_flag = ensemble
         self.num_fold = kwargs.get("num_fold", 2)
+        self.hpo = hpo
+        self.hpo_backend = hpo_backend
+        self.hpo_params: dict | None = None
         self.train_params: dict = {}
         self.history: list[dict] = []
         self.data_stats: dict = {}
@@ -56,6 +59,11 @@ class AutoRunner:
 
     def set_training_params(self, params: dict) -> "AutoRunner":
         self.train_params = dict(params)
+        return self
+
+    def set_hpo_params(self, params: dict) -> "AutoRunner":
+        """Search space for the local HPO driver ({param: [choices...]})."""
+        self.hpo_params = dict(params)
         return self
 
     def set_ensemble_method(self, ensemble_method_name: str = "AlgoEnsembleBestByFold", **kwargs) -> "AutoRunner":
@@ -92,29 +100,36 @@ class AutoRunner:
             with open(self.datastats_filename) as f:
                 self.data_stats = json.load(f)
 
-        # 2+3. generate algos and train per fold
+        # 2. generate on-disk algorithm bundles (BundleGen) per (template, fold)
         datalist = self._load_datalist()
         if self.algo_gen_flag:
-            from ...data.utils import partition_dataset
+            from .bundle_gen import BundleGen
 
-            folds = partition_dataset(datalist, num_partitions=max(self.num_fold, 1), shuffle=True, seed=0)
-            self.history = []
-            for algo_name in self.algos:
-                for fold in range(self.num_fold):
-                    train_data = [x for i, f in enumerate(folds) if i != fold for x in f]
-                    out_dir = os.path.join(self.work_dir, f"{algo_name}_{fold}")
-                    algo = SegAlgo(name=f"{algo_name}_{fold}", network=algo_name, output_path=out_dir,
-                                   data_stats=self.data_stats, datalist=train_data,
-                                   **{k: v for k, v in self.train_params.items()
-                                      if k in ("roi_size", "max_epochs", "lr")})
-                    record = {AlgoKeys.ID: f"{algo_name}_{fold}", AlgoKeys.ALGO: algo,
-                              AlgoKeys.IS_TRAINED: False}
-                    if self.train_flag:
-                        algo.train({k: v for k, v in self.train_params.items()
-                                    if k not in ("roi_size",)})
-                        record[AlgoKeys.IS_TRAINED] = True
-                        record[AlgoKeys.SCORE] = algo.get_score()
-                    self.history.append(record)
+            gen = BundleGen(algo_path=self.work_dir, algos=self.algos,
+                            data_stats_filename=self.data_stats or self.datastats_filename)
+            template_params = {k: v for k, v in self.train_params.items()
+                               if k in ("roi_size", "max_epochs", "lr", "batch_size")}
+            self.history = gen.generate(self.work_dir, num_fold=self.num_fold,
+                                        datalist=datalist, **template_params)
+
+        # 3. train each generated bundle (optionally wrapped in local HPO)
+        if self.train_flag:
+            for record in self.history:
+                algo = record[AlgoKeys.ALGO]
+                overrides = {k: v for k, v in self.train_params.items()
+                             if k in ("max_epochs", "lr", "batch_size")}
+                if self.hpo:
+                    from .hpo_gen import GridHPOGen
+
+                    space = self.hpo_params or {"lr": [1e-3, 1e-4]}
+                    driver = GridHPOGen(algo=algo, search_space=space)
+                    best_params, best_score, _ = driver.run(
+                        output_folder=algo.get_output_path() or self.work_dir)
+                    algo.train({**overrides, **best_params})
+                else:
+                    algo.train(overrides)
+                record[AlgoKeys.IS_TRAINED] = True
+                record[AlgoKeys.SCORE] = algo.get_score()
 
         # 4. ensemble
         if self.ensemble_flag and self.history:
