@@ -131,11 +131,49 @@ def verify_net_in_out(net_id: str | None = None, meta_file=None, config_file=Non
     return net
 
 
+def _export_stablehlo(net, input_shape, out_dir: Path) -> str | None:
+    """Serialize the network forward as a jax.export (StableHLO) artifact — the
+    TPU-native analog of the reference's TorchScript bundle (scripts.py:1439).
+    The artifact is self-contained: weights are baked in as constants, and
+    ``load_exported_network`` replays it without the Python model code."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax import export as jax_export
+
+    graphdef, state = nnx.split(net)
+
+    def fwd(x):
+        return nnx.merge(graphdef, state)(x)
+
+    x_spec = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
+    exported = jax_export.export(jax.jit(fwd))(x_spec)
+    blob = exported.serialize()
+    path = out_dir / "model.stablehlo"
+    path.write_bytes(blob)
+    import json as _json
+
+    (out_dir / "export_meta.json").write_text(_json.dumps(
+        {"input_shape": list(input_shape), "dtype": "float32",
+         "format": "jax.export/StableHLO"}, indent=2))
+    return str(path)
+
+
+def load_exported_network(filepath: str):
+    """Load a ``ckpt_export`` StableHLO artifact; returns a callable(x)."""
+    from jax import export as jax_export
+
+    blob = Path(filepath).read_bytes()
+    exported = jax_export.deserialize(blob)
+    return lambda x: exported.call(x)
+
+
 def ckpt_export(net_id=None, filepath=None, ckpt_file=None, meta_file=None, config_file=None,
-                key_in_ckpt=None, args_file=None, **override):
-    """Export a bundle: orbax params + configs packaged into a directory
-    (the reference exports TorchScript, scripts.py:1439; the jax-native equivalent is
-    an orbax checkpoint + a serialized jax export when available)."""
+                key_in_ckpt=None, input_shape=None, args_file=None, **override):
+    """Export a bundle: orbax params + configs + a serialized jax.export (StableHLO)
+    program of the network forward (the reference exports TorchScript,
+    scripts.py:1439). ``input_shape`` (default from the bundle metadata, else
+    (1, 1, 96, 96, 96)) fixes the exported program's signature."""
     from ..handlers.checkpoint import save_checkpoint
 
     _args = update_kwargs(args=args_file, net_id=net_id, filepath=filepath, ckpt_file=ckpt_file,
@@ -145,10 +183,27 @@ def ckpt_export(net_id=None, filepath=None, ckpt_file=None, meta_file=None, conf
     if _args.get("meta_file"):
         parser.read_meta(_args["meta_file"])
     net = parser.get_parsed_content(_args.get("net_id") or "network_def")
+    if _args.get("ckpt_file"):
+        from ..handlers.checkpoint import load_checkpoint
+
+        key = key_in_ckpt or "model"
+        load_checkpoint({key: net}, _args["ckpt_file"], strict=False)
     out = Path(_args["filepath"])
     out.mkdir(parents=True, exist_ok=True)
     save_checkpoint({"model": net}, str(out / "model"))
     ConfigParser.export_config_file(parser.get(), str(out / "config.json"), fmt="json", indent=2)
+    if input_shape is None:
+        meta = parser.get(parser.meta_key, {})
+        info = meta.get("network_data_format", {}).get("inputs", {}).get("image", {})
+        spatial = tuple(s if isinstance(s, int) else 96
+                        for s in info.get("spatial_shape", (96, 96, 96)))
+        input_shape = (1, len(info.get("channel_def", {"0": "image"}))) + spatial
+    try:
+        _export_stablehlo(net, input_shape, out)
+    except Exception as e:  # params+config export still succeeds without AOT artifact
+        import warnings
+
+        warnings.warn(f"jax.export StableHLO serialization failed: {e}")
     print(f"exported bundle to {out}")
     return str(out)
 

@@ -27,10 +27,24 @@ import numpy as np
 
 from ..utils.backend import is_jax, xp
 
-__all__ = ["grid_pull", "grid_push", "grid_count", "affine_grid", "affine_resample", "resolve_mode"]
+__all__ = ["grid_pull", "grid_push", "grid_count", "affine_grid", "affine_resample",
+           "resolve_mode", "resolve_bound"]
 
 _ORDER = {"nearest": 0, 0: 0, "bilinear": 1, "linear": 1, "trilinear": 1, 1: 1,
-          "bicubic": 3, "cubic": 3, 3: 3}
+          "quadratic": 2, 2: 2, "bicubic": 3, "cubic": 3, 3: 3,
+          "fourth": 4, 4: 4, "fifth": 5, 5: 5, "sixth": 6, 6: 6, "seventh": 7, 7: 7}
+
+# the reference's 8 boundary modes (monai/csrc/ext.cpp:35-75 BoundType) + torch names
+_BOUND_ALIASES = {
+    "zeros": "zero", "zero": "zero", "constant": "zero",
+    "border": "replicate", "replicate": "replicate", "nearest": "replicate",
+    "reflection": "dct2", "reflect": "dct2", "dct2": "dct2",
+    "mirror": "dct1", "dct1": "dct1",
+    "antireflect": "dst2", "dst2": "dst2",
+    "antimirror": "dst1", "dst1": "dst1",
+    "wrap": "dft", "circular": "dft", "dft": "dft",
+    "sliding": "sliding",
+}
 
 
 def resolve_mode(mode: Any) -> int:
@@ -38,6 +52,143 @@ def resolve_mode(mode: Any) -> int:
     if mode in _ORDER:
         return _ORDER[mode]
     raise ValueError(f"Unsupported interpolation mode: {mode!r}")
+
+
+def resolve_bound(bound: Any) -> str:
+    """Canonicalize a boundary-mode name (reference: csrc BoundType)."""
+    key = str(bound).lower()
+    if key in _BOUND_ALIASES:
+        return _BOUND_ALIASES[key]
+    raise ValueError(f"Unsupported bound mode: {bound!r}")
+
+
+def _bound_tap_generic(idx, n: int, bound: str, align_corners: bool, ns):
+    """Map integer tap indices into [0, n-1] per boundary mode.
+
+    Returns (index, sign, mask): ``sign`` multiplies the sample (antisymmetric
+    modes), ``mask`` zeroes it (zero / node positions of dst1). Either may be None.
+    Semantics follow the reference's bounds_common.h / scipy.ndimage grid modes:
+      zero=grid-constant, replicate=nearest, dct2=grid-mirror, dct1=mirror,
+      dft=grid-wrap, dst1/dst2 antisymmetric mirrors.
+    """
+    if bound == "zero":
+        mask = (idx >= 0) & (idx <= n - 1)
+        return ns.clip(idx, 0, n - 1), None, mask
+    if bound == "replicate":
+        return ns.clip(idx, 0, n - 1), None, None
+    if n == 1:
+        return ns.zeros_like(idx), None, None
+    if bound == "dct2":  # reflect about -0.5 and n-0.5
+        period = 2 * n
+        x = ns.remainder(idx, period)
+        return ns.where(x >= n, period - 1 - x, x), None, None
+    if bound == "dct1":  # mirror about 0 and n-1
+        period = 2 * (n - 1)
+        x = ns.remainder(idx, period)
+        return ns.where(x >= n, period - x, x), None, None
+    if bound == "dft":  # periodic
+        return ns.remainder(idx, n), None, None
+    if bound == "dst2":  # antisymmetric about -0.5 and n-0.5
+        period = 2 * n
+        x = ns.remainder(idx, period)
+        refl = x >= n
+        xi = ns.where(refl, period - 1 - x, x)
+        sign = ns.where(refl, -1.0, 1.0)
+        return xi, sign, None
+    if bound == "dst1":  # antisymmetric with nodes at -1 and n
+        period = 2 * (n + 1)
+        u = ns.remainder(idx + 1, period)  # node positions are u==0 and u==n+1
+        refl = u > n + 1
+        xi = ns.where(refl, 2 * n + 1 - u, u - 1)
+        xi = ns.clip(xi, 0, n - 1)
+        sign = ns.where(refl, -1.0, 1.0)
+        mask = (u != 0) & (u != n + 1)
+        return xi, sign, mask
+    raise NotImplementedError(
+        f"bound mode {bound!r} is not supported here ('sliding' applies per-component "
+        "displacement-field handling in the reference and is handled by the caller).")
+
+
+def _bspline_kernel(order: int, u, ns):
+    """Centered B-spline basis of degree ``order`` evaluated at offsets ``u``
+    (closed form: divided differences of truncated powers)."""
+    from math import comb, factorial
+
+    x = u + (order + 1) / 2.0
+    out = None
+    for k in range(order + 2):
+        term = ((-1.0) ** k) * comb(order + 1, k) * ns.maximum(x - k, 0.0) ** order
+        out = term if out is None else out + term
+    return out / factorial(order)
+
+
+def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, ns):
+    """Generic tap-based interpolation: B-spline weights of any order 2..7 (and the
+    full 8-bound handling for orders 0/1). Parity: monai/csrc resample pushpull
+    (orders 0-7 x 8 bounds); validated vs scipy.ndimage.map_coordinates
+    (prefilter=False) in tests/test_resample_parity_tail.py."""
+    D = grid.shape[-1]
+    in_spatial = input.shape[1:]
+    C = input.shape[0]
+    out_spatial = grid.shape[:-1]
+    compute_dtype = ns.float32 if input.dtype not in (ns.float64,) else input.dtype
+    inp = input.astype(compute_dtype)
+    flat_in = inp.reshape(C, -1)
+    strides = np.ones(D, dtype=np.int64)
+    for d in range(D - 2, -1, -1):
+        strides[d] = strides[d + 1] * in_spatial[d + 1]
+
+    taps_per_dim: list[list[tuple]] = []  # per dim: [(idx, weight, sign, mask), ...]
+    for d in range(D):
+        c = grid[..., d].astype(compute_dtype)
+        if order == 0:
+            base = ns.floor(c + 0.5).astype(ns.int32)
+            dim_taps = [(base, None)]
+        elif order == 1:
+            f = ns.floor(c)
+            t = (c - f).astype(compute_dtype)
+            base = f.astype(ns.int32)
+            dim_taps = [(base, 1.0 - t), (base + 1, t)]
+        else:
+            if order % 2:
+                base = ns.floor(c).astype(ns.int32) - (order - 1) // 2
+            else:
+                base = ns.floor(c + 0.5).astype(ns.int32) - order // 2
+            dim_taps = []
+            for k in range(order + 1):
+                i_k = base + k
+                w_k = _bspline_kernel(order, c - i_k.astype(compute_dtype), ns)
+                dim_taps.append((i_k, w_k))
+        resolved = []
+        for i_k, w_k in dim_taps:
+            xi, sign, mask = _bound_tap_generic(i_k, in_spatial[d], bound, align_corners, ns)
+            resolved.append((xi, w_k, sign, mask))
+        taps_per_dim.append(resolved)
+
+    out = None
+    for corner in itertools.product(*[range(len(t)) for t in taps_per_dim]):
+        w = None
+        flat_idx = None
+        for d, k in enumerate(corner):
+            xi, w_k, sign, mask = taps_per_dim[d][k]
+            wd = w_k if w_k is not None else 1.0
+            if sign is not None:
+                wd = wd * sign if not isinstance(wd, float) else sign * wd
+            if mask is not None:
+                wd = wd * mask.astype(compute_dtype) if not isinstance(wd, float) \
+                    else mask.astype(compute_dtype) * wd
+            if w is None:
+                w = wd if not isinstance(wd, float) else None
+            elif not isinstance(wd, float):
+                w = w * wd
+            contrib = xi * int(strides[d])
+            flat_idx = contrib if flat_idx is None else flat_idx + contrib
+        vals = ns.take(flat_in, flat_idx.reshape(-1), axis=1).reshape((C,) + tuple(out_spatial))
+        term = vals if w is None else vals * w[None]
+        out = term if out is None else out + term
+    if np.issubdtype(np.dtype(str(input.dtype)), np.floating):
+        out = out.astype(input.dtype)
+    return out
 
 
 def _reflect(idx, n, align_corners: bool = False):
@@ -119,12 +270,25 @@ def grid_pull(input: Any, grid: Any, interpolation: Any = 1, bound: str = "zeros
 
     Returns ``(C, *out_spatial)``.
     """
-    order = resolve_mode(interpolation)
     ns = xp(input)
+    if str(interpolation).lower() in ("bspline", "bspline3"):
+        # the reference compiled grid_pull's cubic: B-spline basis, not Keys
+        return _grid_pull_spline(input, grid, 3, resolve_bound(bound), align_corners, ns)
+    order = resolve_mode(interpolation)
     D = grid.shape[-1]
     in_spatial = input.shape[1:]
     if len(in_spatial) != D:
         raise ValueError(f"grid last dim {D} != input spatial rank {len(in_spatial)}")
+    canon_bound = resolve_bound(bound)
+    # torch-compatible fast paths below cover orders {0,1,3(Keys cubic)} x
+    # {zero,replicate,dct2}; everything else (B-spline orders 2,4-7 and the
+    # reference's remaining bound modes) goes through the generic tap engine.
+    # NOTE: order 3 here is torch's Keys bicubic; the reference's compiled grid_pull
+    # order 3 is the cubic B-SPLINE — request it as interpolation="bspline" or via
+    # use_bspline=True on callers that need csrc parity.
+    if order in (2, 4, 5, 6, 7) or canon_bound not in ("zero", "replicate", "dct2"):
+        return _grid_pull_spline(input, grid, order, canon_bound, align_corners, ns)
+    bound = {"zero": "zeros", "replicate": "border", "dct2": "reflection"}[canon_bound]
     C = input.shape[0]
     out_spatial = grid.shape[:-1]
 

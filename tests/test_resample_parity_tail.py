@@ -1,0 +1,150 @@
+"""Pushpull parity tail: spline orders 2-7 and the reference's 8 bound modes
+(reference: monai/csrc/ext.cpp:35-75, resample/pushpull_cpu.cpp).
+
+Oracle: scipy.ndimage.map_coordinates with prefilter=False computes exactly the
+direct B-spline weighted sum of raw samples — the same definition as grid_pull —
+with matching grid boundary modes:
+  zero=grid-constant, replicate=nearest, dct2=grid-mirror, dct1=mirror, dft=grid-wrap.
+dst1/dst2 (antisymmetric) have no scipy analog; they are checked against an
+explicit antisymmetric extension of the signal.
+"""
+import numpy as np
+import pytest
+from scipy.ndimage import map_coordinates
+
+from monai_tpu.ops.resample import grid_pull, resolve_bound
+
+SCIPY_MODE = {"zeros": "grid-constant", "border": "nearest", "reflection": "grid-mirror",
+              "mirror": "mirror", "wrap": "grid-wrap"}
+
+
+def _case(seed=0, shape=(9, 11), n_pts=200, span=4.0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(1, *shape).astype(np.float64)
+    coords = rng.uniform(-span, shape[0] + span, size=(n_pts, len(shape))).astype(np.float64)
+    for d in range(len(shape)):
+        coords[:, d] = rng.uniform(-span, shape[d] - 1 + span, n_pts)
+    return img, coords
+
+
+class TestSplineOrdersVsScipy:
+    @pytest.mark.parametrize("order", [0, 1, 2, 3, 4, 5])
+    @pytest.mark.parametrize("bound", ["zeros", "border", "reflection", "mirror", "wrap"])
+    def test_2d(self, order, bound):
+        img, coords = _case()
+        interp = "bspline" if order == 3 else order
+        got = grid_pull(img, coords[None], interpolation=interp, bound=bound)[0, 0]
+        want = map_coordinates(img[0], coords.T, order=order, prefilter=False,
+                               mode=SCIPY_MODE[bound], cval=0.0)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+    @pytest.mark.parametrize("order", [2, 4, 5])
+    def test_3d(self, order):
+        rng = np.random.RandomState(1)
+        img = rng.rand(2, 6, 7, 8).astype(np.float64)
+        coords = np.stack([rng.uniform(-2, 7, 50), rng.uniform(-2, 8, 50),
+                           rng.uniform(-2, 9, 50)], axis=-1)
+        got = grid_pull(img, coords[None], interpolation=order, bound="reflection")[:, 0]
+        for c in range(2):
+            want = map_coordinates(img[c], coords.T, order=order, prefilter=False,
+                                   mode="grid-mirror")
+            np.testing.assert_allclose(np.asarray(got[c]), want, atol=1e-9)
+
+    @pytest.mark.parametrize("order", [6, 7])
+    def test_high_orders_beyond_scipy(self, order):
+        """scipy stops at order 5; check partition of unity (constant reproduction)
+        and a brute-force 1-D B-spline evaluation."""
+        from math import comb, factorial
+
+        rng = np.random.RandomState(5)
+        const = np.full((1, 12, 13), 3.25)
+        pts = np.stack([rng.uniform(1, 10, 30), rng.uniform(1, 11, 30)], axis=-1)
+        got = np.asarray(grid_pull(const, pts[None], interpolation=order, bound="border"))[0, 0]
+        np.testing.assert_allclose(got, 3.25, atol=1e-9)
+
+        def bspline(n, u):
+            x = u + (n + 1) / 2.0
+            return sum(((-1) ** k) * comb(n + 1, k) * max(x - k, 0.0) ** n
+                       for k in range(n + 2)) / factorial(n)
+
+        sig = rng.rand(16)
+        xs = rng.uniform(4.0, 11.0, 20)  # interior, no boundary effects
+        want = np.array([sum(bspline(order, x - i) * sig[i] for i in range(16)) for x in xs])
+        got1 = np.asarray(grid_pull(sig[None], xs[:, None][None], interpolation=order,
+                                    bound="zeros"))[0, 0]
+        np.testing.assert_allclose(got1, want, atol=1e-10)
+
+    def test_keys_cubic_unchanged_for_torch_parity(self):
+        """order=3 (default) stays Keys bicubic (torch grid_sample semantics), while
+        'bspline' gives the reference csrc cubic — they must differ off-grid."""
+        img, coords = _case(2)
+        keys = np.asarray(grid_pull(img, coords[None], interpolation=3, bound="border")[0, 0])
+        bsp = np.asarray(grid_pull(img, coords[None], interpolation="bspline", bound="border")[0, 0])
+        assert not np.allclose(keys, bsp)
+
+
+class TestAntisymmetricBounds:
+    """dst1/dst2 checked against brute-force antisymmetric extensions."""
+
+    @staticmethod
+    def _extended_lookup(sig, idx, bound):
+        n = len(sig)
+        out = np.zeros_like(idx, dtype=np.float64)
+        for j, i in enumerate(idx):
+            i = int(i)
+            if bound == "dst2":  # antireflect about -0.5 / n-0.5
+                u = i % (2 * n)
+                out[j] = sig[u] if u < n else -sig[2 * n - 1 - u]
+            else:  # dst1: nodes at -1 and n, antisymmetric around them
+                u = (i + 1) % (2 * (n + 1))
+                if u == 0 or u == n + 1:
+                    out[j] = 0.0
+                elif u <= n:
+                    out[j] = sig[u - 1]
+                else:
+                    out[j] = -sig[2 * n + 1 - u]
+        return out
+
+    @pytest.mark.parametrize("bound", ["dst1", "dst2"])
+    def test_integer_taps_match_extension(self, bound):
+        rng = np.random.RandomState(3)
+        sig = rng.rand(7)
+        img = sig[None, :]  # (C=1, n)
+        idx = np.arange(-10, 17, dtype=np.float64)
+        got = np.asarray(grid_pull(img, idx[:, None][None], interpolation=0, bound=bound))[0, 0]
+        want = self._extended_lookup(sig, idx.round().astype(int), bound)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    @pytest.mark.parametrize("bound", ["dst1", "dst2"])
+    @pytest.mark.parametrize("order", [1, 3])
+    def test_interp_matches_manual_extension(self, bound, order):
+        rng = np.random.RandomState(4)
+        sig = rng.rand(6)
+        img = sig[None, :]
+        pts = rng.uniform(-6, 12, 40)
+        interp = "bspline" if order == 3 else order
+        got = np.asarray(grid_pull(img, pts[:, None][None], interpolation=interp, bound=bound))[0, 0]
+        # build an explicitly-extended signal and sample it with zero bound
+        offset = 24
+        ext_idx = np.arange(-offset, len(sig) + offset, dtype=np.float64)
+        ext = self._extended_lookup(sig, ext_idx.astype(int), bound)
+        got_ext = np.asarray(grid_pull(ext[None, :], (pts + offset)[:, None][None],
+                                       interpolation=interp, bound="zeros"))[0, 0]
+        np.testing.assert_allclose(got, got_ext, atol=1e-10)
+
+
+class TestBoundAliases:
+    def test_aliases_resolve(self):
+        assert resolve_bound("zeros") == resolve_bound("constant") == "zero"
+        assert resolve_bound("border") == resolve_bound("nearest") == "replicate"
+        assert resolve_bound("reflection") == resolve_bound("dct2")
+        assert resolve_bound("circular") == resolve_bound("dft")
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            resolve_bound("banana")
+
+    def test_sliding_not_implemented(self):
+        img, coords = _case()
+        with pytest.raises(NotImplementedError):
+            grid_pull(img, coords[None], interpolation=2, bound="sliding")
