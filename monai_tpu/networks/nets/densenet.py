@@ -93,15 +93,21 @@ class DenseNet(nnx.Module):
         self.final_act = get_act_layer(act)
         self.classifier = nnx.Linear(in_ch, out_channels, rngs=rngs)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def forward_features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Headless feature map (channel-first), e.g. for NetAdapter head swaps
+        (the reference DenseNet exposes its `features` Sequential the same way)."""
         perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
         x = jnp.transpose(x, perm_in)
         x = self.pool0(self.act0(self.norm0(self.conv0(x))))
         for block in self.blocks:
             x = block(x)
         x = self.final_act(x)
-        x = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))  # global average pool
-        return self.classifier(x)
+        return jnp.transpose(x, (0, x.ndim - 1) + tuple(range(1, x.ndim - 1)))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = self.forward_features(x)
+        h = jnp.mean(h, axis=tuple(range(2, h.ndim)))  # global average pool
+        return self.classifier(h)
 
 
 def DenseNet121(spatial_dims: int, in_channels: int, out_channels: int, *, rngs: nnx.Rngs, **kwargs):

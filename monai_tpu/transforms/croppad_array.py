@@ -358,6 +358,10 @@ class RandSpatialCropSamples(Randomizable, Transform, MultiSampleTrait):
     def randomize(self, data=None) -> None:
         pass
 
+    def inverse(self, data):
+        """Each sample carries the inner cropper's applied-op record; delegate."""
+        return self.cropper.inverse(data)
+
     def __call__(self, img: Any, lazy: bool | None = None) -> list:
         ret = []
         for i in range(self.num_samples):

@@ -1006,7 +1006,13 @@ class Invertd(MapTransform):
                 for op in pred.applied_operations:
                     if "lazy_interpolation_mode" in op:
                         op["lazy_interpolation_mode"] = 0
-            inverted = self.transform.inverse(pred)
+            if isinstance(self.transform, MapTransform) or (
+                    isinstance(self.transform, Compose)
+                    and any(isinstance(t, MapTransform) for t in self.transform.transforms)):
+                # dict pipeline: feed the prediction back under the original key
+                inverted = self.transform.inverse({orig_key: pred})[orig_key]
+            else:
+                inverted = self.transform.inverse(pred)
             d[key] = inverted
         return d
 
@@ -1423,13 +1429,17 @@ class Ensembled(MapTransform):
         return d
 
 
-# exported names
-__all__ = [n for n in dir() if n.endswith("d") and not n.startswith("_")] + [
-    "ToTensord", "RandLambdad", "Invertd", "Decollated",
-]
+# exported names: only actual dict transforms (MapTransform subclasses) — array
+# classes whose own names happen to end in 'd' (BorderPad, CropForeground, ...)
+# must NOT leak into the dict namespace or get mangled D/Dict aliases
+_g = globals()
+__all__ = sorted({
+    n for n in dir()
+    if n.endswith("d") and not n.startswith("_")
+    and isinstance(_g.get(n), type) and issubclass(_g[n], MapTransform)
+} | {"ToTensord", "RandLambdad", "Invertd", "Decollated"})
 
 # CamelCase D/Dict aliases (the reference exports XxxD and XxxDict as aliases)
-_g = globals()
 for _n in list(__all__):
     obj = _g.get(_n)
     if isinstance(obj, type):

@@ -59,6 +59,16 @@ class TraceableTransform(Transform):
         if not isinstance(data, MetaImage) or not get_track_meta():
             return data
         info = self.get_transform_info()
+        if kwargs.get("replace"):
+            # reference semantics (inverse.py push_transform replace=True): a random
+            # wrapper delegating to an inner transform re-labels the inner record as
+            # its own so its inverse() finds a matching class name
+            stack = data.pending_operations if lazy else data.applied_operations
+            if stack:
+                top = stack[-1]
+                top[TraceKeys.CLASS_NAME] = info[TraceKeys.CLASS_NAME]
+                top[TraceKeys.ID] = info[TraceKeys.ID]
+            return data
         extra_info = kwargs.get("extra_info", {})
         orig_size = kwargs.get("orig_size", data.peek_pending_shape())
         matrix = kwargs.get("affine")

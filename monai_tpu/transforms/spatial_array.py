@@ -314,6 +314,7 @@ class RandFlip(RandomizableTransform, InvertibleTransform, LazyTransform):
             self.push_transform(out, extra_info={"skipped": True}, lazy=False)
             return out
         out = self.flipper(img, lazy=lazy_)
+        self.push_transform(out, replace=True, lazy=lazy_)
         return out
 
     def inverse(self, data):
@@ -344,9 +345,12 @@ class RandAxisFlip(RandomizableTransform, InvertibleTransform, LazyTransform):
             out = _shallow_copy(img)
             self.push_transform(out, extra_info={"skipped": True}, lazy=False)
             return out
+        lazy_ = self.lazy if lazy is None else lazy
         flipper = Flip(spatial_axis=self._axis)
-        flipper.lazy = self.lazy if lazy is None else lazy
-        return flipper(img)
+        flipper.lazy = lazy_
+        out = flipper(img)
+        self.push_transform(out, replace=True, lazy=lazy_)
+        return out
 
     def inverse(self, data):
         t = self.get_most_recent_transform(data, pop=True)
@@ -411,9 +415,12 @@ class RandRotate90(RandomizableTransform, InvertibleTransform, LazyTransform):
             out = _shallow_copy(img)
             self.push_transform(out, extra_info={"skipped": True}, lazy=False)
             return out
+        lazy_ = self.lazy if lazy is None else lazy
         xform = Rotate90(self._rand_k, self.spatial_axes)
-        xform.lazy = self.lazy if lazy is None else lazy
-        return xform(img)
+        xform.lazy = lazy_
+        out = xform(img)
+        self.push_transform(out, replace=True, lazy=lazy_)
+        return out
 
     def inverse(self, data):
         t = self.get_most_recent_transform(data, pop=True)
@@ -565,8 +572,11 @@ class RandRotate(RandomizableTransform, InvertibleTransform, LazyTransform):
             align_corners=self.align_corners if align_corners is None else align_corners,
             dtype=dtype or self.dtype,
         )
-        rotator.lazy = self.lazy if lazy is None else lazy
-        return rotator(img)
+        lazy_ = self.lazy if lazy is None else lazy
+        rotator.lazy = lazy_
+        out = rotator(img)
+        self.push_transform(out, replace=True, lazy=lazy_)
+        return out
 
     def inverse(self, data):
         t = self.get_most_recent_transform(data, pop=True)
@@ -654,8 +664,11 @@ class RandZoom(RandomizableTransform, InvertibleTransform, LazyTransform):
         zoomer = Zoom(self._zoom, mode=mode or self.mode, padding_mode=padding_mode or self.padding_mode,
                       align_corners=self.align_corners if align_corners is None else align_corners,
                       keep_size=self.keep_size, dtype=dtype or self.dtype, **self.kwargs)
-        zoomer.lazy = self.lazy if lazy is None else lazy
-        return zoomer(img)
+        lazy_ = self.lazy if lazy is None else lazy
+        zoomer.lazy = lazy_
+        out = zoomer(img)
+        self.push_transform(out, replace=True, lazy=lazy_)
+        return out
 
     def inverse(self, data):
         t = self.get_most_recent_transform(data, pop=True)

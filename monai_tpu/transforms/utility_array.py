@@ -397,7 +397,7 @@ class LabelToMask(Transform):
         data = img.data if isinstance(img, MetaImage) else img
         ns = xp(data)
         if data.shape[0] > 1:
-            out = data[list(select_labels)]
+            out = data[np.asarray(list(select_labels))]  # jax rejects bare-list fancy indexing
         else:
             out = ns.isin(data, ns.asarray(list(select_labels)) if ns is not np else np.asarray(list(select_labels)))
         if merge_channels:
