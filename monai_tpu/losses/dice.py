@@ -342,8 +342,11 @@ class GeneralizedDiceFocalLoss:
                                                     softmax=softmax, other_act=other_act, w_type=w_type,
                                                     reduction=reduction, smooth_nr=smooth_nr,
                                                     smooth_dr=smooth_dr, batch=batch)
+        # NOTE reference quirk (dice.py:1024): unlike DiceFocalLoss, the reference's
+        # GeneralizedDiceFocalLoss does NOT forward softmax to its FocalLoss — the
+        # focal term always uses sigmoid semantics. Matched for parity.
         self.focal = FocalLoss(include_background=include_background, to_onehot_y=to_onehot_y,
-                               gamma=gamma, weight=weight, reduction=reduction, use_softmax=softmax)
+                               gamma=gamma, weight=weight, reduction=reduction)
         if lambda_gdl < 0.0 or lambda_focal < 0.0:
             raise ValueError("lambda_gdl and lambda_focal should be no less than 0.0.")
         self.lambda_gdl = lambda_gdl

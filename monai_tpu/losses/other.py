@@ -117,8 +117,9 @@ class BarlowTwinsLoss:
         b = input.shape[0]
         if b <= 1:
             raise ValueError(f"Batch size must be greater than 1, got {b}")
-        input_norm = (input - input.mean(0)) / (input.std(0) + 1e-8)
-        target_norm = (target - target.mean(0)) / (target.std(0) + 1e-8)
+        # torch .std() is the UNBIASED estimator (ddof=1) and the reference adds 1e-6
+        input_norm = (input - input.mean(0)) / (input.std(0, ddof=1) + 1e-6)
+        target_norm = (target - target.mean(0)) / (target.std(0, ddof=1) + 1e-6)
         c = (input_norm.T @ target_norm) / b
         on_diag = jnp.sum((jnp.diag(c) - 1) ** 2)
         off_diag = jnp.sum(c**2) - jnp.sum(jnp.diag(c) ** 2)
@@ -355,30 +356,35 @@ class SSIMLoss:
                  reduction: str = LossReduction.MEAN):
         self.spatial_dims = spatial_dims
         self.data_range = data_range
+        self.kernel_type = str(kernel_type)
         self.win_size = win_size
         self.kernel_sigma = kernel_sigma
         self.k1, self.k2 = k1, k2
         self.reduction = look_up_option(str(reduction), LossReduction)
 
-    def _filter(self, x):
-        from ..ops.gaussian import gaussian_filter
-
-        return jnp.stack([gaussian_filter(xi, self.kernel_sigma) for xi in x])
-
     def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        # same VALID-window SSIM as the metric (validated vs the reference's
+        # conv-without-padding kernels, see metrics/regression.py)
+        import numpy as np
+
+        from ..metrics.regression import _ssim_filter_valid
+
         c1 = (self.k1 * self.data_range) ** 2
         c2 = (self.k2 * self.data_range) ** 2
-        mu_x = self._filter(input)
-        mu_y = self._filter(target)
-        mu_xx = self._filter(input * input)
-        mu_yy = self._filter(target * target)
-        mu_xy = self._filter(input * target)
+        x = np.asarray(input).astype(np.float64)
+        y = np.asarray(target).astype(np.float64)
+
+        def filt(v):
+            return _ssim_filter_valid(v, self.win_size, self.kernel_sigma, self.kernel_type)
+
+        mu_x, mu_y = filt(x), filt(y)
+        mu_xx, mu_yy, mu_xy = filt(x * x), filt(y * y), filt(x * y)
         sigma_x = mu_xx - mu_x * mu_x
         sigma_y = mu_yy - mu_y * mu_y
         sigma_xy = mu_xy - mu_x * mu_y
         num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
         den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
-        ssim = num / den
+        ssim = jnp.asarray((num / den).astype(np.float32))
         return _reduce(1.0 - ssim, self.reduction)
 
 
@@ -427,11 +433,15 @@ class SoftclDiceLoss:
         self.iter = iter_
         self.smooth = smooth
 
-    def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+        # reference signature is (y_true, y_pred), and channel 0 (background) is
+        # EXCLUDED from the skeleton overlap sums (cldice.py:139-144)
         skel_pred = soft_skel(y_pred, self.iter)
         skel_true = soft_skel(y_true, self.iter)
-        tprec = (jnp.sum(skel_pred * y_true) + self.smooth) / (jnp.sum(skel_pred) + self.smooth)
-        tsens = (jnp.sum(skel_true * y_pred) + self.smooth) / (jnp.sum(skel_true) + self.smooth)
+        tprec = (jnp.sum((skel_pred * y_true)[:, 1:]) + self.smooth) / (
+            jnp.sum(skel_pred[:, 1:]) + self.smooth)
+        tsens = (jnp.sum((skel_true * y_pred)[:, 1:]) + self.smooth) / (
+            jnp.sum(skel_true[:, 1:]) + self.smooth)
         return 1.0 - 2.0 * (tprec * tsens) / (tprec + tsens)
 
 
@@ -444,10 +454,11 @@ class SoftDiceclDiceLoss:
         self.alpha = alpha
         self.cldice = SoftclDiceLoss(iter_, smooth)
 
-    def __call__(self, y_pred: jnp.ndarray, y_true: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, y_true: jnp.ndarray, y_pred: jnp.ndarray) -> jnp.ndarray:
+        # reference signature (y_true, y_pred), cldice.py:172
         intersection = jnp.sum(y_pred * y_true)
         dice = 1 - (2 * intersection + self.smooth) / (jnp.sum(y_pred) + jnp.sum(y_true) + self.smooth)
-        cl = self.cldice(y_pred, y_true)
+        cl = self.cldice(y_true, y_pred)
         return (1.0 - self.alpha) * dice + self.alpha * cl
 
 
