@@ -178,17 +178,15 @@ class HilbertTransform(nnx.Module):
     def __call__(self, x):
         ax = self.axis
         n = x.shape[ax] if self.n is None else self.n
-        f = jnp.fft.fft(x, n=n, axis=ax)
-        h = np.zeros(n)
-        if n % 2 == 0:
-            h[0] = h[n // 2] = 1
-            h[1:n // 2] = 2
-        else:
-            h[0] = 1
-            h[1:(n + 1) // 2] = 2
+        xf = jnp.fft.fft(x, n=n, axis=ax)
+        # reference filter (simplelayers.py:370): 2*heaviside(f, 0.5) — DC bin 1,
+        # positive freqs 2, negatives INCLUDING the even-n Nyquist bin 0
+        freqs = np.concatenate([np.arange(0, (n - 1) // 2 + 1) / float(n),
+                                np.arange(-(n // 2), 0) / float(n)])
+        h = 2.0 * np.heaviside(freqs, 0.5)
         shape = [1] * x.ndim
         shape[ax] = n
-        return jnp.fft.ifft(f * jnp.asarray(h).reshape(shape), axis=ax)
+        return jnp.fft.ifft(xf * jnp.asarray(h).reshape(shape), axis=ax)
 
 
 def apply_filter(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

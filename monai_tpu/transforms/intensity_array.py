@@ -398,14 +398,27 @@ class RandBiasField(RandomizableTransform):
 
     @staticmethod
     def _multi_indices(degree: int, rank: int):
-        """All exponent tuples of length ``rank`` with total degree ≤ ``degree``,
-        lexicographic."""
+        """Exponent tuples in the reference's coefficient order: 2D uses the
+        lower-triangle basis (j <= i, tril_indices order, intensity/array.py:768);
+        3D and other ranks use total degree <= ``degree``, lexicographic."""
         if rank == 0:
             yield ()
             return
-        for head in range(degree + 1):
-            for tail in RandBiasField._multi_indices(degree - head, rank - 1):
-                yield (head,) + tail
+        if rank == 2:
+            for i in range(degree + 1):
+                for j in range(i + 1):
+                    yield (i, j)
+            return
+
+        def _total(deg, r):
+            if r == 0:
+                yield ()
+                return
+            for head in range(deg + 1):
+                for tail in _total(deg - head, r - 1):
+                    yield (head,) + tail
+
+        yield from _total(degree, rank)
 
     def _generate_random_field(self, spatial_shape: Sequence[int], degree: int, coeff: Sequence[float]):
         """Evaluate  sum_{|a| <= degree}  c_a * prod_d L_{a_d}(x_d)  on the voxel grid.
@@ -918,11 +931,14 @@ class GibbsNoise(Transform):
             n_dims = len(x.shape[1:])
             axes = tuple(range(1, n_dims + 1))
             k = _fftn(x, ns, axes)
-            # build radial mask
+            # radial low-pass in pixel units around the (shifted) k-space centre,
+            # radius (1-alpha)*max(shape)*sqrt(2)/2 (reference intensity/array.py:1944-1973)
             spatial = x.shape[1:]
-            grids = np.meshgrid(*[np.linspace(-1, 1, s) for s in spatial], indexing="ij")
-            dist = np.sqrt(sum(g**2 for g in grids))
-            mask = (dist <= self.alpha * np.sqrt(len(spatial))).astype(np.float32)
+            r = (1 - self.alpha) * np.max(spatial) * np.sqrt(2) / 2.0
+            center = (np.asarray(spatial) - 1) / 2
+            coords = np.ogrid[tuple(slice(0, i) for i in spatial)]
+            dist = np.sqrt(sum((c - cc) ** 2 for c, cc in zip(coords, center)))
+            mask = (dist <= r).astype(np.float32)
             m, *_ = convert_to_dst_type(mask[None], x, dtype=np.float32)
             k = k * m
             out = ns.real(_ifftn(k, ns, axes))
@@ -962,13 +978,9 @@ class KSpaceSpikeNoise(Transform):
     """Herringbone artifact: spike in k-space (reference: intensity/array.py:2085)."""
 
     def __init__(self, loc, k_intensity=None):
-        self.loc = ensure_tuple(loc)
+        loc = ensure_tuple(loc)
+        self.loc = loc if isinstance(loc[0], Sequence) else (loc,)
         self.k_intensity = k_intensity
-        if isinstance(self.loc[0], Sequence):
-            if k_intensity is not None and not isinstance(ensure_tuple(k_intensity)[0], Sequence):
-                pass
-        else:
-            self.loc = (self.loc,)
 
     def __call__(self, img: Any):
         def _fn(x):
@@ -977,13 +989,16 @@ class KSpaceSpikeNoise(Transform):
             axes = tuple(range(1, n_dims + 1))
             k = _fftn(x, ns, axes)
             log_abs = np.log(np.absolute(to_numpy(k)) + 1e-10)
-            spatial_shape = x.shape
-            for loc in self.loc:
-                if len(loc) == len(spatial_shape):
-                    idx = tuple(loc)
-                else:
-                    idx = (slice(None),) + tuple(loc)
-                val = self.k_intensity if self.k_intensity is not None else 2.5 * log_abs.max()
+            if self.k_intensity is None:
+                vals = [2.5 * log_abs[(slice(None),) + tuple(loc)[-n_dims:]].mean()
+                        for loc in self.loc]
+            elif isinstance(self.k_intensity, Sequence):
+                vals = list(self.k_intensity)
+            else:
+                vals = [self.k_intensity] * len(self.loc)
+            for loc, val in zip(self.loc, vals):
+                # loc may include the channel index (len == ndim) or be spatial-only
+                idx = tuple(loc) if len(loc) == x.ndim else (slice(None),) + tuple(loc)
                 log_abs[idx] = val
             k_new = np.exp(log_abs) * np.exp(1j * np.angle(to_numpy(k)))
             k_new_c, *_ = convert_to_dst_type(k_new, k)
@@ -1003,39 +1018,51 @@ class RandKSpaceSpikeNoise(RandomizableTransform):
         self.sampled_locs: list = []
         RandomizableTransform.__init__(self, prob=prob)
 
+    def _make_sequence(self, img: np.ndarray):
+        """Per-channel (low, high) log-intensity ranges (reference: intensity/array.py:2297)."""
+        if self.intensity_range is not None:
+            if not isinstance(self.intensity_range[0], Sequence):
+                return (tuple(self.intensity_range),) * img.shape[0]
+            return tuple(tuple(p) for p in self.intensity_range)
+        # default: 2.5x the mean log-magnitude of each channel's k-space
+        n_dims = len(img.shape[1:])
+        axes = tuple(range(1, n_dims + 1))
+        k = np.fft.fftshift(np.fft.fftn(img, axes=axes), axes=axes)
+        log_abs = np.log(np.absolute(k) + 1e-10)
+        means = log_abs.mean(axis=axes) * 2.5
+        return tuple((i * 0.95, i * 1.1) for i in means)
+
     def randomize(self, img: np.ndarray, intensity_range) -> None:
         super().randomize(None)
         if not self._do_transform:
             return
-        self.sampled_locs = []
-        self.sampled_k_intensity = []
-        shape = img.shape
         if self.channel_wise:
-            for _ in range(shape[0]):
-                self.sampled_locs.append([self.R.randint(1, d - 1) if d > 2 else 0 for d in shape[1:]])
+            for i, chan in enumerate(img):
+                self.sampled_locs.append((i,) + tuple(self.R.randint(0, k) for k in chan.shape))
+                self.sampled_k_intensity.append(
+                    self.R.uniform(intensity_range[i][0], intensity_range[i][1]))
         else:
-            loc = [self.R.randint(1, d - 1) if d > 2 else 0 for d in shape[1:]]
-            self.sampled_locs = [loc] * shape[0]
-        if intensity_range is not None:
-            self.sampled_k_intensity = [self.R.uniform(intensity_range[0], intensity_range[1])] * shape[0]
+            spatial = tuple(self.R.randint(0, k) for k in img.shape[1:])
+            self.sampled_locs = [(i,) + spatial for i in range(img.shape[0])]
+            if isinstance(intensity_range[0], Sequence):
+                self.sampled_k_intensity = [self.R.uniform(p[0], p[1]) for p in intensity_range]
+            else:
+                self.sampled_k_intensity = [self.R.uniform(intensity_range[0],
+                                                           intensity_range[1])] * len(img)
 
     def __call__(self, img: Any, randomize: bool = True):
         data = img.data if isinstance(img, MetaImage) else img
+        if (self.intensity_range is not None and isinstance(self.intensity_range[0], Sequence)
+                and len(self.intensity_range) != data.shape[0]):
+            raise RuntimeError("intensity_range must provide one (low, high) tuple per channel.")
+        self.sampled_k_intensity = []
+        self.sampled_locs = []
         if randomize:
-            self.randomize(data, self.intensity_range)
+            intensity_range = self._make_sequence(to_numpy(data))
+            self.randomize(to_numpy(data), intensity_range)
         if not self._do_transform:
             return img
-
-        def _fn(x):
-            out = to_numpy(x).copy()
-            for c in range(x.shape[0]):
-                intensity = self.sampled_k_intensity[c] if self.sampled_k_intensity else None
-                spike = KSpaceSpikeNoise([tuple(self.sampled_locs[c])], intensity)
-                out[c:c + 1] = to_numpy(spike(out[c:c + 1]))
-            res, *_ = convert_to_dst_type(out, x)
-            return res
-
-        return _apply(img, _fn)
+        return KSpaceSpikeNoise(self.sampled_locs, self.sampled_k_intensity)(img)
 
 
 class RandCoarseTransform(RandomizableTransform):
@@ -1096,23 +1123,25 @@ class RandCoarseDropout(RandCoarseTransform):
             raise ValueError("fill_value should contain 2 numbers if providing the `min` and `max`.")
         self.fill_value = fill_value
 
-    def _fill(self, shape, dtype):
-        if self.fill_value is None:
-            return self.R.uniform(0, 1, size=shape).astype(dtype, copy=False)
-        if isinstance(self.fill_value, (tuple, list)):
-            return self.R.uniform(self.fill_value[0], self.fill_value[1], size=shape).astype(dtype, copy=False)
-        return np.full(shape, self.fill_value, dtype=dtype)
-
     def _transform_holes(self, img: np.ndarray) -> np.ndarray:
+        # fill_value None -> per-element uniform noise over the IMAGE intensity range
+        # (reference: intensity/array.py:2414 _transform_holes)
+        fill_value = (img.min(), img.max()) if self.fill_value is None else self.fill_value
         if self.dropout_holes:
-            for coords in self.hole_coords:
-                img[coords] = self._fill(img[coords].shape, img.dtype)
+            for h in self.hole_coords:
+                if isinstance(fill_value, (tuple, list)):
+                    img[h] = self.R.uniform(fill_value[0], fill_value[1], size=img[h].shape)
+                else:
+                    img[h] = fill_value
             return img
-        keep = np.zeros_like(img, dtype=bool)
-        bg = self._fill(img.shape, img.dtype)
-        for coords in self.hole_coords:
-            keep[coords] = True
-        return np.where(keep, img, bg)
+        if isinstance(fill_value, (tuple, list)):
+            ret = self.R.uniform(fill_value[0], fill_value[1],
+                                 size=img.shape).astype(img.dtype, copy=False)
+        else:
+            ret = np.full_like(img, fill_value)
+        for h in self.hole_coords:
+            ret[h] = img[h]
+        return ret
 
 
 class RandCoarseShuffle(RandCoarseTransform):
@@ -1147,11 +1176,15 @@ class HistogramNormalize(Transform):
             orig_shape = x_np.shape
             flat = x_np.flatten()
             sel = flat[mask_np.flatten() > 0] if mask_np is not None else flat
-            hist, bins = np.histogram(sel, self.num_bins)
-            cum = hist.cumsum()
-            cdf = (cum - cum.min()) / max(float(cum.max() - cum.min()), 1e-8)
+            # np.histogram with bin centres + cumsum rescaled to [min,max]
+            # (reference transforms/utils.py:1823 equalize_hist, no-skimage path)
+            hist, edges = np.histogram(sel, self.num_bins)
+            bins = (edges[:-1] + edges[1:]) / 2
+            cum = hist.cumsum().astype(np.float64)
+            rng = float(cum.max() - cum.min())
+            cdf = (cum - cum.min()) / (rng if rng else 1.0)
             cdf = cdf * (self.max - self.min) + self.min
-            out = np.interp(flat, bins[:-1], cdf).reshape(orig_shape)
+            out = np.interp(flat, bins, cdf).reshape(orig_shape)
             res, *_ = convert_to_dst_type(out, x, dtype=self.dtype)
             return res
 
@@ -1162,10 +1195,40 @@ class ForegroundMask(Transform):
     """Foreground mask via Otsu threshold (reference: intensity/array.py:2618)."""
 
     def __init__(self, threshold="otsu", hsv_threshold=None, invert: bool = False):
-        self.threshold = threshold
+        self.thresholds: dict[str, Any] = {}
+        if threshold is not None:
+            if isinstance(threshold, dict):
+                for mode, th in threshold.items():
+                    self._set_threshold(th, mode.upper())
+            else:
+                for mode in "RGB":
+                    self._set_threshold(threshold, mode)
+        if hsv_threshold is not None:
+            if isinstance(hsv_threshold, dict):
+                for mode, th in hsv_threshold.items():
+                    self._set_threshold(th, mode.upper())
+            else:
+                for mode in "HSV":
+                    self._set_threshold(hsv_threshold, mode)
+        self.thresholds = {k: v for k, v in self.thresholds.items() if v is not None}
+        if self.thresholds.keys().isdisjoint(set("RGBHSV")):
+            raise ValueError("Threshold for at least one channel of RGB or HSV must be set.")
         self.invert = invert
 
-    def _otsu(self, x: np.ndarray) -> float:
+    def _set_threshold(self, threshold, mode):
+        if callable(threshold):
+            self.thresholds[mode] = threshold
+        elif isinstance(threshold, str):
+            if threshold.lower() != "otsu":
+                raise ValueError(f"only 'otsu' string threshold is supported, got {threshold}")
+            self.thresholds[mode] = self._otsu
+        elif isinstance(threshold, (float, int)):
+            self.thresholds[mode] = float(threshold)
+        else:
+            raise ValueError(f"`threshold` must be callable, str or number, got {type(threshold)}")
+
+    @staticmethod
+    def _otsu(x: np.ndarray) -> float:
         hist, bin_edges = np.histogram(x.ravel(), bins=256)
         bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2
         w1 = np.cumsum(hist)
@@ -1176,17 +1239,57 @@ class ForegroundMask(Transform):
         idx = np.argmax(var_between)
         return float(bin_centers[idx])
 
+    def _get_threshold(self, image, mode):
+        threshold = self.thresholds.get(mode)
+        if callable(threshold):
+            return threshold(image)
+        return threshold
+
+    @staticmethod
+    def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+        """channel-first RGB (values any range, normalized internally) -> HSV in [0,1]."""
+        r, g, b = rgb[0], rgb[1], rgb[2]
+        maxc = np.maximum(np.maximum(r, g), b)
+        minc = np.minimum(np.minimum(r, g), b)
+        v = maxc
+        delta = maxc - minc
+        s = np.where(maxc > 0, delta / np.where(maxc == 0, 1, maxc), 0.0)
+        dz = np.where(delta == 0, 1, delta)
+        h = np.where(maxc == r, (g - b) / dz,
+                     np.where(maxc == g, 2.0 + (b - r) / dz, 4.0 + (r - g) / dz))
+        h = (h / 6.0) % 1.0
+        h = np.where(delta == 0, 0.0, h)
+        return np.stack([h, s, v])
+
     def __call__(self, img: Any):
         def _fn(x):
-            x_np = to_numpy(x)
-            masks = []
-            for c in x_np:
-                thr = self._otsu(c) if self.threshold == "otsu" else float(self.threshold)
-                m = c <= thr  # foreground is darker (pathology convention)
-                masks.append(m)
-            out = np.stack(masks).astype(x_np.dtype)
+            img_rgb = to_numpy(x)
             if self.invert:
-                out = 1 - out
+                # skimage.util.invert semantics: bool -> ~x, int -> imax+imin-x, float -> -x
+                if img_rgb.dtype == bool:
+                    img_rgb = ~img_rgb
+                elif np.issubdtype(img_rgb.dtype, np.integer):
+                    ii = np.iinfo(img_rgb.dtype)
+                    img_rgb = ii.max + ii.min - img_rgb
+                else:
+                    img_rgb = -img_rgb
+            foregrounds = []
+            if not self.thresholds.keys().isdisjoint(set("RGB")):
+                rgb_fg = np.zeros_like(img_rgb[:1], dtype=bool)
+                for c, mode in zip(img_rgb, "RGB"):
+                    threshold = self._get_threshold(c, mode)
+                    if threshold:
+                        rgb_fg = np.logical_or(rgb_fg, c <= threshold)
+                foregrounds.append(rgb_fg)
+            if not self.thresholds.keys().isdisjoint(set("HSV")):
+                img_hsv = self._rgb_to_hsv(img_rgb[:3])
+                hsv_fg = np.zeros_like(img_rgb[:1], dtype=bool)
+                for c, mode in zip(img_hsv, "HSV"):
+                    threshold = self._get_threshold(c, mode)
+                    if threshold:
+                        hsv_fg = np.logical_or(hsv_fg, c > threshold)
+                foregrounds.append(hsv_fg)
+            out = np.stack(foregrounds).all(axis=0)
             res, *_ = convert_to_dst_type(out, x)
             return res
 
@@ -1237,26 +1340,29 @@ class ComputeHoVerMaps(Transform):
         return _fn(mask)
 
 
-class IntensityRemap(Transform):
-    """Random smooth monotone intensity remap (reference: intensity/array.py:—)."""
+class IntensityRemap(RandomizableTransform):
+    """Intensity remapping via a smoothed random monotone curve over the image's
+    unique values (reference: intensity/array.py:2797 — sample from unique values,
+    moving-average smooth, add linear slope, rescale, bucketize-lookup)."""
 
     def __init__(self, kernel_size: int = 30, slope: float = 0.7):
+        RandomizableTransform.__init__(self)
         self.kernel_size = kernel_size
         self.slope = slope
-        self.R = np.random.RandomState()
 
     def __call__(self, img: Any):
         def _fn(x):
-            x_np = to_numpy(x).astype(np.float32)
-            vals = self.R.rand(self.kernel_size + 1)
-            kernel = np.ones(self.kernel_size) / self.kernel_size
-            curve = np.convolve(vals, kernel, mode="same")
-            curve = np.cumsum(curve + self.slope)
-            curve = (curve - curve.min()) / (curve.max() - curve.min())
-            mn, mx = x_np.min(), x_np.max()
-            grid = np.linspace(0, 1, len(curve))
-            out = np.interp((x_np - mn) / max(mx - mn, 1e-8), grid, curve)
-            out = out * (mx - mn) + mn
+            x_np = to_numpy(x)
+            vals = np.unique(x_np)
+            noise = self.R.choice(vals, len(vals) - 1 + self.kernel_size)
+            # moving average == AvgPool1d(kernel_size, stride=1): output length len(vals)
+            noise = np.convolve(noise, np.ones(self.kernel_size) / self.kernel_size,
+                                mode="valid")
+            grid = np.arange(len(noise)) / len(noise)
+            noise = noise + self.slope * grid
+            noise = (noise - noise.min()) / (noise.max() - noise.min()) * x_np.max() + x_np.min()
+            index = np.searchsorted(vals, x_np, side="left")
+            out = noise[index]
             res, *_ = convert_to_dst_type(out, x)
             return res
 
@@ -1340,11 +1446,19 @@ class DetectEnvelope(Transform):
         self.n = n
 
     def __call__(self, img: Any):
-        from scipy.signal import hilbert
-
         def _fn(x):
             x_np = to_numpy(x).astype(np.float32)
-            out = np.abs(hilbert(x_np, N=self.n, axis=self.axis))
+            ax = self.axis
+            n = x_np.shape[ax] if self.n is None else self.n
+            # reference-exact analytic signal (simplelayers.py:370 HilbertTransform):
+            # filter = 2*heaviside(f, 0.5); even-n Nyquist bin is a negative freq -> 0
+            freqs = np.concatenate([np.arange(0, (n - 1) // 2 + 1) / float(n),
+                                    np.arange(-(n // 2), 0) / float(n)])
+            h = 2.0 * np.heaviside(freqs, 0.5)
+            shape = [1] * x_np.ndim
+            shape[ax] = n
+            xf = np.fft.fft(x_np, n=n, axis=ax)
+            out = np.abs(np.fft.ifft(xf * h.reshape(shape), axis=ax)).astype(np.float32)
             res, *_ = convert_to_dst_type(out, x)
             return res
 
