@@ -262,18 +262,34 @@ def _mapped_rand(name: str, array_cls, doc_ref: str = "", lazy: bool = False, ca
             first_key = self.first_key(d)
             if first_key == ():
                 return d
-            # randomize once using the first key's data
+            # randomize once using the first key's data; some randomize() protocols
+            # take the spatial shape instead of the array (e.g. RandCoarseTransform,
+            # RandBiasField — reference intensity/dictionary.py passes shape[1:])
             first_item = d[first_key]
+            arr = first_item.data if isinstance(first_item, MetaImage) else first_item
+            import inspect
+
+            params = list(inspect.signature(self.t.randomize).parameters.values())
+            pname = params[0].name if params else None
+            randomize_in_first_call = False
             try:
-                self.t.randomize(first_item.data if isinstance(first_item, MetaImage) else first_item)
+                if pname in ("img_size", "spatial_size", "spatial_shape", "grid_size"):
+                    self.t.randomize(arr.shape[1:])
+                elif pname is None:
+                    self.t.randomize()
+                else:
+                    self.t.randomize(arr)
             except TypeError:
-                self.t.randomize(None)
+                # randomize() needs transform-specific extra args (e.g.
+                # RandKSpaceSpikeNoise): let the first per-key __call__ do it
+                randomize_in_first_call = True
             for i, key in enumerate(self.key_iterator(d)):
                 kw = {k: v[i] for k, v in self._per_key.items()}
+                rnd = randomize_in_first_call and key == first_key
                 if isinstance(self.t, LazyTrait):
-                    d[key] = self.t(d[key], randomize=False, lazy=lazy, **kw)
+                    d[key] = self.t(d[key], randomize=rnd, lazy=lazy, **kw)
                 else:
-                    d[key] = self.t(d[key], randomize=False, **kw)
+                    d[key] = self.t(d[key], randomize=rnd, **kw)
             return d
 
         def inverse(self, data: Mapping) -> dict:
