@@ -82,21 +82,27 @@ def compute_shape_offset(spatial_shape: Sequence[int], in_affine: np.ndarray, ou
     in_coords = [(-0.5, dim - 0.5) if scale_extent else (0.0, dim - 1.0) for dim in shape]
     corners: np.ndarray = np.asarray(np.meshgrid(*in_coords, indexing="ij")).reshape((len(shape), -1))
     corners = np.concatenate((corners, np.ones_like(corners[:1])))
-    corners_out = in_affine_ @ corners
     try:
-        inv_mat = np.linalg.inv(out_affine_)
+        corners_out = np.linalg.solve(out_affine_, in_affine_) @ corners
     except np.linalg.LinAlgError as e:
         raise ValueError(f"Affine {out_affine_} is not invertible") from e
-    corners_out = inv_mat @ corners_out
+    corners_world = in_affine_ @ corners
+    all_dist = corners_out[:-1].copy()
     corners_out = corners_out[:-1] / corners_out[-1]
     out_shape = np.round(np.ptp(corners_out, axis=1)) if scale_extent else np.round(np.ptp(corners_out, axis=1) + 1.0)
-    mat = inv_mat[:-1, :-1]
-    i = 0
+    offset = None
     for i in range(corners.shape[1]):
-        min_corner = np.min(mat @ corners[:-1, :] - corners_out[:, i:i + 1], axis=1)
+        min_corner = np.min(all_dist - all_dist[:, i:i + 1], axis=1)
         if np.allclose(min_corner, 0.0, rtol=1e-3):
+            # this corner has the smallest out-voxel coords: shift it to the origin
+            offset = corners_world[:-1, i]
             break
-    offset = corners[:-1, i]
+    if offset is None:  # no single minimal corner: align the image centres instead
+        offset = (in_affine_[:-1, :-1] @ (shape / 2.0) + in_affine_[:-1, -1]
+                  - out_affine_[:-1, :-1] @ (out_shape / 2.0))
+    if scale_extent:
+        in_offset = np.append(0.5 * (shape / out_shape - 1.0), 1.0)
+        offset = np.abs((in_affine_ @ in_offset / in_offset[-1])[:-1]) * np.sign(offset)
     return out_shape.astype(int, copy=False), offset
 
 

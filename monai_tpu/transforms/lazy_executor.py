@@ -81,25 +81,32 @@ def apply_pending(data: Any, pending: list | None = None, overrides: dict | None
     img_data = resample(img_data, cumulative_xform, _kw)
 
     if isinstance(data, MetaImage):
-        out = data.new_like(img_data)
-        out.affine = data.peek_pending_affine()
-        out.clear_pending_operations()
-        # move pending ops onto the applied stack so the chain stays invertible
-        for p in pending:
-            applied = {
-                TraceKeys.CLASS_NAME: p.get(TraceKeys.CLASS_NAME, "Lazy"),
-                TraceKeys.ID: p.get(TraceKeys.ID, -1),
-                TraceKeys.ORIG_SIZE: p.get(TraceKeys.ORIG_SIZE),
-                TraceKeys.EXTRA_INFO: p.get(TraceKeys.EXTRA_INFO, {}),
-                TraceKeys.AFFINE: p[LazyAttr.AFFINE],
-                LazyAttr.SHAPE: p.get(LazyAttr.SHAPE),
-                LazyAttr.INTERP_MODE: p.get(LazyAttr.INTERP_MODE),
-                LazyAttr.PADDING_MODE: p.get(LazyAttr.PADDING_MODE),
-                LazyAttr.ALIGN_CORNERS: p.get(LazyAttr.ALIGN_CORNERS),
-            }
-            out.push_applied_operation(applied)
-        return out, pending
+        return promote_pending_with_data(data, img_data), pending
     return img_data, pending
+
+
+def promote_pending_with_data(data: "MetaImage", img_data) -> "MetaImage":
+    """Finish a lazy flush whose output data was computed externally: adopt
+    ``img_data``, clear the pending stack, and move the pending ops onto the
+    applied stack so the chain stays invertible."""
+    pending = list(data.pending_operations)
+    out = data.new_like(img_data)
+    out.affine = data.peek_pending_affine()
+    out.clear_pending_operations()
+    for p in pending:
+        applied = {
+            TraceKeys.CLASS_NAME: p.get(TraceKeys.CLASS_NAME, "Lazy"),
+            TraceKeys.ID: p.get(TraceKeys.ID, -1),
+            TraceKeys.ORIG_SIZE: p.get(TraceKeys.ORIG_SIZE),
+            TraceKeys.EXTRA_INFO: p.get(TraceKeys.EXTRA_INFO, {}),
+            TraceKeys.AFFINE: p[LazyAttr.AFFINE],
+            LazyAttr.SHAPE: p.get(LazyAttr.SHAPE),
+            LazyAttr.INTERP_MODE: p.get(LazyAttr.INTERP_MODE),
+            LazyAttr.PADDING_MODE: p.get(LazyAttr.PADDING_MODE),
+            LazyAttr.ALIGN_CORNERS: p.get(LazyAttr.ALIGN_CORNERS),
+        }
+        out.push_applied_operation(applied)
+    return out
 
 
 def _log_pending_info(transform: Any, data: Any, activity: str, key=None) -> None:

@@ -80,7 +80,11 @@ class _SpatialLazyTransform(InvertibleTransform, LazyTransform):
 
     def _op(self, img: Any, matrix: np.ndarray, sp_size: Sequence[int], mode=None, padding_mode=None,
             align_corners=None, dtype=None, lazy: bool | None = None, extra_info: dict | None = None,
-            new_affine: np.ndarray | None = None):
+            new_affine: np.ndarray | None = None, data_matrix: np.ndarray | None = None):
+        """``data_matrix``: optional pull map for the EAGER data path when it must
+        differ from the tracked ``matrix`` (e.g. torch-interpolate legacy-nearest
+        floor indexing in Resize/Zoom); ignored in lazy mode, where the composed
+        pending chain uses ``matrix`` (same trade-off as the reference's lazy path)."""
         lazy_ = self.lazy if lazy is None else lazy
         m, pm = resolves_modes(mode, padding_mode)
         if not isinstance(img, MetaImage) or not get_track_meta():
@@ -88,9 +92,11 @@ class _SpatialLazyTransform(InvertibleTransform, LazyTransform):
             from .lazy_utils import apply_affine_to_data
 
             data = img.data if isinstance(img, MetaImage) else img
-            out = apply_affine_to_data(data, matrix, sp_size, mode=m, padding_mode=pm,
+            out = apply_affine_to_data(data, data_matrix if data_matrix is not None else matrix,
+                                       sp_size, mode=m, padding_mode=pm,
                                        align_corners=bool(align_corners))
             return MetaImage(out) if isinstance(img, MetaImage) else out
+        had_pending = bool(img.pending_operations)
         img = img.new_like(img.data)  # never mutate the caller's image
         self.push_transform(img, affine=matrix, sp_size=sp_size, mode=m, padding_mode=pm,
                             align_corners=align_corners, dtype=dtype, lazy=True,
@@ -100,6 +106,13 @@ class _SpatialLazyTransform(InvertibleTransform, LazyTransform):
             pass
         if lazy_:
             return img
+        if data_matrix is not None and not had_pending:
+            from .lazy_executor import promote_pending_with_data
+            from .lazy_utils import apply_affine_to_data
+
+            dat = apply_affine_to_data(img.data, data_matrix, sp_size, mode=m, padding_mode=pm,
+                                       align_corners=bool(align_corners))
+            return promote_pending_with_data(img, dat)
         out, _ = apply_pending(img)
         return out
 
@@ -480,8 +493,18 @@ class Resize(_SpatialLazyTransform):
             if any(s > 0 for s in aa_sigma):
                 sm = gaussian_filter(img.data, aa_sigma)
                 img = img.new_like(sm)
-        return self._op(img, M, out_size, mode=mode or self.mode, padding_mode="border",
-                        align_corners=ac, dtype=dtype or self.dtype, lazy=lazy)
+        m_res = mode or self.mode
+        data_M = None
+        if str(m_res) == "nearest":
+            # torch interpolate legacy nearest: index = floor(y * in/out)
+            # (half-pixel "nearest-exact" is what the tracked M would give)
+            data_M = np.eye(sr + 1, dtype=np.float64)
+            for d in range(sr):
+                data_M[d, d] = in_shape[d] / out_size[d]
+                data_M[d, sr] = -0.5
+        return self._op(img, M, out_size, mode=m_res, padding_mode="border",
+                        align_corners=ac, dtype=dtype or self.dtype, lazy=lazy,
+                        data_matrix=data_M)
 
 
 class Rotate(_SpatialLazyTransform):
@@ -506,18 +529,19 @@ class Rotate(_SpatialLazyTransform):
         if sr not in (2, 3):
             raise ValueError(f"Rotate supports 2D/3D, got {sr}D")
         angle = ensure_tuple_rep(self.angle, 1 if sr == 2 else 3)
-        rot = create_rotate(sr, angle)  # forward rotation of coordinates
+        rot = create_rotate(sr, angle)
         if self.keep_size:
             out_size = tuple(in_shape)
         else:
             corners = np.asarray(np.meshgrid(*[(0, dim) for dim in in_shape], indexing="ij")).reshape((sr, -1))
             corners = rot[:-1, :-1] @ corners
-            out_size = tuple(int(np.ceil(c)) for c in np.ptp(corners, axis=1))
-        # pull map: in = c_in + R^-1 (x - c_out)
-        inv_rot = np.linalg.inv(rot)
+            out_size = tuple(np.asarray(np.ptp(corners, axis=1) + 0.5, dtype=int))
+        # pull map out->in is R itself (reference spatial/functional.py:744:
+        # transform = shift @ create_rotate @ shift_1); image content rotates by -theta
+        # in index space, +theta in the tracked world affine
         c_in = create_translate(sr, [(s - 1) / 2.0 for s in in_shape])
         c_out = create_translate(sr, [-(s - 1) / 2.0 for s in out_size])
-        M = c_in @ inv_rot @ c_out
+        M = c_in @ rot @ c_out
         return self._op(img, M, out_size, mode=mode or self.mode,
                         padding_mode=padding_mode or self.padding_mode,
                         align_corners=self.align_corners if align_corners is None else align_corners,
@@ -607,19 +631,92 @@ class Zoom(_SpatialLazyTransform):
         in_shape = img.peek_pending_shape()
         sr = len(in_shape)
         z = ensure_tuple_rep(self.zoom, sr)
-        if self.keep_size:
-            out_size = tuple(in_shape)
-        else:
-            out_size = tuple(int(round(s * zi)) for s, zi in zip(in_shape, z))
-        # pull: in = (x - c_out)/z + c_in  (centered)
+        # reference semantics (spatial/functional.py:632 zoom): interpolate to
+        # floor(in*z) with half-pixel grid, then symmetric pad / center crop back
+        # when keep_size — composed here into ONE pull affine
+        zoomed = tuple(int(np.floor(float(s) * zi)) for s, zi in zip(in_shape, z))
+        ac = self.align_corners if align_corners is None else align_corners
         M = np.eye(sr + 1, dtype=np.float64)
         for d in range(sr):
-            M[d, d] = 1.0 / z[d]
-            M[d, sr] = (in_shape[d] - 1) / 2.0 - (out_size[d] - 1) / (2.0 * z[d])
+            if ac:
+                s_d = (in_shape[d] - 1.0) / max(zoomed[d] - 1.0, 1.0)
+                off = 0.0
+            else:
+                s_d = in_shape[d] / zoomed[d]
+                off = (s_d - 1.0) / 2.0
+            if self.keep_size and zoomed[d] < in_shape[d]:
+                t_d = -((in_shape[d] - zoomed[d]) // 2)  # symmetric pad left width
+            elif self.keep_size and zoomed[d] > in_shape[d]:
+                t_d = (zoomed[d] // 2) - (in_shape[d] // 2)  # center-crop start
+            else:
+                t_d = 0
+            M[d, d] = s_d
+            M[d, sr] = s_d * t_d + off
+        out_size = tuple(in_shape) if self.keep_size else zoomed
+        lazy_ = self.lazy if lazy is None else lazy
+        pm_ = padding_mode or self.padding_mode
+        # eager keep_size path: resample to the zoomed size then pad/crop the ARRAY,
+        # exactly like the reference's interpolate + ResizeWithPadOrCrop — a single
+        # composed resample differs in the padded boundary band. Lazy mode keeps the
+        # composed one-resample op (same trade-off as the reference's lazy zoom).
+        if (not lazy_ and self.keep_size and zoomed != tuple(in_shape)
+                and not (isinstance(img, MetaImage) and img.pending_operations)):
+            from .lazy_utils import apply_affine_to_data
+
+            m_, _ = resolves_modes(mode or self.mode, pm_)
+            Mz = np.eye(sr + 1, dtype=np.float64)
+            for d in range(sr):
+                if str(mode or self.mode) == "nearest":
+                    Mz[d, d] = in_shape[d] / zoomed[d]
+                    Mz[d, sr] = -0.5  # torch legacy nearest: floor(y * in/out)
+                elif ac:
+                    Mz[d, d] = (in_shape[d] - 1.0) / max(zoomed[d] - 1.0, 1.0)
+                else:
+                    Mz[d, d] = in_shape[d] / zoomed[d]
+                    Mz[d, sr] = (Mz[d, d] - 1.0) / 2.0
+            dat = apply_affine_to_data(img.data if isinstance(img, MetaImage) else img,
+                                       Mz, zoomed, mode=m_, padding_mode="border",
+                                       align_corners=bool(ac))
+            slices, pads, need_pad = [slice(None)], [(0, 0)], False
+            for d in range(sr):
+                if zoomed[d] > in_shape[d]:
+                    start = (zoomed[d] // 2) - (in_shape[d] // 2)
+                    slices.append(slice(start, start + in_shape[d]))
+                    pads.append((0, 0))
+                else:
+                    w = in_shape[d] - zoomed[d]
+                    slices.append(slice(None))
+                    pads.append((w // 2, w - w // 2))
+                    need_pad = need_pad or w > 0
+            dat = dat[tuple(slices)]
+            if need_pad:
+                np_mode = {"zeros": "constant", "constant": "constant", "border": "edge",
+                           "edge": "edge", "replicate": "edge", "reflection": "reflect",
+                           "reflect": "reflect", "circular": "wrap", "wrap": "wrap",
+                           "symmetric": "symmetric"}.get(str(pm_), "edge")
+                mod = np if isinstance(dat, np.ndarray) else __import__("jax.numpy", fromlist=["pad"])
+                dat = mod.pad(dat, pads, mode=np_mode)
+            if not isinstance(img, MetaImage) or not get_track_meta():
+                return MetaImage(dat) if isinstance(img, MetaImage) else dat
+            tracked = img.new_like(img.data)
+            m2_, pm2_ = resolves_modes(mode or self.mode, pm_)
+            self.push_transform(tracked, affine=M, sp_size=out_size, mode=m2_, padding_mode=pm2_,
+                                align_corners=ac, dtype=dtype or self.dtype, lazy=True,
+                                orig_size=in_shape, extra_info={"zoom": list(z)})
+            from .lazy_executor import promote_pending_with_data
+
+            return promote_pending_with_data(tracked, dat)
+        data_M = None
+        if str(mode or self.mode) == "nearest":
+            data_M = np.eye(sr + 1, dtype=np.float64)
+            for d in range(sr):
+                data_M[d, d] = in_shape[d] / zoomed[d]
+                data_M[d, sr] = -0.5  # torch legacy nearest
         return self._op(img, M, out_size, mode=mode or self.mode,
-                        padding_mode=padding_mode or self.padding_mode,
-                        align_corners=self.align_corners if align_corners is None else align_corners,
-                        dtype=dtype or self.dtype, lazy=lazy, extra_info={"zoom": list(z)})
+                        padding_mode=pm_,
+                        align_corners=ac,
+                        dtype=dtype or self.dtype, lazy=lazy, extra_info={"zoom": list(z)},
+                        data_matrix=data_M)
 
 
 class RandZoom(RandomizableTransform, InvertibleTransform, LazyTransform):
@@ -832,7 +929,10 @@ class RandAffine(RandomizableTransform, InvertibleTransform, LazyTransform):
             self.push_transform(img, extra_info={"skipped": True}, lazy=False)
             return img
         if self._do_transform:
-            _, P = self.rand_affine_grid(spatial_size=sp_size, randomize=False)
+            # the reference randomizes a SECOND time inside RandAffineGrid.__call__
+            # (spatial/array.py:2453 passes randomize=randomize) — mirror it so
+            # seeded runs consume the identical RNG stream
+            _, P = self.rand_affine_grid(spatial_size=sp_size, randomize=randomize)
         else:
             P = np.eye(len(in_shape) + 1, dtype=np.float64)
         M = Affine.centered_matrix(P, in_shape, sp_size)
@@ -897,9 +997,10 @@ class GridDistortion(Transform):
                     cur = dim_size
                 else:
                     cur = prev + cell_size * distort_steps[dim_idx][idx]
-                coords[start:end] = np.linspace(prev, cur, end - start, endpoint=False)
+                # endpoint-inclusive, like torch.linspace (reference spatial/array.py:3262)
+                coords[start:end] = np.linspace(prev, cur, end - start)
                 prev = cur
-            coords_1d.append(coords / max(dim_size - 1.0, 1.0) * (dim_size - 1.0))
+            coords_1d.append(coords)
         mesh = np.stack(np.meshgrid(*coords_1d, indexing="ij"), axis=-1)
         out = _dense_displacement_resample(img, mesh, mode or self.mode, padding_mode or self.padding_mode)
         return out
@@ -939,8 +1040,111 @@ class RandGridDistortion(RandomizableTransform):
                               padding_mode or self.padding_mode)(img)
 
 
-class _RandElastic(RandomizableTransform):
-    """Shared random-elastic machinery: coarse random field -> dense displacement."""
+def _cubic_resize_axis(arr: np.ndarray, axis: int, out_size: int, A: float = -0.75) -> np.ndarray:
+    """torch-interpolate-exact bicubic resize along one axis (align_corners=False,
+    cubic-convolution kernel A=-0.75, border-clamped taps)."""
+    in_size = arr.shape[axis]
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+    f = np.floor(src).astype(np.int64)
+    t = src - f
+    idx = [np.clip(f - 1 + k, 0, in_size - 1) for k in range(4)]
+    w = [A * (1 + t) ** 3 - 5 * A * (1 + t) ** 2 + 8 * A * (1 + t) - 4 * A,
+         (A + 2) * t ** 3 - (A + 3) * t ** 2 + 1,
+         (A + 2) * (1 - t) ** 3 - (A + 3) * (1 - t) ** 2 + 1,
+         A * (2 - t) ** 3 - 5 * A * (2 - t) ** 2 + 8 * A * (2 - t) - 4 * A]
+    arr_m = np.moveaxis(arr, axis, -1)
+    shape = (1,) * (arr_m.ndim - 1) + (out_size,)
+    out = sum(arr_m[..., i] * wk.reshape(shape) for i, wk in zip(idx, w))
+    return np.moveaxis(out, -1, axis)
+
+
+def _torch_bicubic_upsample(grid: np.ndarray, scale_factors: Sequence[float]) -> np.ndarray:
+    """torch.nn.functional.interpolate(mode='bicubic', align_corners=False,
+    recompute_scale_factor=True) on a channel-first numpy array."""
+    out_sizes = [int(np.floor(s * f)) for s, f in zip(grid.shape[1:], scale_factors)]
+    out = grid.astype(np.float64)
+    for ax, osz in enumerate(out_sizes):
+        out = _cubic_resize_axis(out, axis=ax + 1, out_size=osz)
+    return out
+
+
+def _center_crop_np(arr: np.ndarray, roi: Sequence[int]) -> np.ndarray:
+    """CenterSpatialCrop on a channel-first numpy array (reference croppad/array.py:513)."""
+    slices = [slice(None)]
+    for cur, target in zip(arr.shape[1:], roi):
+        start = max(cur // 2 - target // 2, 0)
+        slices.append(slice(start, start + target))
+    return arr[tuple(slices)]
+
+
+def _resample_centered_grid(img, grid: np.ndarray, mode, padding_mode):
+    """Resample with a CENTERED homogeneous grid (reference Resample semantics:
+    sample position = grid[d] + (img_dim_d - 1)/2)."""
+    data = img.data if isinstance(img, MetaImage) else img
+    sr = grid.shape[0] - 1 if grid.shape[0] > len(data.shape) - 1 else grid.shape[0]
+    spatial = data.shape[1:]
+    abs_grid = np.moveaxis(np.asarray(grid[:len(spatial)], dtype=np.float64), 0, -1)
+    abs_grid = abs_grid + (np.asarray(spatial, dtype=np.float64) - 1.0) / 2.0
+    return _dense_displacement_resample(img, abs_grid.astype(np.float32), mode, padding_mode)
+
+
+class Rand2DElastic(RandomizableTransform):
+    """Random 2-D elastic deformation: random offsets on a coarse control grid,
+    bicubic-upsampled to a dense warp, composed with a random affine
+    (reference: spatial/array.py:2579)."""
+
+    def __init__(self, spacing, magnitude_range: tuple[float, float], prob: float = 0.1,
+                 rotate_range=None, shear_range=None, translate_range=None, scale_range=None,
+                 spatial_size=None, mode="bilinear", padding_mode="reflection"):
+        RandomizableTransform.__init__(self, prob)
+        self.deform_grid = RandDeformGrid(spacing=spacing, magnitude_range=magnitude_range)
+        self.rand_affine_grid = RandAffineGrid(rotate_range, shear_range, translate_range, scale_range)
+        self.spatial_size = spatial_size
+        self.mode = mode
+        self.padding_mode = padding_mode
+
+    def set_random_state(self, seed=None, state=None):
+        self.deform_grid.set_random_state(seed, state)
+        self.rand_affine_grid.set_random_state(seed, state)
+        super().set_random_state(seed, state)
+        return self
+
+    def randomize(self, spatial_size) -> None:
+        super().randomize(None)
+        if not self._do_transform:
+            return
+        self.deform_grid.randomize(spatial_size)
+        self.rand_affine_grid.randomize()
+
+    def __call__(self, img: Any, spatial_size=None, mode=None, padding_mode=None, randomize: bool = True):
+        img_m = MetaImage.ensure_meta(img)
+        sp_size = tuple(int(s) for s in fall_back_tuple(
+            spatial_size if spatial_size is not None else self.spatial_size, img_m.peek_pending_shape()))
+        if randomize:
+            self.randomize(spatial_size=sp_size)
+        if self._do_transform:
+            # the reference re-randomizes the deform offsets on the CONTROL grid shape
+            # inside RandDeformGrid.__call__ and the affine params inside
+            # RandAffineGrid.__call__ — keep both for RNG-stream parity
+            grid = self.deform_grid(spatial_size=sp_size)
+            if randomize:
+                self.rand_affine_grid.randomize()
+            _, P = self.rand_affine_grid(spatial_size=sp_size, randomize=False)
+            flat = P.astype(np.float64) @ grid.reshape(grid.shape[0], -1)
+            grid = flat.reshape(grid.shape)
+            grid = _torch_bicubic_upsample(grid, list(ensure_tuple(self.deform_grid.spacing)))
+            grid = _center_crop_np(grid, sp_size)
+        else:
+            from .utils import create_grid
+
+            grid = create_grid(spatial_size=sp_size)
+        return _resample_centered_grid(img_m, grid, mode or self.mode,
+                                       padding_mode or self.padding_mode)
+
+
+class Rand3DElastic(RandomizableTransform):
+    """Random 3-D elastic deformation: dense uniform offsets, gaussian-smoothed,
+    composed with a random affine (reference: spatial/array.py:2745)."""
 
     def __init__(self, sigma_range: tuple[float, float], magnitude_range: tuple[float, float],
                  prob: float = 0.1, rotate_range=None, shear_range=None, translate_range=None,
@@ -954,65 +1158,46 @@ class _RandElastic(RandomizableTransform):
         self.padding_mode = padding_mode
         self.sigma = 1.0
         self.magnitude = 1.0
+        self.rand_offset: np.ndarray | None = None
 
     def set_random_state(self, seed=None, state=None):
         self.rand_affine_grid.set_random_state(seed, state)
         super().set_random_state(seed, state)
         return self
 
-    def randomize(self, data=None) -> None:
+    def randomize(self, grid_size) -> None:
         super().randomize(None)
+        if not self._do_transform:
+            return
+        self.rand_offset = self.R.uniform(-1.0, 1.0, [3] + list(grid_size)).astype(np.float32)
+        self.magnitude = self.R.uniform(self.magnitude_range[0], self.magnitude_range[1])
+        self.sigma = self.R.uniform(self.sigma_range[0], self.sigma_range[1])
+        self.rand_affine_grid.randomize()
+
+    def __call__(self, img: Any, spatial_size=None, mode=None, padding_mode=None, randomize: bool = True):
+        img_m = MetaImage.ensure_meta(img)
+        sp_size = tuple(int(s) for s in fall_back_tuple(
+            spatial_size if spatial_size is not None else self.spatial_size, img_m.peek_pending_shape()))
+        if randomize:
+            self.randomize(grid_size=sp_size)
+        from .utils import create_grid
+
+        grid = np.asarray(create_grid(spatial_size=sp_size), dtype=np.float64)
         if self._do_transform:
-            self.sigma = self.R.uniform(self.sigma_range[0], self.sigma_range[1])
-            self.magnitude = self.R.uniform(self.magnitude_range[0], self.magnitude_range[1])
-            self.rand_affine_grid.randomize()
+            from ..ops.gaussian import gaussian_filter
 
-    def _elastic_grid(self, sp_size, in_shape):
-        from ..ops.gaussian import gaussian_filter
-
-        sr = len(sp_size)
-        # random displacement field, gaussian smoothed (host numpy)
-        field = self.R.uniform(-1, 1, size=(sr,) + tuple(sp_size)).astype(np.float32)
-        field = np.asarray(gaussian_filter(field, self.sigma)) * self.magnitude
-        # affine part
-        _, P = self.rand_affine_grid(spatial_size=sp_size, randomize=False)
-        M = Affine.centered_matrix(P, in_shape, sp_size)
-        base = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32) for s in sp_size], indexing="ij"), axis=-1)
-        pts = base + np.moveaxis(field, 0, -1)
-        grid = pts @ M[:sr, :sr].T + M[:sr, sr]
-        return grid
-
-    def _apply(self, img, sp_size, mode, padding_mode):
-        img = MetaImage.ensure_meta(img)
-        in_shape = img.peek_pending_shape()
-        grid = self._elastic_grid(sp_size, in_shape)
-        return _dense_displacement_resample(img, grid, mode or self.mode, padding_mode or self.padding_mode)
-
-
-class Rand2DElastic(_RandElastic):
-    """Random 2-D elastic deformation (reference: spatial/array.py:2579)."""
-
-    def __call__(self, img: Any, spatial_size=None, mode=None, padding_mode=None, randomize: bool = True):
-        if randomize:
-            self.randomize()
-        img_m = MetaImage.ensure_meta(img)
-        sp_size = tuple(int(s) for s in fall_back_tuple(spatial_size or self.spatial_size, img_m.peek_pending_shape()))
-        if not self._do_transform:
-            return img_m
-        return self._apply(img_m, sp_size, mode, padding_mode)
-
-
-class Rand3DElastic(_RandElastic):
-    """Random 3-D elastic deformation (reference: spatial/array.py:2745)."""
-
-    def __call__(self, img: Any, spatial_size=None, mode=None, padding_mode=None, randomize: bool = True):
-        if randomize:
-            self.randomize()
-        img_m = MetaImage.ensure_meta(img)
-        sp_size = tuple(int(s) for s in fall_back_tuple(spatial_size or self.spatial_size, img_m.peek_pending_shape()))
-        if not self._do_transform:
-            return img_m
-        return self._apply(img_m, sp_size, mode, padding_mode)
+            if self.rand_offset is None:
+                raise RuntimeError("rand_offset is not initialized.")
+            smooth = np.asarray(gaussian_filter(self.rand_offset, self.sigma, truncated=3.0))
+            grid[:3] += smooth * self.magnitude
+            if randomize:
+                # reference re-randomizes the affine inside RandAffineGrid.__call__
+                self.rand_affine_grid.randomize()
+            _, P = self.rand_affine_grid(spatial_size=sp_size, randomize=False)
+            flat = P.astype(np.float64) @ grid.reshape(grid.shape[0], -1)
+            grid = flat.reshape(grid.shape)
+        return _resample_centered_grid(img_m, grid, mode or self.mode,
+                                       padding_mode or self.padding_mode)
 
 
 class RandSimulateLowResolution(RandomizableTransform):
