@@ -54,12 +54,13 @@ def gaussian_1d(sigma: float, truncated: float = 4.0, approx: str = "erf", norma
     return out.astype(np.float32)
 
 
-def _conv1d_jax(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Convolve (C, *spatial) along one spatial axis with 'same' zero padding."""
+def _conv1d_jax(x: jnp.ndarray, kernel: jnp.ndarray, axis: int, same: bool = True) -> jnp.ndarray:
+    """Correlate (C, *spatial) along one spatial axis; 'same' zero padding by
+    default, VALID when ``same=False`` (caller pre-padded)."""
     D = x.ndim - 1
     k = kernel.astype(x.dtype)
     ksize = k.shape[0]
-    pad = ksize // 2
+    pad = ksize // 2 if same else 0
     # reshape kernel for conv_general_dilated: (O=1, I=1, *ones_with_k_at_axis)
     kshape = [1, 1] + [1] * D
     kshape[2 + axis] = ksize
@@ -67,7 +68,8 @@ def _conv1d_jax(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     # treat channels as batch: x -> (C, 1, *spatial)
     inp = x[:, None]
     pads = [(0, 0)] * D
-    pads[axis] = (pad, ksize - 1 - pad)
+    if same:
+        pads[axis] = (pad, ksize - 1 - pad)
     dn = jax.lax.conv_dimension_numbers(inp.shape, kern.shape,
                                         ("NC" + "DHW"[3 - D:], "OI" + "DHW"[3 - D:], "NC" + "DHW"[3 - D:]))
     out = jax.lax.conv_general_dilated(inp, kern, window_strides=(1,) * D, padding=pads,
@@ -82,23 +84,37 @@ def separable_filtering(x: Any, kernels: Sequence[np.ndarray], mode: str = "zero
     if isinstance(kernels, (list, tuple)) and len(kernels) != D:
         raise ValueError(f"need {D} kernels, got {len(kernels)}")
     if is_jax(x):
+        jnp_mode = {"reflect": "reflect", "mirror": "reflect", "symmetric": "symmetric",
+                    "replicate": "edge", "border": "edge", "edge": "edge",
+                    "circular": "wrap", "wrap": "wrap"}.get(mode)
         out = x.astype(jnp.float32) if x.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16) else x
         for axis, k in enumerate(kernels):
             kj = jnp.asarray(k)
             if kj.shape[0] == 1 and float(kj[0]) == 1.0:
                 continue
-            out = _conv1d_jax(out, kj, axis)
+            if jnp_mode is not None:
+                ksize = int(kj.shape[0])
+                pads = [(0, 0)] * out.ndim
+                pads[axis + 1] = (ksize // 2, ksize - 1 - ksize // 2)
+                padded = jnp.pad(out, pads, mode=jnp_mode)
+                out = _conv1d_jax(padded, kj, axis, same=False)
+            else:
+                out = _conv1d_jax(out, kj, axis)
         return out
-    from scipy.ndimage import convolve1d
+    from scipy.ndimage import correlate1d
 
-    sci_mode = {"zeros": "constant", "constant": "constant", "reflect": "reflect",
-                "replicate": "nearest", "border": "nearest", "circular": "wrap"}.get(mode, "constant")
+    # torch F.convNd is CORRELATION and torch pad 'reflect' excludes the edge
+    # (scipy 'mirror'); scipy's own 'reflect' is edge-inclusive (torch 'symmetric')
+    sci_mode = {"zeros": "constant", "constant": "constant", "reflect": "mirror",
+                "mirror": "mirror", "symmetric": "reflect",
+                "replicate": "nearest", "border": "nearest", "edge": "nearest",
+                "circular": "wrap", "wrap": "wrap"}.get(mode, "constant")
     out_np = np.asarray(x, dtype=np.float32)
     for axis, k in enumerate(kernels):
         k = np.asarray(k, dtype=np.float32)
         if k.shape[0] == 1 and k[0] == 1.0:
             continue
-        out_np = convolve1d(out_np, k, axis=axis + 1, mode=sci_mode)
+        out_np = correlate1d(out_np, k, axis=axis + 1, mode=sci_mode)
     return out_np
 
 

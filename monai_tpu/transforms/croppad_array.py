@@ -218,7 +218,10 @@ class Crop(_CropPadBase):
         for d, s in enumerate(slices_[:sr]):
             start = 0 if s.start is None else (s.start if s.start >= 0 else s.start + spatial_shape[d])
             stop = spatial_shape[d] if s.stop is None else (s.stop if s.stop >= 0 else s.stop + spatial_shape[d])
-            stop = max(stop, start)
+            # python-slicing semantics: a slice never extends past the array
+            # (a too-large ROI crops nothing in that dim, reference croppad/array.py:374)
+            start = min(max(start, 0), spatial_shape[d])
+            stop = min(max(stop, start), spatial_shape[d])
             offset.append(int(start))
             out_size.append(int(stop - start))
         return self._op(img_m if isinstance(img_m, MetaImage) else img, offset, out_size, lazy=lazy)

@@ -370,16 +370,18 @@ class SobelGradients(Transform):
         self.kernel_diff, self.kernel_smooth = self._get_kernel(kernel_size)
 
     def _get_kernel(self, size: int):
-        # iteratively build sobel kernels by smoothing [1 0 -1] / [1 2 1]
-        kd = np.array([1.0, 0.0, -1.0])
+        # reference post/array.py:884 _get_kernel: diff [-1,0,1]/2, smooth [1,2,1]/4,
+        # expanded by full convolution with the (normalized) [1,2,1] kernel
+        kd = np.array([-1.0, 0.0, 1.0])
         ks = np.array([1.0, 2.0, 1.0])
-        expand = np.array([1.0, 2.0, 1.0])
-        while kd.shape[0] < size:
-            kd = np.convolve(kd, expand)
-            ks = np.convolve(ks, expand)
+        ke = np.array([1.0, 2.0, 1.0])
         if self.normalize_kernels:
-            kd = kd / np.abs(kd).sum()
-            ks = ks / ks.sum()
+            kd = kd / 2.0
+            ks = ks / 4.0
+            ke = ke / 4.0
+        for _ in range((size - 3) // 2):
+            kd = np.convolve(kd, ke)
+            ks = np.convolve(ks, ke)
         return kd.astype(np.float32), ks.astype(np.float32)
 
     def __call__(self, image: Any):
