@@ -30,6 +30,7 @@ class Mixer(RandomizableTransform):
         raise NotImplementedError
 
     def randomize(self, data=None) -> None:
+        super().randomize(None)  # reference Mixer.randomize draws _do_transform first
         self._params = (
             self.R.beta(self.alpha, self.alpha, self.batch_size).astype(np.float32),
             self.R.permutation(self.batch_size),
@@ -68,8 +69,8 @@ class CutMix(Mixer):
         nsamples, _, *dims = arr.shape
         out = arr.copy()
         for s, weight in enumerate(weights):
-            lengths = [d * (1 - weight) ** (1.0 / len(dims)) for d in dims]
-            idx = [slice(None), slice(None)] + [slice(c, min(c + int(le), d))
+            lengths = [d * np.sqrt(1 - weight) for d in dims]
+            idx = [slice(None), slice(None)] + [slice(c, min(int(np.ceil(c + le)), d))
                                                 for c, le, d in zip(coords, lengths, dims)]
             out[tuple([s] + idx[1:])] = arr[perm[s]][tuple(idx[1:])]
         res, *_ = convert_to_dst_type(out, arr)
@@ -100,8 +101,8 @@ class CutOut(Mixer):
         nsamples, _, *dims = arr.shape
         out = arr.copy()
         for s, weight in enumerate(weights):
-            lengths = [d * (1 - weight) ** (1.0 / len(dims)) for d in dims]
-            idx = [slice(c, min(c + int(le), d)) for c, le, d in zip(coords, lengths, dims)]
+            lengths = [d * np.sqrt(1 - weight) for d in dims]
+            idx = [slice(c, min(int(np.ceil(c + le)), d)) for c, le, d in zip(coords, lengths, dims)]
             out[tuple([s, slice(None)] + idx)] = 0
         res, *_ = convert_to_dst_type(out, arr)
         return data.new_like(res) if isinstance(data, MetaImage) else res

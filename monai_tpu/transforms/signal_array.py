@@ -83,11 +83,11 @@ class SignalRandDrop(RandomizableTransform):
         mask = np.zeros(round(self.magnitude * length))
         trange = np.arange(length)
         loc = trange[self.R.choice(len(trange))]
-        out = _paste(sig[-1] if sig.ndim > 1 else sig, mask, (loc,))
-        if sig.ndim > 1:
-            sig[-1] = out
-        else:
-            sig = out
+        # the reference's paste() writes the mask across ALL channels (utils.py:2196)
+        sig2d = sig if sig.ndim > 1 else sig[None]
+        wall_sl, block_sl = _paste_slices((loc, mask.shape[0], length))
+        sig2d[:, wall_sl] = mask[block_sl]
+        sig = sig2d if sig.ndim > 1 else sig2d[0]
         res, *_ = convert_to_dst_type(sig, signal)
         return res
 
@@ -233,10 +233,15 @@ class SignalRemoveFrequency(Transform):
         self.sampling_freq = sampling_freq
 
     def __call__(self, signal: Any) -> Any:
-        from scipy.signal import filtfilt, iirnotch
+        from scipy.signal import iirnotch, lfilter
 
         b_notch, a_notch = iirnotch(self.frequency, self.quality_factor, self.sampling_freq)
-        out = filtfilt(b_notch, a_notch, to_numpy(signal))
+        x = to_numpy(signal).astype(np.float32)
+        # torchaudio-style filtfilt (what the reference uses): forward-backward
+        # lfilter with ZERO initial conditions and no edge padding — scipy's
+        # filtfilt pads with odd extension and differs at the boundaries
+        fwd = lfilter(b_notch, a_notch, x, axis=-1)
+        out = lfilter(b_notch, a_notch, fwd[..., ::-1], axis=-1)[..., ::-1]
         res, *_ = convert_to_dst_type(out.copy(), signal)
         return res
 

@@ -389,15 +389,16 @@ def get_extreme_points(img: Any, rand_state: np.random.RandomState | None = None
         raise ValueError("get_extreme_points: no foreground object in mask!")
 
     def _get_point(val, dim):
+        # reference transforms/utils.py:1593: rand_state.choice over candidate
+        # indices, positive 2*pert*rand() perturbation, int() truncation
         idx = np.where(indices[dim] == val)[0]
-        idx = idx.tolist()
-        np.random.shuffle(idx)
-        pt = [indices[j][idx[0]] for j in range(img_np.ndim)]
+        idx = rand_state.choice(idx) if rand_state is not None else idx
+        pt = []
         for j in range(img_np.ndim):
-            val_ = pt[j] + 2.0 * pert * (rand_state.rand() - 0.5)
+            val_ = int(indices[j][idx] + 2.0 * pert * (rand_state.rand() if rand_state is not None else 0.0))
             val_ = max(val_, 0)
             val_ = min(val_, img_np.shape[j] - 1)
-            pt[j] = int(round(val_))
+            pt.append(val_)
         return tuple(pt)
 
     points = []
