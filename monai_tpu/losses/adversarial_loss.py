@@ -40,16 +40,17 @@ class PatchAdversarialLoss:
     def _single(self, logits: jnp.ndarray, target_is_real: bool, for_discriminator: bool):
         target = self.real_label if target_is_real else self.fake_label
         if self.criterion == "bce":
-            probs = logits
+            # reference: Sigmoid activation + BCELoss == logits BCE
             t = jnp.full_like(logits, target)
-            loss = jnp.maximum(probs, 0) - probs * t + jax.nn.softplus(-jnp.abs(probs))
+            loss = jnp.maximum(logits, 0) - logits * t + jax.nn.softplus(-jnp.abs(logits))
         elif self.criterion == "hinge":
-            if for_discriminator:
-                loss = jax.nn.relu(1.0 - logits) if target_is_real else jax.nn.relu(1.0 + logits)
-            else:
-                loss = -logits
-        else:  # least squares
-            probs = logits if self.no_activation_leastsq else jax.nn.tanh(logits)
+            # reference: tanh activation, then -mean(min(x-1, 0)) with x negated for
+            # the fake branch; generator uses the real-branch form (target forced real)
+            x = jnp.tanh(logits)
+            x = x if target_is_real else -x
+            loss = jax.nn.relu(1.0 - x)
+        else:  # least squares: LeakyReLU(0.05) activation + MSE vs label
+            probs = logits if self.no_activation_leastsq else jax.nn.leaky_relu(logits, 0.05)
             loss = (probs - target) ** 2
         return _reduce(loss, self.reduction)
 
@@ -77,9 +78,10 @@ class JukeboxLoss:
         self.reduction = look_up_option(str(reduction), LossReduction)
 
     def _amplitude(self, x):
-        dims = tuple(range(2, 2 + self.spatial_dims))
+        # reference spectral_loss.py:54 fft_dim includes the channel dim: (1..sd+1)
+        dims = tuple(range(1, self.spatial_dims + 2))
         f = jnp.fft.fftn(x, s=self.fft_signal_size, axes=dims, norm=self.fft_norm)
-        return jnp.sqrt(f.real**2 + f.imag**2 + 1e-12)
+        return jnp.sqrt(f.real**2 + f.imag**2)
 
     def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         inp_amp = self._amplitude(input)
@@ -97,17 +99,12 @@ class SURELoss:
 
     def __call__(self, operator, x: jnp.ndarray, y_pseudo_gt: jnp.ndarray, y_ref=None,
                  key=None, complex_input: bool = False):
-        key = jax.random.PRNGKey(0) if key is None else key
-        eps = self.eps
-        if eps is None:
-            eps = float(jnp.maximum(jnp.max(jnp.abs(x)), 1e-3)) * 1e-3
-        b = jax.random.normal(key, x.shape, dtype=x.dtype) if self.perturb_noise is None else self.perturb_noise
-        y_ref = operator(x) if y_ref is None else y_ref
-        y_perturbed = operator(x + eps * b)
-        n = x.size
-        divergence = jnp.sum(b * (y_perturbed - y_ref)) / eps
-        mse = jnp.sum((y_ref - y_pseudo_gt) ** 2)
-        return (mse + 2.0 * divergence) / n
+        if x.ndim != 4 or y_pseudo_gt.ndim != 4:
+            raise ValueError("SURELoss expects 4D (B, C, H, W) inputs.")
+        return sure_loss_function(operator, x, y_pseudo_gt, y_ref=y_ref,
+                                  eps=-1.0 if self.eps is None else self.eps,
+                                  perturb_noise=self.perturb_noise,
+                                  complex_input=complex_input, key=key)
 
 
 def giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
@@ -168,9 +165,12 @@ def sure_loss_function(operator, x: jnp.ndarray, y_pseudo_gt: jnp.ndarray, y_ref
     if y_ref is None:
         y_ref = operator(x)
     y_perturbed = operator(x + eps * perturb_noise)
-    divergence = jnp.sum(perturb_noise * (y_perturbed - y_ref)) / eps
+    # reference sure_loss.py:98: divergence = sum(matmul(noise^T, diff)) / eps,
+    # and the final loss is l2 * divergence / (B*H*W) — matched verbatim
+    diff = y_perturbed - y_ref
+    divergence = jnp.sum(jnp.einsum("bchi,bchj->bcij", perturb_noise, diff)) / eps
     if complex_input:
         l2_loss = complex_diff_abs_loss(y_ref, y_pseudo_gt)
     else:
         l2_loss = jnp.mean((y_ref - y_pseudo_gt) ** 2)
-    return l2_loss + 2.0 * divergence / x.size
+    return l2_loss * divergence / (x.shape[0] * x.shape[2] * x.shape[3])

@@ -201,15 +201,13 @@ class GeneralizedWassersteinDiceLoss:
         flat_target = target.reshape(B, -1).astype(jnp.int32)
         probs = jax.nn.softmax(flat_input, axis=1)
         wass_dist_map = self.wasserstein_distance_map(probs, flat_target)
+        alpha = self._compute_alpha_generalized_true_positives(flat_target)
+        true_pos = self._compute_generalized_true_positive(alpha, flat_target, wass_dist_map)
         if self.alpha_mode == "GDL":
-            alpha = self._compute_alpha_generalized_true_positives(flat_target)
-            true_pos = self._compute_generalized_true_positive(alpha, flat_target, wass_dist_map)
             denom = self._compute_denominator(alpha, flat_target, wass_dist_map)
-        else:
-            alpha = jnp.ones((B, self.num_classes))
+        else:  # original paper: alpha 1 for foreground, 0 for background
             all_error = jnp.sum(wass_dist_map, axis=1)
-            denom = 2 * jnp.sum(alpha[:, 1:], axis=1) + all_error  # simplified default weighting
-            true_pos = self._compute_generalized_true_positive(alpha, flat_target, wass_dist_map)
+            denom = 2 * true_pos + all_error
         wass_dice = (2.0 * true_pos + self.smooth_nr) / (denom + self.smooth_dr)
         return _reduce(1.0 - wass_dice, self.reduction)
 
@@ -221,17 +219,23 @@ class GeneralizedWassersteinDiceLoss:
         return jnp.einsum("bcn,bnc->bn", flat_proba, m_rows)
 
     def _compute_generalized_true_positive(self, alpha, flat_target, wasserstein_distance_map):
-        alpha_sel = jnp.take_along_axis(alpha, flat_target, axis=1)
-        return jnp.sum(alpha_sel * (1.0 - wasserstein_distance_map), axis=1)
+        # reference dice.py:1061 broadcasts (B,1,N)*(B,N) -> (B,B,N) and sums dims
+        # [1,2], coupling batch rows; replicated verbatim for output parity
+        alpha_sel = jnp.take_along_axis(alpha, flat_target, axis=1)  # (B, N)
+        return jnp.einsum("bn,cn->b", alpha_sel, 1.0 - wasserstein_distance_map)
 
     def _compute_denominator(self, alpha, flat_target, wasserstein_distance_map):
         alpha_sel = jnp.take_along_axis(alpha, flat_target, axis=1)
-        return jnp.sum(alpha_sel * (2.0 - wasserstein_distance_map), axis=1)
+        return jnp.einsum("bn,cn->b", alpha_sel, 2.0 - wasserstein_distance_map)
 
     def _compute_alpha_generalized_true_positives(self, flat_target: jnp.ndarray) -> jnp.ndarray:
-        one_hot_t = jax.nn.one_hot(flat_target, self.num_classes, axis=1)  # (B, C, N)
-        volumes = jnp.sum(one_hot_t, axis=2)
-        return 1.0 / (volumes * volumes + 1.0)
+        if self.alpha_mode == "GDL":
+            one_hot_t = jax.nn.one_hot(flat_target, self.num_classes, axis=1)  # (B, C, N)
+            volumes = jnp.sum(one_hot_t, axis=2)
+            return 1.0 / (volumes + 1.0)
+        # default (original paper): 1 for foreground classes, 0 for background
+        alpha = jnp.ones((flat_target.shape[0], self.num_classes))
+        return alpha.at[:, 0].set(0.0)
 
 
 class DiceCELoss:

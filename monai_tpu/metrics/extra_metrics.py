@@ -152,7 +152,10 @@ def compute_variance(y_pred, include_background: bool = True, spatial_map: bool 
     y = to_numpy(y_pred).astype(np.float64)  # (repeats, C, *spatial)
     if not include_background and y.shape[1] > 1:
         y = y[:, 1:]
-    var = y.var(axis=0).sum(axis=0)  # sum over channels → (*spatial)
+    # reference active_learning_metrics.py:137-150: clamp <=0 to threshold, fold
+    # repeats*channels into one axis, population variance over it
+    y = np.where(y <= 0, threshold, y)
+    var = y.reshape((y.shape[0] * y.shape[1],) + y.shape[2:]).var(axis=0)
     if spatial_map:
         return var
     if scalar_reduction == "mean":
@@ -185,7 +188,7 @@ class VarianceMetric(CumulativeIterationMetric):
     """(reference: active_learning_metrics.py VarianceMetric)."""
 
     def __init__(self, include_background: bool = True, spatial_map: bool = False,
-                 scalar_reduction: str = "mean", threshold: float = 0.0005):
+                 scalar_reduction: str = "sum", threshold: float = 0.0005):
         super().__init__()
         self.include_background = include_background
         self.spatial_map = spatial_map

@@ -211,15 +211,20 @@ def compute_generalized_dice(y_pred, y, include_background: bool = True,
 class GeneralizedDiceScore(CumulativeIterationMetric):
     """(reference: monai/metrics/generalized_dice.py)."""
 
-    def __init__(self, include_background: bool = True, reduction: str = MetricReduction.MEAN_BATCH,
+    def __init__(self, include_background: bool = True, reduction: str = MetricReduction.MEAN,
                  weight_type: str = "square"):
         super().__init__()
         self.include_background = include_background
         self.reduction = reduction
         self.weight_type = weight_type
+        # reference generalized_dice.py:38: class-sum before reduction for these modes
+        self.sum_over_classes = str(reduction) in {
+            str(MetricReduction.SUM), str(MetricReduction.MEAN),
+            str(MetricReduction.MEAN_CHANNEL), str(MetricReduction.SUM_CHANNEL)}
 
     def _compute_tensor(self, y_pred, y=None, **kwargs):
-        return compute_generalized_dice(y_pred, y, self.include_background, self.weight_type)
+        return compute_generalized_dice(y_pred, y, self.include_background, self.weight_type,
+                                        sum_over_classes=self.sum_over_classes)
 
     def aggregate(self, reduction=None):
         data = self.get_buffer()
