@@ -208,9 +208,10 @@ def clip_boxes_to_image(boxes, spatial_size: Sequence[int], remove_empty: bool =
     maxs = ns.stack([ns.clip(boxes[:, d + i], 0, spatial_size[i]) for i in range(d)], axis=1)
     clipped = ns.concatenate([mins, maxs], axis=1)
     if remove_empty:
+        # reference box_utils.py:1037: keep boxes at least 1 pixel wide per axis
         keep = ns.ones(clipped.shape[0], dtype=bool)
         for i in range(d):
-            keep = keep & (clipped[:, d + i] > clipped[:, i])
+            keep = keep & (clipped[:, d + i] >= clipped[:, i] + 1)
         return clipped[keep] if not is_jax(boxes) else clipped[np.asarray(to_numpy(keep))], keep
     return clipped, ns.ones(clipped.shape[0], dtype=bool)
 

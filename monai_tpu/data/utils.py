@@ -239,34 +239,24 @@ def decollate_batch(batch, detach: bool = True, pad: bool = True, fill_value=Non
             return arr.item() if detach else arr
         out_list = list(arr)
         return [x.item() if isinstance(x, np.ndarray) and x.ndim == 0 and detach else x for x in out_list]
-    if isinstance(batch, Mapping):
-        batch_size, non_iterable, deco = _non_zipping_check(batch, detach, pad, fill_value)
-        ret = []
-        for i in range(batch_size):
-            d = {}
-            for k, v in deco.items():
-                if k in non_iterable:
-                    d[k] = v
-                elif i < len(v):
-                    d[k] = v[i]
-                elif pad:
-                    d[k] = fill_value
-            ret.append(d)
-        return ret
-    if isinstance(batch, Iterable):
-        batch_size, non_iterable, deco = _non_zipping_check(batch, detach, pad, fill_value)
-        ret = []
-        for i in range(batch_size):
-            item = []
-            for k, v in enumerate(deco):
-                if k in non_iterable:
-                    item.append(v)
-                elif i < len(v):
-                    item.append(v[i])
-                elif pad:
-                    item.append(fill_value)
-            ret.append(item)
-        return ret
+    if isinstance(batch, (Mapping, Iterable)):
+        # reference data/utils.py:648-666: b<=0 means "already a single item" and is
+        # returned as-is (e.g. a dict value that is a list of strings); otherwise
+        # non-iterables are duplicated to the batch length and values zip per item
+        from copy import deepcopy
+        from itertools import zip_longest
+
+        b, non_iterable, deco = _non_zipping_check(batch, detach, pad, fill_value)
+        if b <= 0:
+            return deco
+        if pad:
+            for k in non_iterable:
+                deco[k] = [deepcopy(deco[k]) for _ in range(b)]
+        if isinstance(deco, Mapping):
+            _gen = zip_longest(*deco.values(), fillvalue=fill_value) if pad else zip(*deco.values())
+            return [dict(zip(deco, item)) for item in _gen]
+        _gen = zip_longest(*deco, fillvalue=fill_value) if pad else zip(*deco)
+        return [list(item) for item in _gen]
     raise NotImplementedError(f"Unable to de-collate: {batch}, type: {type(batch)}.")
 
 
