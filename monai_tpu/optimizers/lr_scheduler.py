@@ -9,13 +9,16 @@ __all__ = ["LinearLRSchedule", "ExponentialLRSchedule", "WarmupCosineSchedule"]
 
 
 def LinearLRSchedule(initial_lr: float, end_lr: float, num_iter: int):
-    """Linearly interpolated LR (reference: lr_scheduler.py:41)."""
-    return optax.linear_schedule(init_value=initial_lr, end_value=end_lr, transition_steps=num_iter)
+    """Linearly interpolated LR; reference ratio is step/(num_iter-1)
+    (lr_scheduler.py:46)."""
+    return optax.linear_schedule(init_value=initial_lr, end_value=end_lr,
+                                 transition_steps=max(num_iter - 1, 1))
 
 
 def ExponentialLRSchedule(initial_lr: float, end_lr: float, num_iter: int):
-    """Exponentially interpolated LR (reference: lr_scheduler.py:—)."""
-    rate = (end_lr / initial_lr) ** (1.0 / max(num_iter, 1))
+    """Exponentially interpolated LR: lr = init*(end/init)^(step/(num_iter-1))
+    (reference: lr_scheduler.py:56)."""
+    rate = (end_lr / initial_lr) ** (1.0 / max(num_iter - 1, 1))
     return optax.exponential_decay(init_value=initial_lr, transition_steps=1, decay_rate=rate)
 
 
