@@ -142,7 +142,8 @@ def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, 
     for d in range(D):
         c = grid[..., d].astype(compute_dtype)
         if order == 0:
-            base = ns.floor(c + 0.5).astype(ns.int32)
+            # torch grid_sample nearest rounds half-to-even (std::nearbyint)
+            base = ns.round(c).astype(ns.int32)
             dim_taps = [(base, None)]
         elif order == 1:
             f = ns.floor(c)

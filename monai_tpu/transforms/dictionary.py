@@ -257,21 +257,15 @@ def _mapped_rand(name: str, array_cls, doc_ref: str = "", lazy: bool = False, ca
         def randomize(self, data=None) -> None:
             self.t.randomize(data)
 
-        def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
-            d = dict(data)
-            first_key = self.first_key(d)
-            if first_key == ():
-                return d
-            # randomize once using the first key's data; some randomize() protocols
-            # take the spatial shape instead of the array (e.g. RandCoarseTransform,
-            # RandBiasField — reference intensity/dictionary.py passes shape[1:])
-            first_item = d[first_key]
-            arr = first_item.data if isinstance(first_item, MetaImage) else first_item
+        def _randomize_t(self, arr) -> bool:
+            """Drive the wrapped transform's randomize(); returns True when it must
+            instead happen inside the first per-key call (extra-arg protocols).
+            Subclasses override this when the reference DICT transform consumes the
+            RNG stream in a different order than its array counterpart."""
             import inspect
 
             params = list(inspect.signature(self.t.randomize).parameters.values())
             pname = params[0].name if params else None
-            randomize_in_first_call = False
             try:
                 if pname in ("img_size", "spatial_size", "spatial_shape", "grid_size"):
                     self.t.randomize(arr.shape[1:])
@@ -282,7 +276,20 @@ def _mapped_rand(name: str, array_cls, doc_ref: str = "", lazy: bool = False, ca
             except TypeError:
                 # randomize() needs transform-specific extra args (e.g.
                 # RandKSpaceSpikeNoise): let the first per-key __call__ do it
-                randomize_in_first_call = True
+                return True
+            return False
+
+        def __call__(self, data: Mapping, lazy: bool | None = None) -> dict:
+            d = dict(data)
+            first_key = self.first_key(d)
+            if first_key == ():
+                return d
+            # randomize once using the first key's data; some randomize() protocols
+            # take the spatial shape instead of the array (e.g. RandCoarseTransform,
+            # RandBiasField — reference intensity/dictionary.py passes shape[1:])
+            first_item = d[first_key]
+            arr = first_item.data if isinstance(first_item, MetaImage) else first_item
+            randomize_in_first_call = self._randomize_t(arr)
             for i, key in enumerate(self.key_iterator(d)):
                 kw = {k: v[i] for k, v in self._per_key.items()}
                 rnd = randomize_in_first_call and key == first_key
@@ -325,13 +332,42 @@ SpatialResampled = _mapped("SpatialResampled", SpatialResample, "spatial/diction
 
 RandFlipd = _mapped_rand("RandFlipd", RandFlip, "spatial/dictionary.py:715", lazy=True)
 RandAxisFlipd = _mapped_rand("RandAxisFlipd", RandAxisFlip, "spatial/dictionary.py:748", lazy=True)
-RandRotate90d = _mapped_rand("RandRotate90d", RandRotate90, "spatial/dictionary.py:556", lazy=True)
+_RandRotate90dBase = _mapped_rand("RandRotate90d", RandRotate90, "spatial/dictionary.py:556", lazy=True)
+
+
+class RandRotate90d(_RandRotate90dBase):  # type: ignore[valid-type,misc]
+    """Dict RandRotate90; the reference DICT version samples k BEFORE the prob draw
+    and unconditionally (spatial/dictionary.py:556 randomize) — mirror that order."""
+
+    def _randomize_t(self, arr) -> bool:
+        self.t._rand_k = self.t.R.randint(self.t.max_k) + 1
+        RandomizableTransform.randomize(self.t, None)
+        return False
 RandRotated = _mapped_rand("RandRotated", RandRotate, "spatial/dictionary.py:1201", lazy=True,
                            call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
 RandZoomd = _mapped_rand("RandZoomd", RandZoom, "spatial/dictionary.py:1447", lazy=True,
                          call_kwargs=("mode", "padding_mode", "align_corners", "dtype"))
-RandAffined = _mapped_rand("RandAffined", RandAffine, "spatial/dictionary.py:—", lazy=True,
-                           call_kwargs=("mode", "padding_mode"))
+_RandAffinedBase = _mapped_rand("RandAffined", RandAffine, "spatial/dictionary.py:—", lazy=True,
+                                call_kwargs=("mode", "padding_mode"))
+
+
+class RandAffined(_RandAffinedBase):  # type: ignore[valid-type,misc]
+    """Dict RandAffine. The reference dict class draws its own prob sample and wraps
+    an internal RandAffine(prob=1.0), re-randomizing the grid a second time when the
+    transform fires (spatial/dictionary.py:90-151) — mirror that RNG order."""
+
+    def __init__(self, *args, **kwargs):
+        self._dict_prob = float(kwargs.get("prob", 0.1))
+        super().__init__(*args, **kwargs)
+
+    def _randomize_t(self, arr) -> bool:
+        self._do_transform = self.R.rand() < self._dict_prob  # dict-level prob, own R
+        self.t.R.rand()  # the internal prob-1 RandAffine still consumes a draw
+        self.t.rand_affine_grid.randomize()
+        if self._do_transform:
+            self.t.rand_affine_grid.randomize()  # drawn again while building the grid
+        self.t._do_transform = self._do_transform
+        return False
 Affined = _mapped("Affined", Affine, "spatial/dictionary.py:—", lazy=True,
                   call_kwargs=("mode", "padding_mode"))
 RandGridDistortiond = _mapped_rand("RandGridDistortiond", RandGridDistortion, "spatial/dictionary.py:—",
@@ -436,37 +472,41 @@ class CropForegroundd(MapTransform, InvertibleTransform):
 
 
 class RandSpatialCropSamplesd(Randomizable, MapTransform, MultiSampleTrait):
-    """N random crops over all keys (reference: croppad/dictionary.py:531)."""
+    """N random crops over all keys. The reference draws a per-call sub-seed and
+    re-seeds the multi-sample cropper for EVERY key so the crops line up
+    (croppad/dictionary.py:531)."""
 
     def __init__(self, keys: KeysCollection, roi_size, num_samples: int, max_roi_size=None,
                  random_center: bool = True, random_size: bool = False,
                  allow_missing_keys: bool = False, lazy: bool = False):
+        from ..utils.prng import MAX_SEED
+        from .croppad_array import RandSpatialCropSamples
+
+        self._max_seed = MAX_SEED
         MapTransform.__init__(self, keys, allow_missing_keys)
         self.num_samples = num_samples
-        self.cropper = RandSpatialCrop(roi_size, max_roi_size, random_center, random_size, lazy=lazy)
-
-    def set_random_state(self, seed=None, state=None):
-        super().set_random_state(seed, state)
-        self.cropper.set_random_state(state=self.R)
-        return self
+        self.cropper = RandSpatialCropSamples(roi_size, num_samples, max_roi_size,
+                                              random_center, random_size, lazy=lazy)
+        self.sub_seed = 0
 
     def randomize(self, data=None) -> None:
-        pass
+        self.sub_seed = int(self.R.randint(self._max_seed, dtype="uint32"))
 
     def __call__(self, data: Mapping, lazy: bool | None = None) -> list[dict]:
+        from copy import deepcopy
+
         d = dict(data)
         ret: list[dict] = [dict(d) for _ in range(self.num_samples)]
-        first_key = self.first_key(d)
-        if first_key == ():
-            return ret
         for i in range(self.num_samples):
-            first = d[first_key]
-            self.cropper.randomize(first.peek_pending_shape() if isinstance(first, MetaImage) else first.shape[1:])
-            for key in self.key_iterator(d):
-                cropped = self.cropper(d[key], randomize=False, lazy=lazy)
-                if isinstance(cropped, MetaImage):
-                    cropped.meta["patch_index"] = i
-                ret[i][key] = cropped
+            for key in set(d.keys()).difference(set(self.keys)):
+                ret[i][key] = deepcopy(d[key])
+        self.randomize()
+        for key in self.key_iterator(d):
+            self.cropper.set_random_state(seed=self.sub_seed)
+            for i, im in enumerate(self.cropper(d[key], lazy=lazy)):
+                if isinstance(im, MetaImage):
+                    im.meta["patch_index"] = i
+                ret[i][key] = im
         return ret
 
 

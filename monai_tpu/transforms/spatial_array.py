@@ -501,7 +501,7 @@ class Resize(_SpatialLazyTransform):
             data_M = np.eye(sr + 1, dtype=np.float64)
             for d in range(sr):
                 data_M[d, d] = in_shape[d] / out_size[d]
-                data_M[d, sr] = -0.5
+                data_M[d, sr] = -0.5 + 1e-4  # floor(y*s) via round; eps dodges half-even ties
         return self._op(img, M, out_size, mode=m_res, padding_mode="border",
                         align_corners=ac, dtype=dtype or self.dtype, lazy=lazy,
                         data_matrix=data_M)
@@ -668,7 +668,7 @@ class Zoom(_SpatialLazyTransform):
             for d in range(sr):
                 if str(mode or self.mode) == "nearest":
                     Mz[d, d] = in_shape[d] / zoomed[d]
-                    Mz[d, sr] = -0.5  # torch legacy nearest: floor(y * in/out)
+                    Mz[d, sr] = -0.5 + 1e-4  # torch legacy nearest: floor(y*s); eps dodges half-even ties
                 elif ac:
                     Mz[d, d] = (in_shape[d] - 1.0) / max(zoomed[d] - 1.0, 1.0)
                 else:
@@ -711,7 +711,7 @@ class Zoom(_SpatialLazyTransform):
             data_M = np.eye(sr + 1, dtype=np.float64)
             for d in range(sr):
                 data_M[d, d] = in_shape[d] / zoomed[d]
-                data_M[d, sr] = -0.5  # torch legacy nearest
+                data_M[d, sr] = -0.5 + 1e-4  # floor(y*s) via round; eps dodges half-even ties  # torch legacy nearest
         return self._op(img, M, out_size, mode=mode or self.mode,
                         padding_mode=pm_,
                         align_corners=ac,
