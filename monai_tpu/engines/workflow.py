@@ -172,27 +172,37 @@ class Workflow(EventEmitter):
         if self.state.epoch_length == 0 or self.data_loader is None:
             warnings.warn("No data to iterate, exiting run.")
             return
-        self.fire_event(Events.STARTED)
-        while self.state.epoch < self.state.max_epochs and not self.state.terminate:
-            self.state.epoch += 1
-            if hasattr(self.data_loader, "sampler") and hasattr(getattr(self.data_loader, "sampler"), "set_epoch"):
-                self.data_loader.sampler.set_epoch(self.state.epoch)
-            self.fire_event(Events.EPOCH_STARTED)
-            it = 0
-            for batchdata in self.data_loader:
-                it += 1
-                self.state.iteration += 1
-                self.state.batch = batchdata
-                self.fire_event(Events.ITERATION_STARTED)
-                self.state.output = self._iteration(self, batchdata)
-                self._apply_post_and_metrics(self)
-                self.fire_event(Events.ITERATION_COMPLETED)
-                if self.state.terminate:
-                    break
-                if self.state.epoch_length is not None and it >= self.state.epoch_length:
-                    break
-            self.fire_event(Events.EPOCH_COMPLETED)
-        self.fire_event(Events.COMPLETED)
+        try:
+            self.fire_event(Events.STARTED)
+            while self.state.epoch < self.state.max_epochs and not self.state.terminate:
+                self.state.epoch += 1
+                if hasattr(self.data_loader, "sampler") and hasattr(getattr(self.data_loader, "sampler"), "set_epoch"):
+                    self.data_loader.sampler.set_epoch(self.state.epoch)
+                self.fire_event(Events.EPOCH_STARTED)
+                it = 0
+                for batchdata in self.data_loader:
+                    it += 1
+                    self.state.iteration += 1
+                    self.state.batch = batchdata
+                    self.fire_event(Events.ITERATION_STARTED)
+                    self.state.output = self._iteration(self, batchdata)
+                    self._apply_post_and_metrics(self)
+                    self.fire_event(Events.ITERATION_COMPLETED)
+                    if self.state.terminate:
+                        break
+                    if self.state.epoch_length is not None and it >= self.state.epoch_length:
+                        break
+                self.fire_event(Events.EPOCH_COMPLETED)
+            self.fire_event(Events.COMPLETED)
+        except Exception as e:
+            # ignite semantics (reference workflow.py / ignite Engine._handle_exception):
+            # fire EXCEPTION_RAISED handlers (e.g. CheckpointSaver's final save, which
+            # re-raises after saving); with no handler, propagate unchanged
+            handlers = self._event_handlers.get(str(Events.EXCEPTION_RAISED), [])
+            if not handlers:
+                raise
+            for handler, args, kwargs in list(handlers):
+                handler(self, e, *args, **kwargs)
 
     def terminate(self) -> None:
         self.state.terminate = True

@@ -19,7 +19,7 @@ __all__ = ["CheckpointSaver", "CheckpointLoader", "save_checkpoint", "load_check
 
 
 def _state_of(obj: Any):
-    """Extract a savable pytree from an nnx module / optimizer / raw pytree."""
+    """Extract a savable pytree from an nnx module / optimizer / engine / raw pytree."""
     try:
         from flax import nnx
 
@@ -27,6 +27,11 @@ def _state_of(obj: Any):
             return nnx.state(obj)
     except Exception:
         pass
+    state = getattr(obj, "state", None)
+    if state is not None and hasattr(state, "epoch") and hasattr(state, "iteration"):
+        # an engine/Workflow: save the ignite-style state_dict (epoch/iteration/max)
+        return {"epoch": np.int64(state.epoch), "iteration": np.int64(state.iteration),
+                "max_epochs": np.int64(state.max_epochs)}
     return obj
 
 
@@ -102,6 +107,11 @@ def load_checkpoint(load_dict: Mapping[str, Any], path: str, strict: bool = True
                 warnings.warn(f"partial restore for {k}: {e}")
         elif isinstance(obj, dict):
             obj.update(data)
+        elif (getattr(obj, "state", None) is not None and hasattr(obj.state, "epoch")
+              and isinstance(data, Mapping) and "epoch" in data):
+            # an engine/Workflow: restore epoch/iteration so training resumes in place
+            obj.state.epoch = int(data["epoch"])
+            obj.state.iteration = int(data["iteration"])
 
 
 class CheckpointSaver:
