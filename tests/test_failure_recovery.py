@@ -92,7 +92,7 @@ def test_resume_from_crash_checkpoint(tmp_path):
                                  network=net3, optimizer=optax.adam(1e-3),
                                  loss_function=DiceCELoss(to_onehot_y=True, softmax=True))
     CheckpointLoader(load_path=str(tmp_path / "crash.ckpt"),
-                     load_dict={"net": net3}).attach(trainer3)
+                     load_dict={"net": net3, "trainer": trainer3}).attach(trainer3)
     trainer3.run()  # max_epochs == restored epoch: loads then exits immediately
     import jax
 
