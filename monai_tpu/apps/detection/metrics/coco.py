@@ -154,13 +154,13 @@ class COCOMetric:
         for max_det_idx, max_det in enumerate(self.max_detections):
             key = (f"mAR_IoU_{self.iou_range[0]:.2f}_{self.iou_range[1]:.2f}_"
                    f"{self.iou_range[2]:.2f}_MaxDet_{max_det}")
-            results[key] = self._select_ar(stats, iou_idx=self.iou_range_idx,
-                                           max_det_idx=max_det_idx)
+            # the reference averages mAR over ALL iou thresholds (union of list+range),
+            # not just the range — match it (reference: coco.py _compute_ar)
+            results[key] = self._select_ar(stats, max_det_idx=max_det_idx)
             if self.per_class:
                 for cls_idx, cls_str in enumerate(self.classes):
                     results[f"{cls_str}_" + key] = self._select_ar(
-                        stats, iou_idx=self.iou_range_idx, cls_idx=cls_idx,
-                        max_det_idx=max_det_idx)
+                        stats, cls_idx=cls_idx, max_det_idx=max_det_idx)
         for idx in self.iou_list_idx:
             key = f"AR_IoU_{self.iou_thresholds[idx]:.2f}_MaxDet_{self.max_detections[-1]}"
             results[key] = self._select_ar(stats, iou_idx=[idx], max_det_idx=-1)

@@ -62,8 +62,13 @@ class ATSSMatcher(Matcher):
 
         match_quality = np.asarray(self.similarity_fn(boxes, anchors))  # (num_gt, A)
         candidate_ious = np.take_along_axis(match_quality, candidate_idx, axis=1)
+        if candidate_idx.shape[1] <= 1:
+            # corner case: a single candidate makes the std undefined (ATSS_matcher.py:250)
+            matches = np.full((num_anchors,), self.BELOW_LOW_THRESHOLD, dtype=np.int64)
+            matches[candidate_idx.reshape(-1)] = 0
+            return match_quality, matches
         iou_mean = candidate_ious.mean(axis=1, keepdims=True)
-        iou_std = candidate_ious.std(axis=1, keepdims=True)
+        iou_std = candidate_ious.std(axis=1, keepdims=True, ddof=1)  # unbiased, as torch.std
         iou_thresh = iou_mean + iou_std
         is_pos = candidate_ious >= iou_thresh
 
