@@ -30,6 +30,10 @@ from .synthetic import create_test_image_2d, create_test_image_3d
 
 MetaTensor = MetaImage  # familiarity alias for reference users
 
+# re-exported for parity with the reference's `monai.data` surface (used there for
+# DataLoader worker pickling); arrays here are numpy/jax so the stdlib pickler suffices
+from multiprocessing.reduction import ForkingPickler
+
 _LAZY_ATTRS = {
     # dataloader
     "DataLoader": ".dataloader", "ThreadBuffer": ".dataloader", "ThreadDataLoader": ".dataloader",
@@ -64,6 +68,7 @@ _LAZY_ATTRS = {
     "NiftiReader": ".image_reader", "NrrdReader": ".image_reader", "PydicomReader": ".image_reader", "NumpyReader": ".image_reader", "PILReader": ".image_reader",
     "ImageWriter": ".image_writer", "NibabelWriter": ".image_writer", "NiftiWriter": ".image_writer",
     "PILWriter": ".image_writer", "ITKWriter": ".image_writer", "register_writer": ".image_writer", "resolve_writer": ".image_writer",
+    "SUPPORTED_WRITERS": ".image_writer",
     # iterable
     "CSVIterableDataset": ".iterable_dataset", "IterableDataset": ".iterable_dataset",
     "ShuffleBuffer": ".iterable_dataset",
@@ -77,6 +82,7 @@ _LAZY_ATTRS = {
     "pad_list_data_collate": ".utils", "partition_dataset": ".utils",
     "partition_dataset_classes": ".utils", "pickle_hashing": ".utils",
     "select_cross_validation_folds": ".utils", "set_rnd": ".utils", "worker_init_fn": ".utils",
+    "pickle_operations": ".utils", "PICKLE_KEY_SUFFIX": ".utils",
     # datasets with downloads
     "DatasetSummary": ".dataset_summary",
     "TestTimeAugmentation": ".test_time_augmentation",
@@ -101,3 +107,7 @@ def __getattr__(name: str):
     val = getattr(mod, name)
     globals()[name] = val
     return val
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_ATTRS))

@@ -72,3 +72,35 @@ from .fft_utils_t import (
 )
 from .pos_embed_utils import build_sincos_position_embedding
 from .segresnet_block import get_upsample_layer
+
+# activation blocks live with the simple layers; re-exported here to mirror the
+# reference's networks/blocks/activation.py public surface
+from ..layers.simplelayers import GEGLU, MemoryEfficientSwish, Mish, Swish
+
+# reference-name aliases
+Upsample = UpSample
+SubpixelUpSample = Subpixelupsample = SubpixelUpsample
+SubpixelDownSample = Subpixeldownsample = SubpixelDownsample
+
+
+def __getattr__(name):
+    # blocks that structurally live inside their network's module; lazy to avoid
+    # a blocks <-> nets import cycle
+    _net_blocks = {
+        "ResBlock": "segresnet",
+        "MedNeXtBlock": "mednext", "MedNeXtDownBlock": "mednext",
+        "MedNeXtUpBlock": "mednext", "MedNeXtOutBlock": "mednext",
+    }
+    mod = _net_blocks.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    val = getattr(importlib.import_module(f"..nets.{mod}", __name__), name)
+    globals()[name] = val
+    return val
+
+
+def __dir__():
+    return sorted(set(globals()) | {"ResBlock", "MedNeXtBlock", "MedNeXtDownBlock",
+                                    "MedNeXtUpBlock", "MedNeXtOutBlock"})

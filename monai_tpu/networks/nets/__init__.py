@@ -14,6 +14,8 @@ from .vqvae import VQVAE
 from .autoencoder import AutoEncoder, VarAutoEncoder
 from .basic_unet import BasicUNet, BasicUnet, Basicunet
 from .basic_unetplusplus import BasicUNetPlusPlus, BasicUnetPlusPlus
+
+BasicunetPlusPlus = basicunetplusplus = BasicUNetPlusPlus
 from .highresnet import HighResBlock, HighResNet
 from .regunet import GlobalNet, LocalNet, RegUNet
 from .segresnet_ds import SegResNetDS, SegResNetDS2
@@ -31,10 +33,20 @@ from .densenet import (
     densenet264,
 )
 from .dynunet import DynUNet
+
+DynUnet = Dynunet = dynunet = DynUNet
+Densenet = DenseNet
+Densenet121 = densenet121
+Densenet169 = densenet169
+Densenet201 = densenet201
+Densenet264 = densenet264
+
 from .resnet import (
     ResNet,
     ResNetBlock,
     ResNetBottleneck,
+    ResNetEncoder,
+    ResNetFeatures,
     resnet10,
     resnet18,
     resnet34,
@@ -52,20 +64,30 @@ from .efficientnet import (
     drop_connect,
     get_efficientnet_image_size,
 )
-from .flexible_unet import FLEXUNET_BACKBONE, FlexibleUNet, FlexUNet
+from .flexible_unet import FLEXUNET_BACKBONE, FlexibleUNet, FlexUNet, FlexUNetEncoderRegister
 from .hovernet import HoVerNet
+
+HoVernet = HoverNet = Hovernet = HoVerNet
 from .masked_autoencoder_vit import MaskedAutoEncoderViT
 from .mednext import (
     MedNext,
     MedNeXt,
     MedNextB,
     MedNeXtB,
+    MedNextBase,
+    MedNeXtBase,
     MedNextL,
     MedNeXtL,
+    MedNextLarge,
+    MedNeXtLarge,
     MedNextM,
     MedNeXtM,
+    MedNextMedium,
+    MedNeXtMedium,
     MedNextS,
     MedNeXtS,
+    MedNextSmall,
+    MedNeXtSmall,
     create_mednext,
 )
 from .milmodel import MILModel
@@ -74,7 +96,15 @@ from .quicknat import Quicknat, QuickNAT
 from .daf3d import DAF3D
 from .dints import DiNTS, TopologyConstruction, TopologyInstance, TopologySearch
 from .restormer import Restormer
-from .transchex import Transchex
+from .transchex import (
+    BertAttention,
+    BertMixedLayer,
+    BertOutput,
+    BertPreTrainedModel,
+    MultiModal,
+    Pooler,
+    Transchex,
+)
 from .senet import (
     SENet,
     SENet154,
@@ -84,8 +114,16 @@ from .senet import (
     SEResNext50,
     SEResNext101,
 )
+
+SEnet = Senet = senet = SENet
+SEnet154 = Senet154 = senet154 = SENet154
+SEresnet50 = Seresnet50 = seresnet50 = SEResNet50
+SEresnet101 = Seresnet101 = seresnet101 = SEResNet101
+SEresnet152 = Seresnet152 = seresnet152 = SEResNet152
+SEResNeXt50 = SEresnext50 = Seresnext50 = seresnext50 = SEResNext50
+SEResNeXt101 = SEresnext101 = Seresnext101 = seresnext101 = SEResNext101
 from .segresnet import SegResNet, SegResNetVAE
-from .swin_unetr import SwinTransformer, SwinUNETR
+from .swin_unetr import MERGING_MODE, PatchMerging, PatchMergingV2, SwinTransformer, SwinUNETR
 from .unet import UNet, Unet
 from .unetr import UNETR
 from .vit import ViT, ViTAutoEnc

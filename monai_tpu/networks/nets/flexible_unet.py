@@ -14,7 +14,7 @@ from ..layers.factories import Conv
 from .basic_unet import UpCat
 from .efficientnet import EfficientNetEncoder, efficientnet_params
 
-__all__ = ["FlexibleUNet", "FlexUNet", "FLEXUNET_BACKBONE"]
+__all__ = ["FlexibleUNet", "FlexUNet", "FLEXUNET_BACKBONE", "FlexUNetEncoderRegister"]
 
 
 class _BackboneRegistry:
@@ -37,6 +37,12 @@ class _BackboneRegistry:
 
 FLEXUNET_BACKBONE = _BackboneRegistry()
 FLEXUNET_BACKBONE.register_class(EfficientNetEncoder)
+
+from .resnet import ResNetEncoder  # noqa: E402  (after registry creation: avoids cycle)
+
+FLEXUNET_BACKBONE.register_class(ResNetEncoder)
+
+FlexUNetEncoderRegister = _BackboneRegistry  # reference class name (flexible_unet.py:33)
 
 
 class UNetDecoder(nnx.Module):

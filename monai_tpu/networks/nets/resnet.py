@@ -11,8 +11,8 @@ from flax import nnx
 from ...utils.misc import ensure_tuple_rep
 from ..layers.factories import Conv, Pool, get_act_layer, get_norm_layer
 
-__all__ = ["ResNet", "ResNetBlock", "ResNetBottleneck", "resnet10", "resnet18", "resnet34",
-           "resnet50", "resnet101", "resnet152", "resnet200"]
+__all__ = ["ResNet", "ResNetBlock", "ResNetBottleneck", "ResNetFeatures", "ResNetEncoder",
+           "resnet10", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152", "resnet200"]
 
 
 def _conv(spatial_dims, in_planes, out_planes, kernel_size=3, stride=1, bias=False, *, rngs):
@@ -129,6 +129,81 @@ class ResNet(nnx.Module):
         if self.fc is not None:
             x = self.fc(x)
         return x
+
+
+# model_name -> (block, layers, shortcut_type, bias_downsample)
+# (reference: resnet.py resnet_params; the datasets23 flag only selects MedicalNet
+#  weight URLs, which zero-egress makes inapplicable here)
+resnet_params = {
+    "resnet10": ("basic", [1, 1, 1, 1], "B", False),
+    "resnet18": ("basic", [2, 2, 2, 2], "A", True),
+    "resnet34": ("basic", [3, 4, 6, 3], "A", True),
+    "resnet50": ("bottleneck", [3, 4, 6, 3], "B", True),
+    "resnet101": ("bottleneck", [3, 4, 23, 3], "B", False),
+    "resnet152": ("bottleneck", [3, 8, 36, 3], "B", False),
+    "resnet200": ("bottleneck", [3, 24, 36, 3], "B", False),
+}
+
+
+class ResNetFeatures(ResNet):
+    """ResNet backbone returning the multi-scale feature pyramid
+    (reference: resnet.py:367 ResNetFeatures)."""
+
+    def __init__(self, model_name: str, pretrained: bool = False, spatial_dims: int = 3,
+                 in_channels: int = 1, *, rngs: nnx.Rngs):
+        if model_name not in resnet_params:
+            raise ValueError(f"invalid model_name {model_name}, must be one of "
+                             f"{', '.join(resnet_params)}")
+        if pretrained:
+            raise ValueError("pretrained MedicalNet weights require network access, "
+                             "which is unavailable; load weights explicitly instead.")
+        block, layers, shortcut_type, bias_downsample = resnet_params[model_name]
+        super().__init__(block=block, layers=layers, block_inplanes=[64, 128, 256, 512],
+                         spatial_dims=spatial_dims, n_input_channels=in_channels,
+                         conv1_t_stride=2, shortcut_type=shortcut_type, feed_forward=False,
+                         bias_downsample=bias_downsample, rngs=rngs)
+
+    def _features(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        """Channels-last input -> list of 5 channels-last feature maps."""
+        x = self.act(self.bn1(self.conv1(x)))
+        features = [x]
+        if not self.no_max_pool:
+            x = self.maxpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            for blk in layer:
+                x = blk(x)
+            features.append(x)
+        return features
+
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        """Channel-first input -> list of 5 channel-first feature maps."""
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        feats = self._features(jnp.transpose(x, perm_in))
+        return [jnp.transpose(f, (0, f.ndim - 1) + tuple(range(1, f.ndim - 1))) for f in feats]
+
+
+class ResNetEncoder(ResNetFeatures):
+    """FlexibleUNet backbone adapter (reference: resnet.py:439 ResNetEncoder)."""
+
+    backbone_names = ["resnet10", "resnet18", "resnet34", "resnet50",
+                      "resnet101", "resnet152", "resnet200"]
+
+    @classmethod
+    def get_encoder_parameters(cls) -> list[dict]:
+        return [{"model_name": n, "pretrained": False, "spatial_dims": 3, "in_channels": 1}
+                for n in cls.backbone_names]
+
+    @classmethod
+    def num_channels_per_output(cls) -> list[tuple[int, ...]]:
+        return [(64, 64, 128, 256, 512)] * 3 + [(64, 256, 512, 1024, 2048)] * 4
+
+    @classmethod
+    def num_outputs(cls) -> list[int]:
+        return [5] * len(cls.backbone_names)
+
+    @classmethod
+    def get_encoder_names(cls) -> list[str]:
+        return list(cls.backbone_names)
 
 
 def _resnet(block, layers, block_inplanes, **kwargs):

@@ -27,7 +27,8 @@ from ..blocks.attention import MLPBlock, PatchEmbed
 from ..blocks.dynunet_block import UnetOutBlock, UnetrBasicBlock, UnetrUpBlock
 
 __all__ = ["SwinUNETR", "SwinTransformer", "WindowAttention", "SwinTransformerBlock",
-           "PatchMerging", "window_partition", "window_reverse", "compute_mask"]
+           "PatchMerging", "PatchMergingV2", "MERGING_MODE", "window_partition",
+           "window_reverse", "compute_mask"]
 
 
 def window_partition(x: jnp.ndarray, window_size: Sequence[int]) -> jnp.ndarray:
@@ -215,7 +216,7 @@ class SwinTransformerBlock(nnx.Module):
         return x
 
 
-class PatchMerging(nnx.Module):
+class PatchMergingV2(nnx.Module):
     """Merge 2^d neighbors → linear halve (reference: swin_unetr.py:701 PatchMergingV2)."""
 
     def __init__(self, dim: int, spatial_dims: int = 3, *, rngs: nnx.Rngs):
@@ -224,6 +225,9 @@ class PatchMerging(nnx.Module):
         self.reduction = nnx.Linear(dim * 2**spatial_dims, 2 * dim, use_bias=False, rngs=rngs)
         self.norm = nnx.LayerNorm(dim * 2**spatial_dims, rngs=rngs)
 
+    def _offsets(self, d: int):
+        return list(itertools.product((0, 1), repeat=d))
+
     def __call__(self, x):
         spatial = x.shape[1:-1]
         pads = [(0, 0)] + [(0, s % 2) for s in spatial] + [(0, 0)]
@@ -231,11 +235,26 @@ class PatchMerging(nnx.Module):
             x = jnp.pad(x, pads)
         d = self.spatial_dims
         parts = []
-        for offs in itertools.product((0, 1), repeat=d):
+        for offs in self._offsets(d):
             slicer = [slice(None)] + [slice(o, None, 2) for o in offs] + [slice(None)]
             parts.append(x[tuple(slicer)])
         x = jnp.concatenate(parts, axis=-1)
         return self.reduction(self.norm(x))
+
+
+class PatchMerging(PatchMergingV2):
+    """v0.9.0 merge with its historical 3D channel-concat order
+    (reference: swin_unetr.py PatchMerging forward: x0..x7 ordering); 2D falls back
+    to the V2 order, as in the reference."""
+
+    def _offsets(self, d: int):
+        if d != 3:
+            return super()._offsets(d)
+        return [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+
+
+MERGING_MODE = {"merging": PatchMerging, "mergingv2": PatchMergingV2}
 
 
 class BasicLayer(nnx.Module):
@@ -274,7 +293,8 @@ class SwinTransformer(nnx.Module):
                  patch_size: Sequence[int], depths: Sequence[int], num_heads: Sequence[int],
                  mlp_ratio: float = 4.0, qkv_bias: bool = True, drop_rate: float = 0.0,
                  attn_drop_rate: float = 0.0, drop_path_rate: float = 0.0, patch_norm: bool = False,
-                 spatial_dims: int = 3, *, rngs: nnx.Rngs):
+                 spatial_dims: int = 3, downsample="merging", *, rngs: nnx.Rngs):
+        downsample = MERGING_MODE[downsample] if isinstance(downsample, str) else downsample
         self.num_layers = len(depths)
         self.embed_dim = embed_dim
         self.window_size = window_size
@@ -285,7 +305,7 @@ class SwinTransformer(nnx.Module):
         for i_layer in range(self.num_layers):
             layers.append(BasicLayer(int(embed_dim * 2**i_layer), depths[i_layer], num_heads[i_layer],
                                      window_size, None, mlp_ratio, qkv_bias, drop_rate, attn_drop_rate,
-                                     downsample=PatchMerging, spatial_dims=spatial_dims, rngs=rngs))
+                                     downsample=downsample, spatial_dims=spatial_dims, rngs=rngs))
         self.layers = nnx.List(layers)
 
     def __call__(self, x, normalize: bool = True):
@@ -317,7 +337,7 @@ class SwinUNETR(nnx.Module):
         self.swinViT = SwinTransformer(in_channels, feature_size, window_size_, patch_size_, depths,
                                        num_heads, drop_rate=drop_rate, attn_drop_rate=attn_drop_rate,
                                        drop_path_rate=dropout_path_rate, spatial_dims=spatial_dims,
-                                       rngs=rngs)
+                                       downsample=downsample, rngs=rngs)
         self.encoder1 = UnetrBasicBlock(spatial_dims, in_channels, feature_size, 3, 1, norm_name, True,
                                         rngs=rngs)
         self.encoder2 = UnetrBasicBlock(spatial_dims, feature_size, feature_size, 3, 1, norm_name, True,

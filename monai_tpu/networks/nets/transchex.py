@@ -18,7 +18,7 @@ from flax import nnx
 from ...utils.misc import ensure_tuple_rep
 
 __all__ = ["Transchex", "BertMixedLayer", "MultiModal", "Pooler", "BertAttention",
-           "BertOutput"]
+           "BertOutput", "BertPreTrainedModel"]
 
 
 class _BertConfig:
@@ -124,7 +124,25 @@ class _BertEmbeddings(nnx.Module):
         return self.dropout(self.norm(e))
 
 
-class MultiModal(nnx.Module):
+class BertPreTrainedModel(nnx.Module):
+    """Base marker for BERT-derived modules (reference: transchex.py:32).
+
+    The reference version exists to host HuggingFace ``from_pretrained`` checkpoint
+    surgery; weight loading here goes through the generic torch-state-dict bridge
+    (networks/utils.py copy_model_state), so this base only records the config.
+    """
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @classmethod
+    def from_pretrained(cls, *args, **kwargs):
+        raise NotImplementedError(
+            "from_pretrained requires HuggingFace checkpoint download (no network "
+            "egress); load weights via monai_tpu.networks.utils.copy_model_state.")
+
+
+class MultiModal(BertPreTrainedModel):
     """Language + vision + mixed transformer stack (reference: transchex.py:246)."""
 
     def __init__(self, num_language_layers: int, num_vision_layers: int,

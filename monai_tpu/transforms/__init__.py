@@ -89,3 +89,17 @@ from .utils import (
     remove_small_objects,
     weighted_patch_samples,
 )
+
+# reference-name capital-D / Dict aliases (reference: transforms/nvtx.py tail,
+# meta_utility/dictionary.py, lazy/dictionary.py)
+RangePushDict = RangePushD = RangePush
+RandRangePushDict = RandRangePushD = RandRangePushd = RandRangePush
+RangePopDict = RangePopD = RangePop
+RandRangePopDict = RandRangePopD = RandRangePopd = RandRangePop
+MarkDict = MarkD = Mark
+RandMarkDict = RandMarkD = RandMarkd = RandMark
+ApplyPendingDict = ApplyPendingD = ApplyPendingd
+ToMetaTensorDict = ToMetaTensorD = ToMetaTensord
+FromMetaTensorDict = FromMetaTensorD = FromMetaTensord
+from .io_array import SUPPORTED_READERS
+from .utility_array import ToJax as ToTensor

@@ -13,7 +13,8 @@ from typing import Any, Sequence
 import numpy as np
 
 from ..data.folder_layout import FolderLayout
-from ..data.image_reader import ImageReader, ITKReader, NiftiReader, NumpyReader, PILReader
+from ..data.image_reader import (ImageReader, ITKReader, NiftiReader, NrrdReader,
+                                 NumpyReader, PILReader, PydicomReader)
 from ..data.image_writer import resolve_writer
 from ..data.meta_image import MetaImage
 from ..utils.enums import MetaKeys, PostFix, SpaceKeys
@@ -30,6 +31,8 @@ SUPPORTED_READERS = {
     "numpyreader": NumpyReader,
     "pilreader": PILReader,
     "itkreader": ITKReader,
+    "nrrdreader": NrrdReader,
+    "pydicomreader": PydicomReader,
 }
 
 
