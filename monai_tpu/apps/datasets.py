@@ -23,7 +23,8 @@ from ..utils.misc import ensure_tuple
 from .utils import download_and_extract, logger
 
 __all__ = ["MedNISTDataset", "DecathlonDataset", "CrossValidation", "load_decathlon_datalist",
-           "load_decathlon_properties"]
+           "load_decathlon_properties", "make_synthetic_datalist",
+           "make_synthetic_classification_datalist"]
 
 
 def load_decathlon_datalist(data_list_file_path: str, is_segmentation: bool = True,
@@ -261,3 +262,62 @@ class CrossValidation:
                 return select_cross_validation_folds(partitions=data, folds=folds)
 
         return _NsplitsDataset(**dataset_params_)
+
+
+def make_synthetic_datalist(dataset_dir: str, num_images: int = 8, spatial_size=(64, 64, 64),
+                            num_seg_classes: int = 1, section_splits=(0.75, 0.25),
+                            seed: int = 0, overwrite: bool = False) -> dict:
+    """Materialise a synthetic Decathlon-style NIfTI dataset on disk and return a
+    datalist dict with 'training'/'validation' sections.
+
+    The bundle configs under ``bundles/`` use this when no real dataset is staged
+    (zero-egress fallback; phantom generator: data/synthetic.py, mirroring the
+    reference's tests/integration pattern of training on `create_test_image_3d`
+    phantoms — /root/reference/tests/integration/test_integration_segmentation_3d.py).
+    """
+    from ..data.nifti import write_nifti
+    from ..data.synthetic import create_test_image_2d, create_test_image_3d
+
+    root = Path(dataset_dir)
+    (root / "imagesTr").mkdir(parents=True, exist_ok=True)
+    (root / "labelsTr").mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    items = []
+    for i in range(num_images):
+        img_p = str(root / "imagesTr" / f"img{i:03d}.nii.gz")
+        seg_p = str(root / "labelsTr" / f"seg{i:03d}.nii.gz")
+        if overwrite or not (os.path.exists(img_p) and os.path.exists(seg_p)):
+            rad_max = max(3, min(spatial_size) // 3)
+            maker = create_test_image_3d if len(spatial_size) == 3 else create_test_image_2d
+            im, seg = maker(*spatial_size, num_objs=4, rad_max=rad_max,
+                            num_seg_classes=num_seg_classes, random_state=rs)
+            write_nifti(im.astype(np.float32), img_p)
+            write_nifti(seg.astype(np.uint8), seg_p)
+        items.append({"image": img_p, "label": seg_p})
+    n_train = max(1, int(round(section_splits[0] * num_images)))
+    return {"training": items[:n_train], "validation": items[n_train:] or items[-1:]}
+
+
+def make_synthetic_classification_datalist(dataset_dir: str, num_images: int = 32,
+                                           spatial_size=(64, 64), num_classes: int = 3,
+                                           seed: int = 0, overwrite: bool = False) -> dict:
+    """MedNIST-style synthetic 2D classification set: images whose class label is the
+    number of blobs drawn; returns 'training'/'validation' items of
+    {'image': path, 'label': int}."""
+    from ..data.nifti import write_nifti
+    from ..data.synthetic import create_test_image_2d
+
+    root = Path(dataset_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    items = []
+    for i in range(num_images):
+        cls = int(i % num_classes)
+        img_p = str(root / f"img{i:03d}_c{cls}.nii.gz")
+        if overwrite or not os.path.exists(img_p):
+            im, _ = create_test_image_2d(*spatial_size, num_objs=cls + 1, rad_max=10,
+                                         rad_min=4, random_state=rs)
+            write_nifti(im.astype(np.float32), img_p)
+        items.append({"image": img_p, "label": cls})
+    n_train = max(1, int(round(0.75 * num_images)))
+    return {"training": items[:n_train], "validation": items[n_train:] or items[-1:]}

@@ -44,7 +44,17 @@ class Evaluator(Workflow):
         """Reset and evaluate (reference: evaluator.py:—)."""
         self.state.max_epochs = max(self.state.epoch + 1, 1)
         self.state.epoch = max(self.state.epoch, 0)
-        super().run()
+        # reference parity: network.eval()/train() around the evaluation run
+        # (evaluator.py mode handling) — in nnx this freezes dropout and makes
+        # BatchNorm read running stats instead of mutating them under jit
+        net = getattr(self, "network", None)
+        if isinstance(net, nnx.Module):
+            net.eval() if self.mode == "eval" else net.train()
+        try:
+            super().run()
+        finally:
+            if isinstance(net, nnx.Module):
+                net.train()
 
     def get_stats(self, *vars_name: str):
         return super().get_stats("output", "batch", *vars_name)

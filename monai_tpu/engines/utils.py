@@ -55,6 +55,11 @@ def _to_dev(x, device):
     out = to_jax(arr)
     if device is not None:
         out = jax.device_put(out, device)
+    if isinstance(x, MetaImage):
+        # keep the metadata (affine + applied_operations) riding alongside the device
+        # array: Invertd and SaveImaged downstream need the recorded transform trace
+        # (the reference moves MetaTensors to device intact, trainer.py prepare_batch)
+        return x.new_like(out)
     return out
 
 

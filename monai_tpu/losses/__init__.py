@@ -13,6 +13,7 @@ from .dice import (
 from .focal_loss import FocalLoss, sigmoid_focal_loss, softmax_focal_loss
 from .other import (
     AsymmetricFocalLoss,
+    CrossEntropyLoss,
     AsymmetricFocalTverskyLoss,
     AsymmetricUnifiedFocalLoss,
     BarlowTwinsLoss,

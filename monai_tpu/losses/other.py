@@ -637,3 +637,41 @@ def soft_dice(y_true: jnp.ndarray, y_pred: jnp.ndarray, smooth: float = 1.0) -> 
     intersection = jnp.sum((y_true * y_pred)[:, 1:])
     coeff = (2.0 * intersection + smooth) / (jnp.sum(y_true[:, 1:]) + jnp.sum(y_pred[:, 1:]) + smooth)
     return 1.0 - coeff
+
+
+class CrossEntropyLoss:
+    """Softmax cross-entropy over class logits, the classification-bundle loss
+    (the reference's configs use ``torch.nn.CrossEntropyLoss``; this is the jax
+    equivalent with the same integer-target or one-hot-target semantics).
+    """
+
+    def __init__(self, weight=None, reduction: str = "mean", label_smoothing: float = 0.0):
+        self.weight = None if weight is None else jnp.asarray(weight)
+        self.reduction = reduction
+        self.label_smoothing = float(label_smoothing)
+
+    def __call__(self, input, target):
+        logits = jnp.asarray(input)
+        target = jnp.asarray(target)
+        n_cls = logits.shape[1]
+        logp = jax.nn.log_softmax(logits, axis=1)
+        if target.ndim == logits.ndim - 1 or (target.ndim == logits.ndim and target.shape[1] == 1):
+            tgt = target.reshape(target.shape[0], *target.shape[2:]) if target.ndim == logits.ndim else target
+            onehot = jax.nn.one_hot(tgt.astype(jnp.int32), n_cls, axis=1)
+        else:
+            onehot = target.astype(logp.dtype)
+        if self.label_smoothing > 0:
+            onehot = onehot * (1 - self.label_smoothing) + self.label_smoothing / n_cls
+        nll = -(onehot * logp)
+        if self.weight is not None:
+            wshape = [1, n_cls] + [1] * (logits.ndim - 2)
+            nll = nll * self.weight.reshape(wshape)
+        loss = nll.sum(axis=1)
+        if self.reduction == "mean":
+            if self.weight is not None:
+                denom = (onehot * self.weight.reshape(wshape)).sum(axis=1)
+                return loss.sum() / jnp.maximum(denom.sum(), 1e-8)
+            return loss.mean()
+        if self.reduction == "sum":
+            return loss.sum()
+        return loss

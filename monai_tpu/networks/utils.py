@@ -20,6 +20,10 @@ def one_hot(labels: Any, num_classes: int, dtype=jnp.float32, dim: int = 1) -> A
     """One-hot encode along ``dim`` assuming the current ``dim`` is singleton
     (reference: monai/networks/utils.py:170)."""
     ns = xp(labels)
+    if labels.ndim < dim + 1:
+        # scalar/low-rank labels (e.g. classification class indices): add singleton
+        # dims at the end, as the reference does (networks/utils.py:207)
+        labels = labels.reshape(list(labels.shape) + [1] * (dim + 1 - labels.ndim))
     shape = list(labels.shape)
     if shape[dim] != 1:
         raise AssertionError("labels should have a channel with length equal to one.")

@@ -209,15 +209,23 @@ def _maybe_inject_rngs(component: Any, kwargs: dict) -> dict:
     class with a required `rngs` parameter not supplied by the config, inject
     `nnx.Rngs(seed)` (seed from kwargs `_seed_` or 0)."""
     seed = kwargs.pop("_seed_", 0)
-    if "rngs" in kwargs or not inspect.isclass(component):
+    if "rngs" in kwargs:
         return kwargs
     try:
         from flax import nnx
 
-        if not issubclass(component, nnx.Module):
+        if inspect.isclass(component):
+            if not issubclass(component, nnx.Module):
+                return kwargs
+            sig = inspect.signature(component.__init__)
+        elif callable(component):
+            # network factory functions (DenseNet121, resnet50, MedNeXtL, ...) also
+            # take a required keyword-only `rngs`
+            sig = inspect.signature(component)
+        else:
             return kwargs
-        sig = inspect.signature(component.__init__)
-        if "rngs" in sig.parameters:
+        p = sig.parameters.get("rngs")
+        if p is not None and (inspect.isclass(component) or p.default is inspect.Parameter.empty):
             kwargs["rngs"] = nnx.Rngs(seed)
     except Exception:
         pass
