@@ -31,13 +31,31 @@ A100_REFERENCE_VOLS_PER_SEC = 1.0  # documented estimate; see module docstring
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def _sync(out):
+    """Force completion with a device-side scalar readback.
+
+    On the tunneled axon backend `block_until_ready` can return before the
+    computation actually finishes (and transferring full outputs would measure
+    tunnel bandwidth instead of compute), so we slice ONE element on device and
+    fetch only that scalar.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return float(jax.device_get(jnp.ravel(out)[0]))
+
+
 def _timeit(fn, arg, n_iters=5):
-    out = fn(arg)
-    out.block_until_ready()
+    """Mean wall time per call, forcing completion each call via scalar readback.
+
+    Includes one ~30ms dispatch round-trip per call (tunnel RPC); this matches
+    how a real serving loop would pay per-volume dispatch, so it is NOT
+    subtracted from the primary metric.
+    """
+    _sync(fn(arg))
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fn(arg)
-    out.block_until_ready()
+        _sync(fn(arg))
     return (time.perf_counter() - t0) / n_iters
 
 
@@ -77,6 +95,12 @@ def bench_unet_sw():
     dt = _timeit(lambda v: inferer(v, predictor), vol)
     vols_per_sec = 1.0 / dt
 
+    # batch-4 amortised throughput: serving processes several volumes per dispatch,
+    # so the fixed ~30ms dispatch RPC is shared across the batch
+    vol4 = jnp.asarray(rng.rand(4, 1, *vol_shape).astype(np.float32))
+    dt4 = _timeit(lambda v: inferer(v, predictor), vol4, n_iters=3)
+    vols_per_sec_b4 = 4.0 / dt4
+
     # MFU from the compiled window-forward's XLA cost analysis
     win = jnp.zeros((num_windows, 1) + roi, jnp.bfloat16)
     try:
@@ -85,7 +109,7 @@ def bench_unet_sw():
     except Exception:
         flops_per_batch = 0.0
     mfu = (flops_per_batch * vols_per_sec) / V5E_BF16_PEAK_FLOPS if flops_per_batch else None
-    return vols_per_sec, mfu, num_windows
+    return vols_per_sec, mfu, num_windows, vols_per_sec_b4
 
 
 def bench_swinunetr_sw():
@@ -119,24 +143,37 @@ def bench_swinunetr_sw():
 
 
 def bench_transform_resample():
+    """Fused-resample kernel throughput: K=10 resamples chained in ONE jit (up/down
+    round trips with data dependence), so the ~30ms dispatch RPC is amortised and
+    the number reflects the kernel, as it would run inside a fused pipeline."""
     import jax
     import jax.numpy as jnp
 
     from monai_tpu.ops.separable import separable_affine_resample
 
-    m = np.diag([224 / 267, 224 / 267, 112 / 89, 1.0])
-    out_shape = (267, 267, 89)
-    run = jax.jit(lambda x: separable_affine_resample(x, m, out_shape, order=1, bound="zeros"))
+    up_shape, dn_shape = (267, 267, 89), (224, 224, 112)
+    m_up = np.diag([224 / 267, 224 / 267, 112 / 89, 1.0])
+    m_dn = np.diag([267 / 224, 267 / 224, 89 / 112, 1.0])
+    K = 5  # x -> up -> down counts as 2 resamples; 5 round trips = 10 resamples
+
+    @jax.jit
+    def run(x):
+        for _ in range(K):
+            y = separable_affine_resample(x, m_up, up_shape, order=1, bound="zeros")
+            x = separable_affine_resample(y, m_dn, dn_shape, order=1, bound="zeros")
+        return x
+
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.rand(1, 224, 224, 112).astype(np.float32))
-    dt = _timeit(run, img, n_iters=20)
-    nbytes = img.size * 4 + int(np.prod(out_shape)) * 4
+    img = jnp.asarray(rng.rand(1, *dn_shape).astype(np.float32))
+    dt = _timeit(run, img, n_iters=5) / (2 * K)  # per resample
+    nbytes = (int(np.prod(dn_shape)) + int(np.prod(up_shape))) * 4
     return nbytes / dt / 1e9
 
 
 def main() -> None:
-    vols_per_sec, mfu, num_windows = bench_unet_sw()
-    extra = {"unet_num_windows": num_windows}
+    vols_per_sec, mfu, num_windows, vols_per_sec_b4 = bench_unet_sw()
+    extra = {"unet_num_windows": num_windows,
+             "unet_sw_eval_batch4_vols_per_sec": round(vols_per_sec_b4, 4)}
     if mfu is not None:
         extra["unet_mfu"] = round(mfu, 4)
     try:

@@ -154,3 +154,52 @@ class EnsembleBuilder:
         if self.ensemble is None:
             self.set_ensemble_method(AlgoEnsembleBestN())
         return self.ensemble
+
+
+AlgoEnsembleBuilder = EnsembleBuilder  # reference class name (ensemble_builder.py:317)
+
+
+class EnsembleRunner:
+    """Standalone driver for the ensemble-inference stage: build the ensemble from a
+    training history, pick the method, run prediction over the test list
+    (reference: ensemble_builder.py:397 EnsembleRunner)."""
+
+    def __init__(self, data_src_cfg_name: str | None = None, work_dir: str = "./work_dir",
+                 indices=None, ensemble_method_name: str = "AlgoEnsembleBestByFold",
+                 mgpu: bool = False, **kwargs):
+        self.data_src_cfg_name = data_src_cfg_name
+        self.work_dir = work_dir
+        self.indices = indices
+        self.ensemble_method_name = ensemble_method_name
+        self.kwargs = dict(kwargs)
+        self.ensemble: AlgoEnsemble | None = None
+
+    def set_ensemble_method(self, ensemble_method_name: str = "AlgoEnsembleBestByFold",
+                            **kwargs) -> None:
+        self.ensemble_method_name = ensemble_method_name
+        self.kwargs.update(kwargs)
+
+    def _make_method(self, num_fold: int = 1) -> AlgoEnsemble:
+        if self.ensemble_method_name == "AlgoEnsembleBestN":
+            return AlgoEnsembleBestN(n_best=self.kwargs.get("n_best", 2))
+        if self.ensemble_method_name == "AlgoEnsembleBestByFold":
+            return AlgoEnsembleBestByFold(n_fold=num_fold)
+        raise ValueError(f"Unsupported ensemble method {self.ensemble_method_name}.")
+
+    def run(self, history: list[dict] | None = None, num_fold: int = 1,
+            pred_param: dict | None = None) -> list:
+        """Build + execute the ensemble; returns per-case ensembled predictions."""
+        if history is None:
+            from .utils import import_bundle_algo_history
+
+            history = import_bundle_algo_history(self.work_dir, only_trained=True)
+        builder = EnsembleBuilder(history, self.data_src_cfg_name)
+        builder.set_ensemble_method(self._make_method(num_fold))
+        self.ensemble = builder.get_ensemble()
+        if self.data_src_cfg_name and not self.ensemble.infer_files:
+            import json
+
+            with open(self.data_src_cfg_name) as f:
+                src = json.load(f)
+            self.ensemble.set_infer_files(src.get("dataroot", ""), src.get("datalist", {}))
+        return self.ensemble(pred_param or {})

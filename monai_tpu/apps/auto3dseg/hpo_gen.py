@@ -155,3 +155,32 @@ class RandomHPOGen(GridHPOGen):
                 else:
                     point[k] = v[self.rng.randint(len(v))]
             yield point
+
+
+class OptunaGen(HPOGen):
+    """Optuna-backed HPO (reference: hpo_gen.py:242 OptunaGen). Requires ``optuna``;
+    for hermetic local search use GridHPOGen/RandomHPOGen."""
+
+    def __init__(self, algo: Algo | None = None, params: dict | None = None):
+        super().__init__(algo, params)
+        self._optuna, self._has_optuna = optional_import("optuna")
+        self.trial = None
+
+    def get_hyperparameters(self) -> dict:
+        if self.trial is None:
+            raise RuntimeError("OptunaGen must be called by optuna: study.optimize(OptunaGen(...))")
+        return dict(self.params)
+
+    def set_score(self, acc) -> None:
+        self._score = float(acc)
+
+    def set_trial(self, trial) -> None:
+        self.trial = trial
+
+    def __call__(self, trial, obj_filename: str | None = None, output_folder: str = ".",
+                 template_path=None) -> float:
+        """Objective function handed to ``optuna.Study.optimize``."""
+        if not self._has_optuna:
+            raise ImportError("OptunaGen requires the 'optuna' package, which is not installed.")
+        self.set_trial(trial)
+        return self.run_algo(obj_filename, output_folder, template_path)

@@ -32,3 +32,5 @@ from .dictionary import (
     StandardizeEmptyBoxd,
     ZoomBoxd,
 )
+
+from .array import RotateBox90, SpatialCropBox

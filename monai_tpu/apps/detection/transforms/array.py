@@ -21,12 +21,14 @@ from .box_ops import (
     convert_mask_to_box,
     flip_boxes,
     resize_boxes,
+    rot90_boxes,
     zoom_boxes,
 )
+from ....data.box_utils import spatial_crop_boxes
 
 __all__ = ["StandardizeEmptyBox", "ConvertBoxMode", "ConvertBoxToStandardMode",
            "AffineBox", "ZoomBox", "ResizeBox", "FlipBox", "ClipBoxToImage",
-           "BoxToMask", "MaskToBox"]
+           "BoxToMask", "MaskToBox", "SpatialCropBox", "RotateBox90"]
 
 
 class StandardizeEmptyBox(Transform):
@@ -145,3 +147,48 @@ class MaskToBox(Transform):
     def __call__(self, boxes_mask):
         return convert_mask_to_box(boxes_mask, self.bg_label, self.box_dtype,
                                    self.label_dtype)
+
+
+class SpatialCropBox(Transform):
+    """Crop boxes consistently with a SpatialCrop of the image; returns (cropped
+    boxes, labels filtered by the kept-box mask) (reference: detection
+    transforms/array.py:475 SpatialCropBox)."""
+
+    def __init__(self, roi_center=None, roi_size=None, roi_start=None, roi_end=None,
+                 roi_slices=None):
+        from ....transforms.croppad_array import SpatialCrop
+
+        self._cropper = SpatialCrop(roi_center=roi_center, roi_size=roi_size,
+                                    roi_start=roi_start, roi_end=roi_end,
+                                    roi_slices=roi_slices)
+        for s in self._cropper.slices:
+            if s.start < 0 or s.stop < 0 or (s.step is not None and s.step < 0):
+                raise ValueError("negative indexing is not supported for SpatialCropBox.")
+
+    @property
+    def slices(self):
+        return self._cropper.slices
+
+    def __call__(self, boxes, labels):
+        from ....data.box_utils import get_spatial_dims
+        from .box_ops import select_labels
+
+        sd = min(len(self.slices), get_spatial_dims(boxes=boxes))
+        boxes_crop, keep = spatial_crop_boxes(
+            boxes, [self.slices[a].start for a in range(sd)],
+            [self.slices[a].stop for a in range(sd)])
+        return boxes_crop, select_labels(labels, keep)
+
+
+class RotateBox90(Transform):
+    """Rotate boxes by 90 degrees k times in the plane given by two spatial axes
+    (reference: detection transforms/array.py:546 RotateBox90)."""
+
+    def __init__(self, k: int = 1, spatial_axes=(0, 1)):
+        if len(spatial_axes) != 2:
+            raise ValueError("spatial_axes must be 2 ints defining the rotation plane.")
+        self.k = k
+        self.spatial_axes = tuple(spatial_axes)
+
+    def __call__(self, boxes, spatial_size):
+        return rot90_boxes(boxes, spatial_size, self.k, self.spatial_axes)

@@ -20,3 +20,15 @@ from .scripts import (
     verify_net_in_out,
 )
 from .workflows import BundleWorkflow, ConfigWorkflow, PythonicWorkflow
+from .utils import (
+    DEFAULT_EXP_MGMT_SETTINGS,
+    DEFAULT_HANDLERS_ID,
+    DEFAULT_INFERENCE,
+    DEFAULT_METADATA,
+    DEFAULT_MLFLOW_SETTINGS,
+    EXPR_KEY,
+    ID_REF_KEY,
+    ID_SEP_KEY,
+    MACRO_KEY,
+    MERGE_KEY,
+)

@@ -166,7 +166,10 @@ class MonaiAlgo(ClientAlgo, MonaiAlgoStats):
         from flax import nnx
 
         net = self._get_network(self.train_workflow)
-        state = nnx.state(net)
+        # exchange trainable parameters only: the full nnx state also carries RNG
+        # keys and batch stats, which are not part of the FL weight exchange
+        # (reference exchanges state_dict tensors, monai_algo.py get_weights)
+        state = nnx.state(net, nnx.Param)
         pure = nnx.to_pure_dict(state) if hasattr(nnx, "to_pure_dict") else state.to_pure_dict()
         local = _tree_to_numpy(pure)
         if self.send_weight_diff and self.global_weights is not None:

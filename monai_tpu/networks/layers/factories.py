@@ -82,6 +82,29 @@ Pool = LayerFactory("Pool")
 Dropout = LayerFactory("Dropout")
 
 
+class PallasConv(nnx.Conv):
+    """nnx.Conv that routes qualifying 3D 3x3x3 stride-1 SAME convs through the
+    Pallas TPU kernel (ops/pallas_conv3d.py); identical numerics and gradients,
+    faster at the deep-level shapes where XLA's conv emitter is tiling-bound."""
+
+    def __call__(self, x):
+        if (len(self.kernel_size) == 3 and tuple(self.kernel_size) == (3, 3, 3)
+                and tuple(self.strides) == (1, 1, 1)
+                and tuple(self.kernel_dilation) == (1, 1, 1)
+                and self.feature_group_count == 1
+                and (self.padding == "SAME"
+                     or (isinstance(self.padding, (list, tuple))
+                         and tuple(map(tuple, self.padding)) == ((1, 1),) * 3))):
+            from ...ops.pallas_conv3d import conv3d_3x3_same, use_pallas_conv
+
+            if use_pallas_conv() and x.ndim == 5:
+                y = conv3d_3x3_same(x, self.kernel.value.astype(x.dtype))
+                if self.use_bias and self.bias is not None:
+                    y = y + self.bias.value.astype(y.dtype)
+                return y
+        return super().__call__(x)
+
+
 @Conv.factory_function("conv")
 def conv_factory(dim: int):
     def make(in_channels, out_channels, kernel_size=3, strides=1, dilation=1, groups=1, bias=True,
@@ -91,9 +114,10 @@ def conv_factory(dim: int):
         dl = ensure_tuple_rep(dilation, dim)
         if isinstance(padding, int):
             padding = [(padding, padding)] * dim
-        return nnx.Conv(in_channels, out_channels, kernel_size=ks, strides=st,
-                        kernel_dilation=dl, feature_group_count=groups, use_bias=bias,
-                        padding=padding, rngs=rngs or nnx.Rngs(0), **kw)
+        cls = PallasConv if dim == 3 else nnx.Conv
+        return cls(in_channels, out_channels, kernel_size=ks, strides=st,
+                   kernel_dilation=dl, feature_group_count=groups, use_bias=bias,
+                   padding=padding, rngs=rngs or nnx.Rngs(0), **kw)
 
     return make
 

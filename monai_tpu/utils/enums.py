@@ -478,3 +478,28 @@ class AdversarialIterationEvents(StrEnum):
     DISCRIMINATOR_LOSS_COMPLETED = "discriminator_loss_completed"
     DISCRIMINATOR_BACKWARD_COMPLETED = "discriminator_backward_completed"
     DISCRIMINATOR_MODEL_COMPLETED = "discriminator_model_completed"
+
+
+class HoVerNetMode(StrEnum):
+    """HoVerNet implementation variants (reference: utils/enums.py:622)."""
+
+    FAST = "FAST"
+    ORIGINAL = "ORIGINAL"
+
+
+class HoVerNetBranch(StrEnum):
+    """HoVerNet output branches (reference: utils/enums.py:633)."""
+
+    HV = "horizontal_vertical"
+    NP = "nucleus_prediction"
+    NC = "type_prediction"
+
+
+class JITMetadataKeys(StrEnum):
+    """Metadata keys for exported (AOT/StableHLO) model artifacts
+    (reference: utils/enums.py:422, there for TorchScript)."""
+
+    NAME = "name"
+    TIMESTAMP = "timestamp"
+    VERSION = "version"
+    DESCRIPTION = "description"

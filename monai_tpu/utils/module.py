@@ -310,3 +310,20 @@ def load_submodules(basemod: ModuleType, load_all: bool = True, exclude_pattern:
             except OptionalImportError:
                 err_mod.append(name)
     return submodules, err_mod
+
+
+class InvalidPyTorchVersionError(Exception):
+    """Raised when a capability needs a newer dependency version
+    (reference: utils/module.py InvalidPyTorchVersionError; torch is not the
+    compute backend here but the error type is part of the public surface)."""
+
+    def __init__(self, required_version, name):
+        super().__init__(f"{name} requires PyTorch version {required_version} or later")
+
+
+class IgniteInfo:
+    """Version gate constant for the (optional) ignite compatibility surface
+    (reference: utils/module.py IgniteInfo). The engines here are ignite-free;
+    this records the event-API version they mirror."""
+
+    OPT_IMPORT_VERSION = "0.4.11"

@@ -193,3 +193,106 @@ def jax_profiler_trace(log_dir: str = "/tmp/jax-trace"):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class PerfContext:
+    """Accumulate perf_counter time across context blocks
+    (reference: utils/profiling.py:121)."""
+
+    def __init__(self):
+        self.total_time: float = 0.0
+        self.start_time = None
+
+    def __enter__(self):
+        import time
+
+        self.start_time = time.perf_counter()
+        return self
+
+    def __exit__(self, exc_type, exc_value, exc_traceback):
+        import time
+
+        if self.start_time is not None:
+            self.total_time += time.perf_counter() - self.start_time
+        self.start_time = None
+
+
+class Range:
+    """Named-scope profiling range: decorator and context manager
+    (reference: monai/utils/nvtx.py:33 Range; here backed by ``jax.profiler``'s
+    TraceAnnotation so ranges appear in TPU Perfetto traces instead of NVTX).
+    """
+
+    name_counter: dict = {}
+
+    def __init__(self, name: str | None = None, methods=None,
+                 append_method_name: bool | None = None, recursive: bool = False):
+        self.name = name
+        self.methods = methods
+        self.append_method_name = append_method_name
+        self.recursive = recursive
+
+    def __call__(self, obj):
+        if self.recursive:
+            try:
+                from ..transforms.compose import Compose
+
+                if isinstance(obj, (list, tuple)):
+                    return type(obj)(Range(recursive=True)(t) for t in obj)
+                if isinstance(obj, Compose):
+                    obj.transforms = tuple(Range(recursive=True)(t) for t in obj.transforms)
+                    return obj
+            except Exception:
+                pass
+        name = self.name
+        if name is None:
+            name = type(obj).__name__
+            self.name_counter[name] = self.name_counter.get(name, 0) + 1
+            if self.name_counter[name] > 1:
+                name = f"{name}_{self.name_counter[name]}"
+        methods = self.methods
+        if methods is None:
+            for cand in ("forward", "__call__", "__next__", "__getitem__"):
+                if hasattr(type(obj), cand):
+                    methods = [cand]
+                    break
+            else:
+                raise ValueError(f"cannot infer method to annotate on {type(obj)}")
+        elif isinstance(methods, str):
+            methods = [methods]
+        append = self.append_method_name
+        if append is None:
+            append = len(methods) > 1
+        for m in methods:
+            rng_name = f"{name}.{m}" if append else name
+            self._wrap(obj, m, rng_name)
+        return obj
+
+    @staticmethod
+    def _wrap(obj, method: str, name: str):
+        import functools
+
+        fn = getattr(type(obj), method)
+
+        @functools.wraps(fn)
+        def wrapped(self_, *args, **kwargs):
+            import jax
+
+            with jax.profiler.TraceAnnotation(name):
+                return fn(self_, *args, **kwargs)
+
+        try:
+            setattr(obj, method, wrapped.__get__(obj))
+        except AttributeError:
+            setattr(type(obj), method, wrapped)
+
+    def __enter__(self):
+        import jax
+
+        name = self.name or "Range"
+        self._ann = jax.profiler.TraceAnnotation(name)
+        self._ann.__enter__()
+        return self
+
+    def __exit__(self, exc_type, exc_value, exc_traceback):
+        self._ann.__exit__(exc_type, exc_value, exc_traceback)

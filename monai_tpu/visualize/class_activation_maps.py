@@ -60,9 +60,9 @@ class CAM(_CAMBase):
         if class_idx is None:
             mean_logits = logits.mean(axis=1)
             class_idx = jnp.argmax(mean_logits, axis=1)
+        idx = jnp.broadcast_to(jnp.asarray(class_idx).reshape(-1, 1, 1), (b, 1, 1))
         acti_map = jnp.take_along_axis(
-            logits, jnp.broadcast_to(jnp.asarray(class_idx).reshape(b, 1, 1), (b, logits.shape[1], 1)),
-            axis=2)[..., 0]
+            logits, jnp.broadcast_to(idx, (b, logits.shape[1], 1)), axis=2)[..., 0]
         acti_map = acti_map.reshape((b, 1) + spatial)
         acti_map = self._upsample(acti_map, spatial_size or x.shape[2:])
         return self.postprocessing(np.asarray(acti_map))

@@ -202,3 +202,25 @@ def test_root_sum_of_squares_parity():
     x = rng.rand(4, 8, 8).astype(np.float32)
     np.testing.assert_allclose(np.asarray(root_sum_of_squares(jnp.asarray(x), spatial_dim=0)),
                                to_np(ref_rss(torch.from_numpy(x), spatial_dim=0)), atol=1e-5)
+
+
+def test_spatial_crop_box_and_rotate_box90_parity():
+    import torch
+    from monai.apps.detection.transforms.array import (RotateBox90 as RefR,
+                                                       SpatialCropBox as RefC)
+
+    from monai_tpu.apps.detection.transforms import RotateBox90, SpatialCropBox
+
+    rng = np.random.RandomState(0)
+    lo = rng.rand(5, 3) * 10
+    boxes = np.concatenate([lo, lo + rng.rand(5, 3) * 5 + 1], 1).astype(np.float32)
+    labels = np.arange(5)
+    o_b, o_l = SpatialCropBox(roi_start=[2, 2, 2], roi_end=[12, 12, 12])(boxes, labels)
+    r_b, r_l = RefC(roi_start=[2, 2, 2], roi_end=[12, 12, 12])(
+        torch.from_numpy(boxes), torch.from_numpy(labels))
+    np.testing.assert_allclose(np.asarray(o_b), r_b.numpy(), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o_l), r_l.numpy())
+    for k in (1, 2, 3):
+        o = RotateBox90(k=k, spatial_axes=(0, 1))(boxes, (16, 16, 16))
+        r = RefR(k=k, spatial_axes=(0, 1))(torch.from_numpy(boxes), (16, 16, 16))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-5)
