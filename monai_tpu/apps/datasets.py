@@ -24,7 +24,8 @@ from .utils import download_and_extract, logger
 
 __all__ = ["MedNISTDataset", "DecathlonDataset", "CrossValidation", "load_decathlon_datalist",
            "load_decathlon_properties", "make_synthetic_datalist",
-           "make_synthetic_classification_datalist"]
+           "make_synthetic_classification_datalist", "check_missing_files",
+           "create_cross_validation_datalist"]
 
 
 def load_decathlon_datalist(data_list_file_path: str, is_segmentation: bool = True,
@@ -321,3 +322,55 @@ def make_synthetic_classification_datalist(dataset_dir: str, num_images: int = 3
         items.append({"image": img_p, "label": cls})
     n_train = max(1, int(round(0.75 * num_images)))
     return {"training": items[:n_train], "validation": items[n_train:] or items[-1:]}
+
+
+def check_missing_files(datalist: list, keys, root_dir=None, allow_missing_keys: bool = False):
+    """List missing files in a Decathlon datalist (reference:
+    data/decathlon_datalist.py:161)."""
+    from ..utils.misc import ensure_tuple
+
+    missing_files = []
+    for item in datalist:
+        for k in ensure_tuple(keys):
+            if k not in item:
+                if not allow_missing_keys:
+                    raise ValueError(f"key `{k}` is missing in the datalist item: {item}")
+                continue
+            for f in ensure_tuple(item[k]):
+                if not isinstance(f, (str, os.PathLike)):
+                    raise ValueError(f"filepath of key `{k}` must be a string, got: {f}.")
+                p = Path(f)
+                if isinstance(root_dir, (str, os.PathLike)):
+                    p = Path(root_dir).joinpath(p)
+                if not p.exists():
+                    missing_files.append(p)
+    return missing_files
+
+
+def create_cross_validation_datalist(datalist: list, nfolds: int, train_folds, val_folds,
+                                     train_key: str = "training", val_key: str = "validation",
+                                     filename=None, shuffle: bool = True, seed: int = 0,
+                                     check_missing: bool = False, keys=None, root_dir=None,
+                                     allow_missing_keys: bool = False, raise_error: bool = True):
+    """Partition a datalist into a k-fold train/val dict (reference:
+    data/decathlon_datalist.py:199)."""
+    import json
+    import warnings
+
+    from ..data.utils import partition_dataset, select_cross_validation_folds
+
+    if check_missing and keys is not None:
+        files = check_missing_files(datalist, keys, root_dir, allow_missing_keys)
+        if files:
+            msg = f"some files of the datalist are missing: {files}"
+            if raise_error:
+                raise ValueError(msg)
+            warnings.warn(msg)
+    data = partition_dataset(data=datalist, num_partitions=nfolds, shuffle=shuffle, seed=seed)
+    train_list = select_cross_validation_folds(partitions=data, folds=train_folds)
+    val_list = select_cross_validation_folds(partitions=data, folds=val_folds)
+    ret = {train_key: train_list, val_key: val_list}
+    if isinstance(filename, (str, Path)):
+        with open(filename, "w") as f:
+            json.dump(ret, f, indent=4)
+    return ret

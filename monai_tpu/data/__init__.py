@@ -83,6 +83,17 @@ _LAZY_ATTRS = {
     "partition_dataset_classes": ".utils", "pickle_hashing": ".utils",
     "select_cross_validation_folds": ".utils", "set_rnd": ".utils", "worker_init_fn": ".utils",
     "pickle_operations": ".utils", "PICKLE_KEY_SUFFIX": ".utils",
+    "sorted_dict": ".utils", "is_supported_format": ".utils",
+    "create_file_basename": ".utils", "resample_datalist": ".utils",
+    "convert_tables_to_dicts": ".utils",
+    "boxes_center_distance": ".box_utils", "centers_in_boxes": ".box_utils",
+    "correct_nifti_header_if_necessary": ".nifti", "rectify_header_sform_qform": ".nifti",
+    "remove_keys": ".utils", "remove_extra_metadata": ".utils",
+    "get_extra_metadata_keys": ".utils",
+    "save_net_with_metadata": ".export_utils", "load_net_with_metadata": ".export_utils",
+    "load_decathlon_datalist": "..apps.datasets", "load_decathlon_properties": "..apps.datasets",
+    "check_missing_files": "..apps.datasets",
+    "create_cross_validation_datalist": "..apps.datasets",
     # datasets with downloads
     "DatasetSummary": ".dataset_summary",
     "TestTimeAugmentation": ".test_time_augmentation",

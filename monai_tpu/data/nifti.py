@@ -12,6 +12,7 @@ import struct
 from pathlib import Path
 from typing import Any
 
+import warnings
 import numpy as np
 
 __all__ = ["read_nifti", "write_nifti", "NiftiHeader"]
@@ -201,3 +202,41 @@ def write_nifti(data: np.ndarray, filename: Any, affine: np.ndarray | None = Non
     else:
         with open(path, "wb") as f:
             f.write(bytes(body))
+
+
+def rectify_header_sform_qform(img_nii):
+    """Make the nibabel header's sform/qform consistent with the data spacing
+    (reference: monai/data/utils.py rectify_header_sform_qform)."""
+    d = img_nii.header["dim"][0]
+    pixdim = np.asarray(img_nii.header.get_zooms())[:d]
+    sform, qform = img_nii.get_sform(), img_nii.get_qform()
+    norm_sform = np.sqrt(np.sum(np.square(sform[:d, :d]), 0))
+    norm_qform = np.sqrt(np.sum(np.square(qform[:d, :d]), 0))
+    sform_mismatch = not np.allclose(norm_sform, pixdim)
+    qform_mismatch = not np.allclose(norm_qform, pixdim)
+    if img_nii.header["sform_code"] != 0 and not sform_mismatch:
+        return img_nii
+    if img_nii.header["qform_code"] != 0 and not qform_mismatch:
+        img_nii.set_sform(img_nii.get_qform())
+        return img_nii
+    norm = np.sqrt(np.sum(np.square(img_nii.affine[:d, :d]), 0))
+    warnings.warn(f"Modifying image pixdim from {pixdim} to {norm}")
+    img_nii.header.set_zooms(norm)
+    return img_nii
+
+
+def correct_nifti_header_if_necessary(img_nii):
+    """Check and fix the affine/pixdim consistency of a nibabel image
+    (reference: monai/data/utils.py correct_nifti_header_if_necessary)."""
+    if img_nii.header.get("dim") is None:
+        return img_nii
+    dim = img_nii.header["dim"][0]
+    if dim >= 5:
+        return img_nii
+    pixdim = np.asarray(img_nii.header.get_zooms())[:dim]
+    norm_affine = np.sqrt(np.sum(np.square(img_nii.affine[:dim, :dim]), 0))
+    if np.allclose(pixdim, norm_affine):
+        return img_nii
+    if hasattr(img_nii, "get_sform"):
+        return rectify_header_sform_qform(img_nii)
+    return img_nii

@@ -461,3 +461,110 @@ def pickle_operations(data, key=PICKLE_KEY_SUFFIX, is_encode: bool = True):
     if isinstance(data, (list, tuple)):
         return [pickle_operations(item, key=key, is_encode=is_encode) for item in data]
     return data
+
+
+def is_supported_format(filename, suffixes) -> bool:
+    """True if every filename ends with one of the (lower-case) suffixes
+    (reference: data/utils.py:1137)."""
+    from ..utils.misc import ensure_tuple
+
+    for name in ensure_tuple(filename):
+        full_suffix = "".join(map(str.lower, __import__("pathlib").Path(f"{name}").suffixes))
+        if all(f".{s.lower()}" not in full_suffix for s in ensure_tuple(suffixes)):
+            return False
+    return True
+
+
+def create_file_basename(postfix: str, input_file_name, folder_path,
+                         data_root_dir: str = "", separate_folder: bool = True,
+                         patch_index=None, makedirs: bool = True) -> str:
+    """Compute the output basename preserving the input's folder structure
+    (reference: data/utils.py:1008)."""
+    import os
+
+    filedir, filename = os.path.split(f"{input_file_name}")
+    filename, ext = os.path.splitext(filename)
+    if ext == ".gz":
+        filename, ext = os.path.splitext(filename)
+    filedir_rel_path = ""
+    if data_root_dir and filedir:
+        filedir_rel_path = os.path.relpath(filedir, data_root_dir)
+    output = os.path.join(f"{folder_path}", filedir_rel_path)
+    if separate_folder:
+        output = os.path.join(output, filename)
+    if makedirs:
+        os.makedirs(output, exist_ok=True)
+    output = os.path.join(output, filename + "_" + postfix if postfix != "" else filename)
+    if patch_index is not None:
+        output += f"_{patch_index}"
+    return os.path.normpath(output)
+
+
+def resample_datalist(data: Sequence, factor: float, random_pick: bool = False, seed: int = 0):
+    """Repeat and/or subsample a datalist by ``factor`` (reference: data/utils.py:1335)."""
+    import copy
+
+    scale, repeats = math.modf(factor)
+    ret: list = []
+    for _ in range(int(repeats)):
+        ret.extend(list(copy.deepcopy(data)))
+    if scale > 1e-6:
+        ret.extend(partition_dataset(data=data, ratios=[scale, 1 - scale],
+                                     shuffle=random_pick, seed=seed)[0])
+    return ret
+
+
+def convert_tables_to_dicts(dfs, row_indices=None, col_names=None, col_types=None,
+                            col_groups=None, **kwargs) -> list[dict]:
+    """Join pandas tables, select rows/cols, and convert to a list of dicts
+    (reference: data/utils.py convert_tables_to_dicts)."""
+    import pandas as pd
+
+    df = pd.concat(dfs if isinstance(dfs, (list, tuple)) else [dfs], axis=1, **kwargs)
+    if row_indices is not None:
+        rows: list = []
+        for i in row_indices:
+            if isinstance(i, (tuple, list)):
+                if len(i) != 2:
+                    raise ValueError("range of row indices must contain 2 values.")
+                rows.extend(list(range(i[0], i[1])))
+            else:
+                rows.append(i)
+        df = df.loc[rows]
+    if col_names is not None:
+        df = df.loc[:, col_names]
+    if isinstance(col_types, dict):
+        for col, props in col_types.items():
+            if props is None:
+                continue
+            if "type" in props:
+                df[col] = df[col].astype(props["type"])
+            if "default" in props:
+                df[col] = df[col].fillna(props["default"])
+    rows_list = df.to_dict(orient="records")
+    if isinstance(col_groups, dict):
+        groups = df.copy()
+        for name, cols in col_groups.items():
+            for row, d in zip(groups.loc[:, cols].values, rows_list):
+                d[name] = np.asarray(row)
+    return rows_list
+
+
+def remove_keys(data: dict, keys: list) -> None:
+    """Remove keys from a dict in place (reference: data/utils.py:1526)."""
+    for k in keys:
+        data.pop(k, None)
+
+
+def get_extra_metadata_keys() -> list:
+    """NIfTI header keys that can safely be dropped from metadata
+    (reference: data/utils.py:1555)."""
+    return [
+        "srow_x", "srow_y", "srow_z", "quatern_b", "quatern_c", "quatern_d",
+        "qoffset_x", "qoffset_y", "qoffset_z", "dim", "pixdim",
+    ] + [f"dim[{i}]" for i in range(8)] + [f"pixdim[{i}]" for i in range(8)]
+
+
+def remove_extra_metadata(meta: dict) -> None:
+    """Drop the unnecessary header keys in place (reference: data/utils.py:1541)."""
+    remove_keys(meta, get_extra_metadata_keys())

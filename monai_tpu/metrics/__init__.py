@@ -57,3 +57,14 @@ from .extra_metrics import (
 )
 from .metrics_reloaded import MetricsReloadedBinary, MetricsReloadedCategorical
 from .regression import KernelType, MultiScaleSSIMMetric
+
+from .regression import compute_mmd, compute_ms_ssim, compute_ssim_and_cs
+
+# FROC helpers live with the pathology app's implementation; the reference exports
+# them from monai.metrics as well (reference: metrics/froc.py)
+from ..apps.pathology.metrics import (
+    compute_fp_tp_probs,
+    compute_fp_tp_probs_nd,
+    compute_froc_curve_data,
+    compute_froc_score,
+)

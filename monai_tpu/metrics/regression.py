@@ -457,3 +457,43 @@ class MultiScaleSSIMMetric(RegressionMetric):
         w = np.asarray(self.weights)[:, None]
         ms = np.prod(terms ** w, axis=0)
         return ms[:, None]
+
+
+def compute_mmd(y, y_pred, y_mapping=None):
+    """Functional MMD (reference: metrics/mmd.py:43)."""
+    return MMDMetric(y_mapping=y_mapping)(y, y_pred)
+
+
+def compute_ssim_and_cs(y_pred, y, spatial_dims: int, kernel_size=11, kernel_sigma=1.5,
+                        data_range: float = 1.0, kernel_type: str = KernelType.GAUSSIAN,
+                        k1: float = 0.01, k2: float = 0.03):
+    """Per-sample SSIM and contrast-sensitivity maps reduced to scalars
+    (reference: metrics/regression.py:369)."""
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    xp_ = to_numpy(y_pred).astype(np.float64)
+    yp_ = to_numpy(y).astype(np.float64)
+    ks = kernel_size[0] if isinstance(kernel_size, (list, tuple)) else kernel_size
+    sg = kernel_sigma[0] if isinstance(kernel_sigma, (list, tuple)) else kernel_sigma
+
+    def filt(v):
+        return _ssim_filter_valid(v, ks, sg, str(kernel_type))
+
+    mu_x, mu_y = filt(xp_), filt(yp_)
+    mu_xx, mu_yy, mu_xy = filt(xp_ * xp_), filt(yp_ * yp_), filt(xp_ * yp_)
+    sx, sy, sxy = mu_xx - mu_x ** 2, mu_yy - mu_y ** 2, mu_xy - mu_x * mu_y
+    cs = (2 * sxy + c2) / (sx + sy + c2)
+    ssim = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
+    return _flat_mean(ssim), _flat_mean(cs)
+
+
+def compute_ms_ssim(y_pred, y, spatial_dims: int, data_range: float = 1.0,
+                    kernel_type: str = KernelType.GAUSSIAN, kernel_size=11,
+                    kernel_sigma=1.5, k1: float = 0.01, k2: float = 0.03,
+                    weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)):
+    """Functional multi-scale SSIM (reference: metrics/regression.py:504)."""
+    metric = MultiScaleSSIMMetric(spatial_dims=spatial_dims, data_range=data_range,
+                                  kernel_type=kernel_type, kernel_size=kernel_size,
+                                  kernel_sigma=kernel_sigma, k1=k1, k2=k2, weights=weights)
+    return metric._compute_metric(to_numpy(y_pred).astype(np.float64),
+                                  to_numpy(y).astype(np.float64))

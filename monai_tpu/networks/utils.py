@@ -361,3 +361,17 @@ class CastTempType:
         if hasattr(out, "dtype") and out.dtype == self.temporary_type and dtype == self.initial_type:
             out = out.astype(self.initial_type)
         return out
+
+
+# the reference exports these from monai.networks.utils as well; the implementations
+# live with the layers they serve
+def __getattr__(name):
+    if name in ("normalize_transform", "to_norm_affine"):
+        from .layers.spatial_transforms import normalize_transform, to_norm_affine
+
+        return {"normalize_transform": normalize_transform, "to_norm_affine": to_norm_affine}[name]
+    if name == "icnr_init":
+        from .layers.weight_init import icnr_init
+
+        return icnr_init
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -103,3 +103,54 @@ ToMetaTensorDict = ToMetaTensorD = ToMetaTensord
 FromMetaTensorDict = FromMetaTensorD = FromMetaTensord
 from .io_array import SUPPORTED_READERS
 from .utility_array import ToJax as ToTensor
+from .utils_backend_unification import (
+    allclose,
+    any_np_pt,
+    argsort,
+    argwhere,
+    ascontiguousarray,
+    clip,
+    concatenate,
+    cumsum,
+    floor_divide,
+    in1d,
+    isfinite,
+    isnan,
+    linalg_inv,
+    maximum,
+    mode,
+    moveaxis,
+    nonzero,
+    percentile,
+    ravel,
+    repeat,
+    searchsorted,
+    softplus,
+    stack,
+    unravel_index,
+    unravel_indices,
+    where,
+)
+from .utils import (
+    attach_hook,
+    convert_applied_interp_mode,
+    copypaste_arrays,
+    equalize_hist,
+    get_number_image_type_conversions,
+    get_transform_backends,
+    in_bounds,
+    map_and_generate_sampling_centers,
+    print_transform_backends,
+    rand_choice,
+    rescale_array,
+    rescale_array_int_max,
+    rescale_instance_array,
+    reset_ops_id,
+    resize_center,
+    resolves_modes,
+    sync_meta_info,
+    zero_margins,
+    img_bounds,
+    is_empty,
+)
+from .croppad_functional import crop_func, crop_or_pad_nd, pad_func, pad_nd

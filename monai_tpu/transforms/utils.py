@@ -690,3 +690,231 @@ class Fourier:
             return jnp.fft.ifftn(jnp.fft.ifftshift(k, axes=dims), axes=dims).real
         out = np.fft.ifftn(np.fft.ifftshift(k, axes=dims), axes=dims).real
         return np.ascontiguousarray(out) if as_contiguous else out
+
+
+def in_bounds(x: float, y: float, margin: float, maxx: float, maxy: float) -> bool:
+    """(x, y) within the margin-inset rectangle (reference: transforms/utils.py:198)."""
+    return bool(margin <= x < (maxx - margin) and margin <= y < (maxy - margin))
+
+
+def rescale_array(arr, minv: float | None = 0.0, maxv: float | None = 1.0, dtype=np.float32):
+    """Rescale to [minv, maxv]; normalized only if either bound is None
+    (reference: transforms/utils.py:229)."""
+    ns = xp(arr)
+    if dtype is not None:
+        arr = arr.astype(dtype) if hasattr(arr, "astype") else ns.asarray(arr, dtype)
+    mina = arr.min()
+    maxa = arr.max()
+    if mina == maxa:
+        return arr * minv if minv is not None else arr
+    norm = (arr - mina) / (maxa - mina)
+    if (minv is None) or (maxv is None):
+        return norm
+    return (norm * (maxv - minv)) + minv
+
+
+def rescale_instance_array(arr: np.ndarray, minv: float | None = 0.0, maxv: float | None = 1.0,
+                           dtype=np.float32) -> np.ndarray:
+    """Per-channel rescale along dim 0 (reference: transforms/utils.py:260)."""
+    out = np.zeros(arr.shape, dtype or arr.dtype)
+    for i in range(arr.shape[0]):
+        out[i] = np.asarray(rescale_array(np.asarray(arr[i]), minv, maxv, dtype))
+    return out
+
+
+def rescale_array_int_max(arr: np.ndarray, dtype=np.uint16) -> np.ndarray:
+    """Rescale to the full integer range of dtype (reference: transforms/utils.py:273)."""
+    info = np.iinfo(dtype or arr.dtype)
+    return np.asarray(rescale_array(arr, info.min, info.max), dtype=dtype or arr.dtype)
+
+
+def copypaste_arrays(src_shape, dest_shape, srccenter, destcenter, dims):
+    """Slices to copy a centred region between arrays, clipped to both shapes
+    (reference: transforms/utils.py:281)."""
+    srcslices = [slice(None)] * len(src_shape)
+    destslices = [slice(None)] * len(dest_shape)
+    for i, ss, ds, sc, dc, dim in zip(range(len(src_shape)), src_shape, dest_shape,
+                                      srccenter, destcenter, dims):
+        if dim:
+            d1 = int(np.clip(dim // 2, 0, min(sc, dc)))
+            d2 = int(np.clip(dim // 2 + 1, 0, min(ss - sc, ds - dc)))
+            srcslices[i] = slice(sc - d1, sc + d2)
+            destslices[i] = slice(dc - d1, dc + d2)
+    return tuple(srcslices), tuple(destslices)
+
+
+def resize_center(img: np.ndarray, *resize_dims, fill_value: float = 0.0, inplace: bool = True):
+    """Center crop-or-pad to resize_dims (reference: transforms/utils.py:337)."""
+    from ..utils.misc import fall_back_tuple
+
+    resize_dims = fall_back_tuple(resize_dims, img.shape)
+    half_img = (np.asarray(img.shape) // 2).tolist()
+    half_dst = (np.asarray(resize_dims) // 2).tolist()
+    srcslices, destslices = copypaste_arrays(img.shape, resize_dims, half_img, half_dst, resize_dims)
+    if not inplace:
+        dest = np.full(resize_dims, fill_value, img.dtype)
+        dest[destslices] = img[srcslices]
+        return dest
+    return img[srcslices]
+
+
+def map_and_generate_sampling_centers(label, spatial_size, num_samples,
+                                      label_spatial_shape=None, num_classes=None,
+                                      image=None, image_threshold: float = 0.0,
+                                      max_samples_per_class=None, ratios=None,
+                                      rand_state=None, allow_smaller: bool = False,
+                                      warn: bool = True):
+    """map_classes_to_indices + generate_label_classes_crop_centers in one call
+    (reference: transforms/utils.py:379)."""
+    from ..utils.misc import ensure_tuple
+
+    if label is None:
+        raise ValueError("label must not be None.")
+    indices = map_classes_to_indices(label, num_classes, image, image_threshold,
+                                     max_samples_per_class)
+    _shape = label_spatial_shape if label_spatial_shape is not None else np.asarray(label).shape[1:]
+    centers = generate_label_classes_crop_centers(spatial_size, num_samples, _shape, indices,
+                                                  ratios, rand_state, allow_smaller, warn)
+    return ensure_tuple(centers)
+
+
+def equalize_hist(img: np.ndarray, mask=None, num_bins: int = 256, min: int = 0,
+                  max: int = 255) -> np.ndarray:
+    """Histogram equalization (reference: transforms/utils.py:1823)."""
+    orig_shape = img.shape
+    hist_img = img[np.array(mask, dtype=bool)] if mask is not None else img
+    hist, bins = np.histogram(np.asarray(hist_img).flatten(), num_bins)
+    bins = (bins[:-1] + bins[1:]) / 2
+    cum = hist.cumsum()
+    cum = np.asarray(rescale_array(cum, minv=min, maxv=max))
+    out = np.interp(np.asarray(img).flatten(), bins, cum)
+    return out.reshape(orig_shape).astype(img.dtype if np.issubdtype(img.dtype, np.floating)
+                                          else np.float32)
+
+
+def convert_applied_interp_mode(trans_info, mode: str = "nearest", align_corners=None):
+    """Recursively override the recorded interpolation mode in an applied-operations
+    stack — used to invert with nearest for label maps (reference: transforms/utils.py:1752)."""
+    if isinstance(trans_info, (list, tuple)):
+        return [convert_applied_interp_mode(t, mode, align_corners) for t in trans_info]
+    if not isinstance(trans_info, dict):
+        return trans_info
+    out = dict(trans_info)
+    if "mode" in out:
+        out["mode"] = mode
+    if align_corners is not None and "align_corners" in out:
+        out["align_corners"] = align_corners
+    for k in (TraceKeys.EXTRA_INFO, "extra_info"):
+        if k in out and isinstance(out[k], dict):
+            out[k] = convert_applied_interp_mode(out[k], mode, align_corners)
+    return out
+
+
+def reset_ops_id(data):
+    """Set the tracking id of every recorded op to 'none' recursively
+    (reference: transforms/utils.py:1788)."""
+    if isinstance(data, (list, tuple)):
+        return [reset_ops_id(d) for d in data]
+    from ..data.meta_image import MetaImage
+
+    if isinstance(data, MetaImage):
+        data.applied_operations = reset_ops_id(data.applied_operations)
+        return data
+    if isinstance(data, dict):
+        out = {k: reset_ops_id(v) for k, v in data.items()}
+        if TraceKeys.ID in out:
+            out[TraceKeys.ID] = TraceKeys.NONE
+        return out
+    return data
+
+
+def attach_hook(func, hook, mode: str = "pre"):
+    """Wrap ``func`` so ``hook`` runs before ("pre") or after ("post") it
+    (reference: transforms/utils.py:2116)."""
+    supported = {"pre", "post"}
+    if mode not in supported:
+        raise NotImplementedError(f"mode: {mode} not in {supported}.")
+
+    def wrapper(inst, data):
+        if mode == "pre":
+            data = hook(data)
+        data = func(inst, data)
+        if mode == "post":
+            data = hook(data)
+        return data
+
+    return wrapper
+
+
+def sync_meta_info(key, data_dict, t: bool = True):
+    """Copy the `{key}_transforms` stack and meta dict into/out of the MetaImage so
+    dict-based and object-based tracking stay consistent (reference:
+    transforms/utils.py:2135)."""
+    from ..data.meta_image import MetaImage
+    from ..utils.enums import PostFix
+
+    d = dict(data_dict)
+    img = d.get(key)
+    if not isinstance(img, MetaImage):
+        return d
+    xform_key = f"{key}{TraceKeys.KEY_SUFFIX}"
+    meta_key = PostFix.meta(key)
+    if t:  # push dict info into the image
+        if xform_key in d and isinstance(d[xform_key], list):
+            img.applied_operations = list(d[xform_key])
+        if meta_key in d and isinstance(d[meta_key], dict):
+            img.meta.update(d[meta_key])
+    d[xform_key] = list(img.applied_operations)
+    d[meta_key] = dict(img.meta)
+    return d
+
+
+def get_transform_backends():
+    """{transform class name: [numpy?, jax?]} over the whole transforms package
+    (reference: transforms/utils.py:1956, there torch/numpy)."""
+    import inspect
+
+    from .. import transforms as _t
+    from .transform import Transform
+
+    backends = {}
+    for n in dir(_t):
+        obj = getattr(_t, n, None)
+        if inspect.isclass(obj) and issubclass(obj, Transform) and obj is not Transform:
+            b = getattr(obj, "backend", [])
+            names = {str(getattr(x, "value", x)).lower() for x in b}
+            backends[n] = [("numpy" in names) or not names, True]
+    return backends
+
+
+def print_transform_backends():
+    """Print the per-transform backend table (reference: transforms/utils.py:2006)."""
+    for name, (np_ok, jax_ok) in sorted(get_transform_backends().items()):
+        print(f"{name}: numpy={np_ok}, jax={jax_ok}")
+
+
+def get_number_image_type_conversions(transform, test_data, key=None) -> int:
+    """Count how many host<->device array-kind conversions a pipeline performs on
+    ``test_data`` (reference: transforms/utils.py:1919, torch<->numpy there)."""
+    from .compose import Compose
+    from ..data.meta_image import MetaImage
+
+    def _kind(x):
+        if isinstance(x, MetaImage):
+            x = x.data
+        return "jax" if type(x).__module__.startswith("jax") else type(x).__name__
+
+    tfms = transform.transforms if isinstance(transform, Compose) else [transform]
+    n_conversions = 0
+    prev = _kind(test_data[key] if key is not None else test_data)
+    data = test_data
+    for t in tfms:
+        data = t(data)
+        cur = _kind(data[key] if key is not None else data)
+        if cur != prev:
+            n_conversions += 1
+        prev = cur
+    return n_conversions
+
+
+

@@ -123,3 +123,27 @@ from .enums import (
     StatusMembers,
 )
 from .jupyter_utils import ThreadContainer
+from .misc import (
+    check_kwargs_exist_in_class_init,
+    check_parent_dir,
+    copy_to_device,
+    flatten_dict,
+    has_option,
+    is_immutable,
+    is_module_ver_at_least,
+    is_sqrt,
+    list_to_dict,
+    path_to_uri,
+    run_cmd,
+    sample_slices,
+    save_obj,
+    star_zip_with,
+    to_tuple_of_dictionaries,
+    unsqueeze_left,
+    unsqueeze_right,
+    zip_with,
+)
+from .type_conversion import convert_to_list
+
+# familiarity alias for reference users: torch tensors -> jax arrays here
+from .type_conversion import convert_to_jax as convert_to_tensor

@@ -384,3 +384,213 @@ class RestartGenerator:
 
     def __iter__(self):
         return self.create_gen()
+
+
+def zip_with(op, *vals, mapfunc=map):
+    """Map ``op`` over zipped value sequences (reference: utils/misc.py:106)."""
+    return mapfunc(op, zip(*vals))
+
+
+def star_zip_with(op, *vals):
+    """zip_with with star-mapping (reference: utils/misc.py:113)."""
+    from itertools import starmap
+
+    return zip_with(op, *vals, mapfunc=starmap)
+
+
+def is_immutable(obj) -> bool:
+    """True for known-immutable types (reference: utils/misc.py:153)."""
+    return isinstance(obj, (str, bytes, int, float, complex, bool, type(None), tuple, frozenset, range))
+
+
+def to_tuple_of_dictionaries(dictionary_of_tuples: dict, keys) -> tuple:
+    """Split per-key tuple values into one dict per key (reference: utils/misc.py:225)."""
+    keys = ensure_tuple(keys)
+    out = []
+    for i in range(len(keys)):
+        d = {}
+        for k, v in dictionary_of_tuples.items():
+            if isinstance(v, tuple):
+                if len(v) != len(keys):
+                    raise ValueError(f"value for {k} must have the same length as keys.")
+                d[k] = v[i]
+            else:
+                d[k] = v
+        out.append(d)
+    return tuple(out)
+
+
+def list_to_dict(items):
+    """["a=1", "b"] -> {"a": 1, "b": None} with literal-eval values
+    (reference: utils/misc.py:396)."""
+    from ast import literal_eval
+
+    def _parse_var(s):
+        parts = s.split("=", maxsplit=1)
+        key = parts[0].strip(" \n\r\t'")
+        value = parts[1].strip(" \n\r\t'") if len(parts) > 1 else None
+        return key, value
+
+    d: dict = {}
+    for item in items or []:
+        key, value = _parse_var(item)
+        if key in d:
+            raise KeyError(f"encounter duplicated key {key}.")
+        try:
+            d[key] = literal_eval(value)
+        except Exception:
+            lowered = str(value).lower()
+            if lowered in ("y", "yes", "t", "true", "on", "1"):
+                d[key] = True
+            elif lowered in ("n", "no", "f", "false", "off", "0"):
+                d[key] = False
+            else:
+                d[key] = value
+    return d
+
+
+def copy_to_device(obj, device=None, non_blocking: bool = True, verbose: bool = False):
+    """Recursively move arrays to a jax device (reference: utils/misc.py:428,
+    there torch devices)."""
+    import jax
+
+    if hasattr(obj, "ndim") and hasattr(obj, "dtype"):
+        return jax.device_put(obj, device) if device is not None else obj
+    if isinstance(obj, dict):
+        return {k: copy_to_device(v, device, non_blocking) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(copy_to_device(v, device, non_blocking) for v in obj)
+    if verbose:
+        print(f"{type(obj)} has no device-copy behaviour; returned as is.")
+    return obj
+
+
+def has_option(obj, keywords) -> bool:
+    """True if the callable accepts every keyword (reference: utils/misc.py:582)."""
+    import inspect
+
+    if not callable(obj):
+        return False
+    sig = inspect.signature(obj)
+    return all(key in sig.parameters for key in ensure_tuple(keywords))
+
+
+def is_module_ver_at_least(module, version) -> bool:
+    """module.__version__ >= version tuple (reference: utils/misc.py:592)."""
+    test_ver = ".".join(map(str, version))
+    from .module import version_leq
+
+    return module.__version__ != test_ver and version_leq(test_ver, module.__version__)
+
+
+def sample_slices(data, dim: int = 1, as_indices: bool = True, *slicevals):
+    """Select slices of ``data`` along ``dim`` (reference: utils/misc.py:605)."""
+    slices: list = [slice(None)] * len(data.shape)
+    slices[dim] = list(slicevals) if as_indices else slice(*slicevals)
+    return data[tuple(slices)]
+
+
+def check_parent_dir(path, create_dir: bool = True) -> None:
+    """Ensure the parent directory exists (reference: utils/misc.py:623)."""
+    from pathlib import Path
+
+    path_dir = Path(path).parent
+    if not path_dir.exists():
+        if create_dir:
+            path_dir.mkdir(parents=True)
+        else:
+            raise ValueError(f"the directory of specified path does not exist: `{path_dir}`.")
+
+
+def save_obj(obj, path, create_dir: bool = True, atomic: bool = True, func=None, **kwargs) -> None:
+    """Pickle an object to path, atomically by default (reference: utils/misc.py:642)."""
+    import os
+    import pickle
+    import tempfile
+    from pathlib import Path
+
+    path = Path(path)
+    if path.exists():
+        os.remove(path)
+    if create_dir:
+        check_parent_dir(path, create_dir=True)
+    writer = func or (lambda o, f: pickle.dump(o, f, **kwargs))
+    if not atomic:
+        with open(path, "wb") as f:
+            writer(obj, f)
+        return
+    tmp = tempfile.NamedTemporaryFile(delete=False, dir=path.parent)
+    try:
+        with open(tmp.name, "wb") as f:
+            writer(obj, f)
+        os.rename(tmp.name, path)
+    except Exception:
+        if os.path.exists(tmp.name):
+            os.remove(tmp.name)
+        raise
+
+
+def path_to_uri(path) -> str:
+    """Absolute file URI for a path (reference: utils/misc.py:713)."""
+    from pathlib import Path
+
+    return Path(path).absolute().as_uri()
+
+
+def check_kwargs_exist_in_class_init(cls, kwargs):
+    """(all kwargs accepted?, set of unknown kwargs) (reference: utils/misc.py:851)."""
+    import inspect
+
+    params = inspect.signature(cls.__init__).parameters
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return True, set()
+    extra = set(kwargs) - (set(params) - {"self"})
+    return len(extra) == 0, extra
+
+
+def run_cmd(cmd_list: list, **kwargs):
+    """subprocess.run with stderr surfaced on failure (reference: utils/misc.py:871)."""
+    import subprocess
+
+    debug = kwargs.pop("run_cmd_verbose", False)
+    if debug:
+        print(f"running command: {' '.join(cmd_list)}")
+    try:
+        return subprocess.run(cmd_list, **kwargs)
+    except subprocess.CalledProcessError as e:
+        output = (e.stdout or b"").decode(errors="replace") if isinstance(e.stdout, bytes) else str(e.stdout)
+        errors = (e.stderr or b"").decode(errors="replace") if isinstance(e.stderr, bytes) else str(e.stderr)
+        raise RuntimeError(f"subprocess failed\nstdout: {output}\nstderr: {errors}") from e
+
+
+def is_sqrt(num) -> bool:
+    """True if each value's sqrt is an integer (reference: utils/misc.py:901)."""
+    import math
+
+    for n in ensure_tuple(num):
+        r = math.isqrt(int(n))
+        if r * r != int(n):
+            return False
+    return True
+
+
+def unsqueeze_right(arr, ndim: int):
+    """Append size-1 dims until arr.ndim == ndim (reference: utils/misc.py:911)."""
+    return arr[(...,) + (None,) * (ndim - arr.ndim)]
+
+
+def unsqueeze_left(arr, ndim: int):
+    """Prepend size-1 dims until arr.ndim == ndim (reference: utils/misc.py:916)."""
+    return arr[(None,) * (ndim - arr.ndim)]
+
+
+def flatten_dict(metrics: dict) -> dict:
+    """Flatten one level of nested dicts (reference: utils/misc.py:921)."""
+    result: dict = {}
+    for key, value in metrics.items():
+        if isinstance(value, dict):
+            for k, v in value.items():
+                result[k] = v
+        else:
+            result[key] = value
+    return result

@@ -130,3 +130,8 @@ def convert_to_dst_type(src: Any, dst: Any, dtype=None, wrap_sequence: bool = Fa
         dtype = dst.dtype
     output_type: type = jax.Array if is_jax(dst) else np.ndarray if isinstance(dst, np.ndarray) else type(dst)
     return convert_data_type(src, output_type=output_type, dtype=dtype, wrap_sequence=wrap_sequence, device=device)
+
+
+def convert_to_list(data) -> list:
+    """ndarray/sequence -> plain list (reference: utils/type_conversion.py:396)."""
+    return data.tolist() if hasattr(data, "tolist") else list(data)
