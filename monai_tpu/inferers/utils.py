@@ -22,6 +22,8 @@ arrays through ``args``/``kwargs`` instead.
 """
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable, Sequence
 from typing import Any
 
@@ -109,6 +111,62 @@ def _cache_get(key, builder):
         if len(_SW_JIT_CACHE) > _SW_JIT_CACHE_MAX:
             _SW_JIT_CACHE.pop(next(iter(_SW_JIT_CACHE)))
     return jitted
+
+
+# windows; above this the dynamic lax.scan path is used. Overridable for A/B
+# benchmarking via MONAI_TPU_SW_STATIC_LIMIT (0 disables the static path).
+_SW_STATIC_UNROLL_LIMIT = int(os.environ.get("MONAI_TPU_SW_STATIC_LIMIT", "0"))
+_SW_INV_COUNT_CACHE: dict = {}
+
+
+def _sw_inv_count(const_key, out_spatial, out_roi, imp, zoom, starts_st, mask_st,
+                  n_chunks, sw_batch_size, num_spatial_dims, o_start_fn):
+    """Reciprocal of the Gaussian-blend count map. The count map only depends on the
+    window grid and the importance map (never on the data), so it is computed once on
+    the host and cached per sliding-window config."""
+    key = (const_key, tuple(out_spatial))
+    inv = _SW_INV_COUNT_CACHE.get(key)
+    if inv is None:
+        # pure-numpy (this may run at TRACE time inside an outer jit/shard_map, so no
+        # eager jax ops are allowed here)
+        imp_w = np.asarray(imp, dtype=np.float32)
+        if zoom:
+            imp_w = _np_linear_resize(imp_w, out_roi)
+        count = np.zeros(out_spatial, dtype=np.float32)
+        for c in range(n_chunks):
+            for i in range(sw_batch_size):
+                if mask_st[c, i] == 0.0:
+                    continue
+                o_idx = o_start_fn(starts_st[c, i])
+                sl = tuple(slice(o_idx[d], o_idx[d] + out_roi[d]) for d in range(num_spatial_dims))
+                count[sl] += imp_w
+        inv = (1.0 / np.maximum(count, 1e-8))[None, None]
+        _SW_INV_COUNT_CACHE[key] = inv
+        if len(_SW_INV_COUNT_CACHE) > _SW_JIT_CACHE_MAX:
+            _SW_INV_COUNT_CACHE.pop(next(iter(_SW_INV_COUNT_CACHE)))
+    return inv
+
+
+def _np_linear_resize(arr: np.ndarray, out_shape) -> np.ndarray:
+    """Numpy equivalent of jax.image.resize(..., method="linear"): half-pixel-center
+    linear interpolation, one axis at a time."""
+    out = arr.astype(np.float32)
+    for ax, n_out in enumerate(out_shape):
+        n_in = out.shape[ax]
+        if n_in == n_out:
+            continue
+        scale = n_in / n_out
+        coords = (np.arange(n_out, dtype=np.float32) + 0.5) * scale - 0.5
+        lo = np.clip(np.floor(coords).astype(np.int64), 0, n_in - 1)
+        hi = np.clip(lo + 1, 0, n_in - 1)
+        w = np.clip(coords - lo, 0.0, 1.0).astype(np.float32)
+        a = np.take(out, lo, axis=ax)
+        b = np.take(out, hi, axis=ax)
+        shape = [1] * out.ndim
+        shape[ax] = n_out
+        w = w.reshape(shape)
+        out = a * (1 - w) + b * w
+    return out
 
 
 def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batch_size: int,
@@ -215,13 +273,53 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     cache_key = (id(predictor), x.shape, x.dtype.name, tuple(roi_size_), sw_batch_size,
                  tuple(overlap_), str(mode), num_win, static_sig)
 
+    # The normalisation count map is data-independent, so it is precomputed on host
+    # once per config and the in-scan count accumulation is skipped entirely.
+    # A fully static-unrolled gather/scatter variant exists behind
+    # MONAI_TPU_SW_STATIC_LIMIT, but A/B on v5e measured it 3x SLOWER than the
+    # dynamic_update_slice scan (XLA aliases the DUS carry in place, while the
+    # unrolled static slice-add chain serialises), so the default is the scan.
+    use_static = 0 < (num_win + pad_n) <= _SW_STATIC_UNROLL_LIMIT
+    starts_st = starts.reshape(n_chunks, sw_batch_size, num_spatial_dims)
+    mask_st = win_mask.reshape(n_chunks, sw_batch_size)
+
+    def _o_start(st):
+        if zoom:
+            return tuple(int(round(int(st[d]) * zoom[d])) for d in range(num_spatial_dims))
+        return tuple(int(st[d]) for d in range(num_spatial_dims))
+
+    def _run_static(x_in, imp_a, state_a, dyn_a):
+        out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
+        imp_w = jax.image.resize(imp_a, out_roi, method="linear") if zoom else imp_a
+        for c in range(n_chunks):
+            # concatenate (not stack+reshape): keeps the gather 5-D end to end
+            wins = jnp.concatenate([
+                jax.lax.slice(
+                    x_in,
+                    (0, 0) + tuple(int(v) for v in starts_st[c, i]),
+                    (batch_size, x_in.shape[1]) + tuple(int(starts_st[c, i][d]) + roi_size_[d]
+                                                        for d in range(num_spatial_dims)))
+                for i in range(sw_batch_size)], axis=0)
+            preds = call_pred(state_a, wins, dyn_a)
+            # keep everything 5-D (sw*B, C, *roi): a 6-D (sw, B, C, *roi) view makes
+            # XLA pick a layout with the tiny B/C dims minor-most, padding HBM ~7x
+            weighted = preds * imp_w[None, None].astype(compute_dtype)
+            for i in range(sw_batch_size):
+                if mask_st[c, i] == 0.0:
+                    continue  # zero-weight pad window: skip entirely (static decision)
+                o_idx = _o_start(starts_st[c, i])
+                sl = (slice(None), slice(None)) + tuple(
+                    slice(o_idx[d], o_idx[d] + out_roi[d]) for d in range(num_spatial_dims))
+                out_img = out_img.at[sl].add(weighted[i * batch_size:(i + 1) * batch_size])
+        inv = _sw_inv_count(const_key, out_spatial, out_roi, imp, zoom, starts_st, mask_st,
+                            n_chunks, sw_batch_size, num_spatial_dims, _o_start)
+        return out_img * inv.astype(compute_dtype)
+
     def _run(x_in, starts_a, mask_a, imp_a, state_a, dyn_a):
         out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
-        count = jnp.zeros((1, 1) + out_spatial, dtype=jnp.float32)
         imp_w = jax.image.resize(imp_a, out_roi, method="linear") if zoom else imp_a
 
-        def chunk_body(carry, chunk):
-            out_acc, cnt_acc = carry
+        def chunk_body(out_acc, chunk):
             starts_c, mask_c = chunk  # (sw, D), (sw,)
 
             def gather_one(st):
@@ -235,8 +333,7 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
             weighted = preds * imp_w[None, None, None].astype(compute_dtype) * mask_c.reshape(
                 (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(compute_dtype)
 
-            def scatter_one(i, carry2):
-                out_a, cnt_a = carry2
+            def scatter_one(i, out_a):
                 st = starts_c[i]
                 if zoom:
                     o_idx = tuple(jnp.round(st[d] * zoom[d]).astype(jnp.int32) for d in range(num_spatial_dims))
@@ -244,20 +341,22 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
                     o_idx = tuple(st[d] for d in range(num_spatial_dims))
                 idx_full = (0, 0) + o_idx
                 cur = jax.lax.dynamic_slice(out_a, idx_full, (batch_size, out_channels) + tuple(out_roi))
-                out_a = jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
-                cur_c = jax.lax.dynamic_slice(cnt_a, idx_full[:2] + o_idx, (1, 1) + tuple(out_roi))
-                contrib_c = (imp_w * mask_c[i]).astype(jnp.float32)[None, None]
-                cnt_a = jax.lax.dynamic_update_slice(cnt_a, cur_c + contrib_c, idx_full[:2] + o_idx)
-                return out_a, cnt_a
+                return jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
 
-            out_acc, cnt_acc = jax.lax.fori_loop(0, sw_batch_size, scatter_one, (out_acc, cnt_acc))
-            return (out_acc, cnt_acc), None
+            out_acc = jax.lax.fori_loop(0, sw_batch_size, scatter_one, out_acc)
+            return out_acc, None
 
-        (out_img, count), _ = jax.lax.scan(chunk_body, (out_img, count), (starts_a, mask_a))
-        return out_img / jnp.maximum(count, 1e-8).astype(compute_dtype)
+        out_img, _ = jax.lax.scan(chunk_body, out_img, (starts_a, mask_a))
+        inv = _sw_inv_count(const_key, out_spatial, out_roi, imp, zoom, starts_st, mask_st,
+                            n_chunks, sw_batch_size, num_spatial_dims, _o_start)
+        return out_img * inv.astype(compute_dtype)
 
-    jitted = _cache_get(cache_key, _run)
-    output = jitted(x, starts_j, mask_j, imp_j, pred_state, dyn_leaves)
+    if use_static:
+        jitted = _cache_get(cache_key + ("static",), _run_static)
+        output = jitted(x, imp_j, pred_state, dyn_leaves)
+    else:
+        jitted = _cache_get(cache_key, _run)
+        output = jitted(x, starts_j, mask_j, imp_j, pred_state, dyn_leaves)
 
     # crop away the symmetric pad
     if any_pad:
