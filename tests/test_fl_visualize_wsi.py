@@ -210,3 +210,65 @@ def test_patch_wsi_dataset_pil(tmp_path):
     img = item["image"]
     assert np.asarray(img).shape == (3, 16, 16)
     assert int(np.asarray(item["label"])) == 1
+
+
+# ---------------------------------------------------------------------------
+# profiling / jupyter utilities
+# ---------------------------------------------------------------------------
+
+def test_workflow_profiler_collects_transform_times():
+    from monai_tpu.transforms import Compose, ScaleIntensity, EnsureChannelFirst
+    from monai_tpu.utils.profiling import WorkflowProfiler
+
+    img = np.random.RandomState(0).rand(8, 8).astype(np.float32)
+    xform = Compose([EnsureChannelFirst(channel_dim="no_channel"), ScaleIntensity()])
+    with WorkflowProfiler() as wp:
+        with wp.profile_ctx("pipeline"):
+            xform(img)
+    summary = wp.get_times_summary()
+    assert "pipeline" in summary
+    assert summary["pipeline"][0] >= 1  # count
+
+
+def test_perf_context_and_range():
+    import time
+
+    from monai_tpu.utils import PerfContext
+    from monai_tpu.utils.profiling import Range
+
+    pc = PerfContext()
+    with pc:
+        time.sleep(0.01)
+    with pc:
+        time.sleep(0.01)
+    assert pc.total_time >= 0.02
+
+    with Range("named-block"):
+        x = jnp.ones((4,)) * 2
+    assert float(x.sum()) == 8.0
+
+
+def test_thread_container_runs_engine():
+    import optax
+    from flax import nnx
+
+    from monai_tpu.engines import SupervisedTrainer
+    from monai_tpu.losses import DiceCELoss
+    from monai_tpu.networks.nets import UNet
+    from monai_tpu.utils.jupyter_utils import ThreadContainer
+
+    net = UNet(spatial_dims=2, in_channels=1, out_channels=2, channels=(4, 8),
+               strides=(2,), num_res_units=1, rngs=nnx.Rngs(0))
+    rng = np.random.RandomState(0)
+    data = [(rng.rand(2, 1, 16, 16).astype(np.float32),
+             (rng.rand(2, 1, 16, 16) > 0.5).astype(np.float32)) for _ in range(3)]
+    trainer = SupervisedTrainer(max_epochs=1, train_data_loader=data, network=net,
+                                optimizer=optax.adam(1e-3),
+                                loss_function=DiceCELoss(to_onehot_y=True, softmax=True),
+                                decollate=False)
+    tc = ThreadContainer(trainer)
+    tc.start()
+    tc.join(timeout=120)
+    assert not tc.is_alive()
+    status = tc.status()
+    assert "Stopped" in status and "loss" in status
