@@ -54,3 +54,4 @@ from .ignite_metric import (
     MetricsReloadedCategoricalHandler,
     PanopticQuality,
 )
+from .utils import ignore_data, stopping_fn_from_loss, stopping_fn_from_metric, write_metrics_reports

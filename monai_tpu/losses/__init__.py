@@ -43,3 +43,8 @@ from .adversarial_loss import (
 )
 from .nacl_loss import NACLLoss
 from .perceptual import PerceptualLoss
+
+# reference lowercase aliases (reference: losses/dice.py:1066)
+generalized_dice = GeneralizedDiceLoss
+generalized_dice_focal = GeneralizedDiceFocalLoss
+generalized_wasserstein_dice = GeneralizedWassersteinDiceLoss

@@ -375,3 +375,59 @@ def __getattr__(name):
 
         return icnr_init
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+class replace_modules_temp:
+    """Context manager: temporarily replace matching child modules, restoring them
+    on exit (reference: networks/utils.py replace_modules_temp)."""
+
+    def __init__(self, parent, match_type, constructor):
+        self.parent = parent
+        self.match_type = match_type
+        self.constructor = constructor
+        self._replaced: list = []
+
+    def __enter__(self):
+        self._replaced = replace_modules_by_type(self.parent, self.match_type, self.constructor)
+        return self._replaced
+
+    def __exit__(self, *exc):
+        from .utils import set_named_module
+
+        for path, old in self._replaced:
+            set_named_module(self.parent, path, old)
+        return False
+
+
+class CastToFloat:
+    """Wrapper module running its inner module in float32 and casting the result back
+    to the input dtype (reference: networks/utils.py CastToFloat)."""
+
+    def __init__(self, mod):
+        self.mod = mod
+
+    def __call__(self, x, *args, **kwargs):
+        y = self.mod(x.astype(jnp.float32), *args, **kwargs)
+        return y.astype(x.dtype)
+
+
+def add_casts_around_norms(parent) -> int:
+    """Wrap every normalisation layer in CastToFloat so it computes in float32 under
+    a bf16 forward — the AMP-safety recipe (reference: networks/utils.py
+    add_casts_around_norms, there for fp16 autocast). Returns the number wrapped."""
+    from flax import nnx as _nnx
+
+    norm_types = (_nnx.BatchNorm, _nnx.LayerNorm, _nnx.GroupNorm, _nnx.RMSNorm)
+    replaced = replace_modules_by_type(parent, norm_types, CastToFloat)
+    return len(replaced)
+
+
+def trt_compile(model, base_path: str, args=None, submodule=None, logger=None):
+    """TensorRT is CUDA-only; the TPU analog is XLA AOT compilation — returns the
+    model unchanged so reference training scripts keep running
+    (reference: networks/trt_compiler.py trt_compile, which also no-ops without TRT)."""
+    import warnings
+
+    warnings.warn("trt_compile is a no-op on TPU: XLA compiles jitted programs "
+                  "ahead-of-time; see bundle ckpt_export for StableHLO artifacts.")
+    return model
