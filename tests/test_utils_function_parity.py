@@ -176,3 +176,57 @@ def test_net_metadata_roundtrip(tmp_path):
                                             more_extra_files=("notes.txt",))
     np.testing.assert_allclose(p["layer"]["w"], params["layer"]["w"])
     assert meta["task"] == "t" and extra["notes.txt"] == b"hello"
+
+
+def test_write_metrics_reports_parity(tmp_path):
+    import monai.handlers as rh
+
+    import monai_tpu.handlers as oh
+
+    md = {"dice": np.array([[0.7, 0.9], [0.6, 0.8]])}
+    o_dir, r_dir = tmp_path / "ours", tmp_path / "ref"
+    oh.write_metrics_reports(str(o_dir), ["a", "b"], {"dice": 0.75}, md, ["mean", "max"])
+    rh.write_metrics_reports(str(r_dir), ["a", "b"], {"dice": 0.75}, md, ["mean", "max"])
+    import os
+
+    assert sorted(os.listdir(o_dir)) == sorted(os.listdir(r_dir))
+    for f in os.listdir(o_dir):
+        ours = open(o_dir / f).read()
+        ref = open(r_dir / f).read()
+        assert ours == ref, (f, ours, ref)
+
+
+def test_cast_around_norms_and_module_surgery():
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from monai_tpu.networks import (add_casts_around_norms, look_up_named_module,
+                                    replace_modules_temp, set_named_module)
+
+    class Inner(nnx.Module):
+        def __init__(self):
+            self.norm = nnx.LayerNorm(4, rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.norm(x)
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.inner = Inner()
+            self.lin = nnx.Linear(4, 4, rngs=nnx.Rngs(1))
+
+        def __call__(self, x):
+            return self.lin(self.inner(x))
+
+    net = Net()
+    assert look_up_named_module("inner.norm", net) is net.inner.norm
+    n_wrapped = add_casts_around_norms(net)
+    assert n_wrapped == 1
+    # the wrapped norm computes in f32 but returns the input dtype
+    y_norm = net.inner(jnp.ones((2, 4), jnp.bfloat16))
+    assert y_norm.dtype == jnp.bfloat16
+
+    net2 = Net()
+    with replace_modules_temp(net2, nnx.Linear, lambda old: (lambda x: x)):
+        assert not isinstance(net2.lin, nnx.Linear)
+    assert isinstance(net2.lin, nnx.Linear)  # restored
