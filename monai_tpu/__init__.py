@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "apps",
+    "auto3dseg",
     "bundle",
     "config",
     "data",
@@ -41,4 +42,25 @@ def __getattr__(name: str):
         mod = importlib.import_module(f"{__name__}.{name}")
         setattr(sys.modules[__name__], name, mod)
         return mod
+    if name == "print_config":
+        from .config.deviceconfig import print_config
+
+        return print_config
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | _SUBMODULES | {"print_config", "load_submodules"})
+
+
+def load_submodules(basemod=None, load_all: bool = True, exclude_pattern: str = "(.*(__main__).*)"):
+    """Eagerly import every subpackage (reference: monai/utils/module.py:load_submodules;
+    here subpackages are lazy by default — call this for reference-style eager loading)."""
+    import importlib
+
+    mods = []
+    for name in sorted(_SUBMODULES):
+        mod = importlib.import_module(f"{__name__}.{name}")
+        setattr(sys.modules[__name__], name, mod)
+        mods.append(mod)
+    return mods, []
