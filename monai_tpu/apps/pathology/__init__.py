@@ -22,6 +22,8 @@ from .post_transforms import (
     find_contours,
     watershed,
 )
+from .losses import HoVerNetLoss
+from .engines import PrepareBatchHoVerNet
 from .inferers import SlidingWindowHoVerNetInferer
 from .utils import PathologyProbNMS, compute_isolated_tumor_cells, compute_multi_instance_mask
 from .metrics import LesionFROC, compute_fp_tp_probs, compute_froc_curve_data, compute_froc_score
