@@ -29,6 +29,11 @@ from .dictionary import (
     ConvertBoxToStandardModed,
     FlipBoxd,
     MaskToBoxd,
+    RandCropBoxByPosNegLabeld,
+    RandFlipBoxd,
+    RandRotateBox90d,
+    RandZoomBoxd,
+    RotateBox90d,
     StandardizeEmptyBoxd,
     ZoomBoxd,
 )

@@ -72,14 +72,38 @@ class AffineBox(Transform):
 
 
 class ZoomBox(Transform):
-    """(reference: detection array.py:214)."""
+    """Zoom boxes consistently with a Zoom() of the image; with ``keep_size`` the
+    pad/slice offset the image zoom applies is added to the box coordinates
+    (reference: detection array.py:214)."""
 
     def __init__(self, zoom, keep_size: bool = False, **kwargs):
         self.zoom = zoom
         self.keep_size = keep_size
 
     def __call__(self, boxes, src_spatial_size=None):
-        return zoom_boxes(boxes, self.zoom)
+        from ....data.box_utils import get_spatial_dims
+
+        sd = get_spatial_dims(boxes=boxes)
+        self._zoom = ensure_tuple_rep(self.zoom, sd)
+        if not self.keep_size:
+            return zoom_boxes(boxes, self._zoom)
+        if src_spatial_size is None:
+            raise ValueError("keep_size=True, src_spatial_size must be provided.")
+        src = ensure_tuple_rep(src_spatial_size, sd)
+        dst = [int(round(z * ss)) for z, ss in zip(self._zoom, src)]
+        self._zoom = tuple(ds / float(ss) for ss, ds in zip(src, dst))
+        zoomed = np.array(to_numpy(zoom_boxes(boxes, self._zoom)))
+        # mirror Zoom(keep_size=True): symmetric pad (diff>0) or centre slice (diff<0)
+        for axis, (od, zd) in enumerate(zip(src, dst)):
+            diff = od - zd
+            half = abs(diff) // 2
+            if diff > 0:
+                zoomed[:, axis] += half
+                zoomed[:, axis + sd] += half
+            elif diff < 0:
+                zoomed[:, axis] -= half
+                zoomed[:, axis + sd] -= half
+        return zoomed
 
 
 class ResizeBox(Transform):

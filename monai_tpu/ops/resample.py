@@ -30,7 +30,11 @@ from ..utils.backend import is_jax, xp
 __all__ = ["grid_pull", "grid_push", "grid_count", "affine_grid", "affine_resample",
            "resolve_mode", "resolve_bound"]
 
-_ORDER = {"nearest": 0, 0: 0, "bilinear": 1, "linear": 1, "trilinear": 1, 1: 1,
+_ORDER = {"nearest": 0, "nearest-exact": 0, 0: 0, "bilinear": 1, "linear": 1,
+          "trilinear": 1, 1: 1,
+          # torch 'area' (box-filter downsample) has no spline equivalent; linear is
+          # the closest sampling approximation for the zoom factors used in practice
+          "area": 1,
           "quadratic": 2, 2: 2, "bicubic": 3, "cubic": 3, 3: 3,
           "fourth": 4, 4: 4, "fifth": 5, 5: 5, "sixth": 6, 6: 6, "seventh": 7, 7: 7}
 
