@@ -2,6 +2,7 @@ from .datasets import (
     CrossValidation,
     DecathlonDataset,
     MedNISTDataset,
+    TciaDataset,
     load_decathlon_datalist,
     load_decathlon_properties,
 )

@@ -22,7 +22,7 @@ from ..transforms.transform import Randomizable
 from ..utils.misc import ensure_tuple
 from .utils import download_and_extract, logger
 
-__all__ = ["MedNISTDataset", "DecathlonDataset", "CrossValidation", "load_decathlon_datalist",
+__all__ = ["MedNISTDataset", "DecathlonDataset", "TciaDataset", "CrossValidation", "load_decathlon_datalist",
            "load_decathlon_properties", "make_synthetic_datalist",
            "make_synthetic_classification_datalist", "check_missing_files",
            "create_cross_validation_datalist"]
@@ -374,3 +374,152 @@ def create_cross_validation_datalist(datalist: list, nfolds: int, train_folds, v
         with open(filename, "w") as f:
             json.dump(ret, f, indent=4)
     return ret
+
+
+class TciaDataset(Randomizable, CacheDataset):
+    """The Cancer Imaging Archive (TCIA) collection dataset: download (env-gated,
+    zero-egress here) or load a pre-staged local layout
+    ``<root>/<collection>/<patient>/<series>/{image,<seg_type>}/*.dcm``
+    and split into training/validation/test sections
+    (reference: monai/apps/datasets.py:404)."""
+
+    def __init__(self, root_dir: str, collection: str, section: str, transform=(),
+                 download: bool = False, download_len: int = -1, seg_type: str = "SEG",
+                 modality_tag: tuple = (0x0008, 0x0060),
+                 ref_series_uid_tag: tuple = (0x0020, 0x000E),
+                 ref_sop_uid_tag: tuple = (0x0008, 0x1155),
+                 specific_tags: tuple = ((0x0008, 0x1115), (0x0008, 0x1140), (0x3006, 0x0010),
+                                         (0x0020, 0x000D), (0x0010, 0x0010), (0x0010, 0x0020),
+                                         (0x0020, 0x0011), (0x0020, 0x0012)),
+                 fname_regex: str | None = None, seed: int = 0, val_frac: float = 0.2,
+                 cache_num: int = sys.maxsize, cache_rate: float = 0.0, num_workers: int = 1,
+                 progress: bool = True, copy_cache: bool = True, as_contiguous: bool = True,
+                 runtime_cache: bool = False):
+        from .tcia import DCM_FILENAME_REGEX, download_tcia_series_instance, get_tcia_metadata
+
+        root = Path(root_dir)
+        if not root.is_dir():
+            raise ValueError("Root directory root_dir must be a directory.")
+        self.section = section
+        self.val_frac = val_frac
+        self.seg_type = seg_type
+        self.modality_tag = modality_tag
+        self.ref_series_uid_tag = ref_series_uid_tag
+        self.ref_sop_uid_tag = ref_sop_uid_tag
+        self.set_random_state(seed=seed)
+        download_dir = os.path.join(root, collection)
+        self.load_tags = list(specific_tags) + [modality_tag]
+        if download:
+            seg_series_list = get_tcia_metadata(
+                query=f"getSeries?Collection={collection}&Modality={seg_type}",
+                attribute="SeriesInstanceUID")
+            if download_len > 0:
+                seg_series_list = seg_series_list[:download_len]
+            if len(seg_series_list) == 0:
+                raise ValueError(
+                    f"Cannot find data with collection: {collection} seg_type: {seg_type}")
+            for series_uid in seg_series_list:
+                self._download_series_reference_data(series_uid, download_dir)
+        if not os.path.exists(download_dir):
+            raise RuntimeError(f"Cannot find dataset directory: {download_dir}.")
+        self.fname_regex = DCM_FILENAME_REGEX if fname_regex is None else fname_regex
+        self.indices: np.ndarray = np.array([])
+        self.datalist = self._generate_data_list(download_dir)
+        if transform == ():
+            transform = LoadImaged(keys=["image"], reader="PydicomReader",
+                                   fname_regex=self.fname_regex)
+        CacheDataset.__init__(self, data=self.datalist, transform=transform,
+                              cache_num=cache_num, cache_rate=cache_rate,
+                              num_workers=num_workers, progress=progress,
+                              copy_cache=copy_cache, as_contiguous=as_contiguous,
+                              runtime_cache=runtime_cache)
+
+    def get_indices(self) -> np.ndarray:
+        return self.indices
+
+    def randomize(self, data: np.ndarray) -> None:
+        self.R.shuffle(data)
+
+    def _download_series_reference_data(self, series_uid: str, download_dir: str) -> None:
+        """Download one SEG series, then locate and download the referenced image
+        series (reference: apps/datasets.py:587)."""
+        import shutil
+        import warnings
+
+        from ..data.image_reader import PydicomReader
+        from .tcia import (download_tcia_series_instance, get_tcia_ref_uid,
+                           match_tcia_ref_uid_in_study)
+
+        seg_first_dir = os.path.join(download_dir, "raw", series_uid)
+        download_tcia_series_instance(series_uid=series_uid, download_dir=download_dir,
+                                      output_dir=seg_first_dir, check_md5=False)
+        dicom_files = [f for f in sorted(os.listdir(seg_first_dir)) if f.endswith(".dcm")]
+        dcm_path = os.path.join(seg_first_dir, dicom_files[0])
+        reader = PydicomReader(stop_before_pixels=True, specific_tags=self.load_tags)
+        ds = reader.read(dcm_path)
+        patient_id = getattr(ds, "PatientID", "") or getattr(ds, "PatientName", "")
+        if not patient_id:
+            warnings.warn(f"unable to find patient name of dicom file: {dcm_path}, "
+                          "use 'patient' instead.")
+            patient_id = "patient"
+        series_num = getattr(ds, "SeriesNumber", "") or getattr(ds, "AcquisitionNumber", "")
+        if not series_num:
+            warnings.warn(f"unable to find series number of dicom file: {dcm_path}, "
+                          "use '0' instead.")
+            series_num = 0
+        series_num = str(series_num)
+        seg_dir = os.path.join(download_dir, str(patient_id), series_num, self.seg_type.lower())
+        dcm_dir = os.path.join(download_dir, str(patient_id), series_num, "image")
+        ref_uid_list = []
+        for dcm_file in dicom_files:
+            ds = reader.read(os.path.join(seg_first_dir, dcm_file))
+            if ds[self.modality_tag].value == self.seg_type:
+                ref_uid = get_tcia_ref_uid(ds, find_sop=False,
+                                           ref_series_uid_tag=self.ref_series_uid_tag,
+                                           ref_sop_uid_tag=self.ref_sop_uid_tag)
+                if ref_uid == "":
+                    ref_sop_uid = get_tcia_ref_uid(ds, find_sop=True,
+                                                   ref_series_uid_tag=self.ref_series_uid_tag,
+                                                   ref_sop_uid_tag=self.ref_sop_uid_tag)
+                    ref_uid = match_tcia_ref_uid_in_study(ds.StudyInstanceUID, ref_sop_uid)
+                if ref_uid != "":
+                    ref_uid_list.append(ref_uid)
+        if not ref_uid_list:
+            warnings.warn(f"Cannot find the referenced Series Instance UID from series: "
+                          f"{series_uid}.")
+        else:
+            download_tcia_series_instance(series_uid=ref_uid_list[0],
+                                          download_dir=download_dir, output_dir=dcm_dir,
+                                          check_md5=False)
+        if not os.path.exists(seg_dir):
+            shutil.copytree(seg_first_dir, seg_dir)
+
+    def _generate_data_list(self, dataset_dir) -> list[dict]:
+        dataset_dir = Path(dataset_dir)
+        datalist = []
+        patient_list = [f.name for f in os.scandir(dataset_dir) if f.is_dir() and f.name != "raw"]
+        for patient_id in patient_list:
+            series_list = [f.name for f in os.scandir(os.path.join(dataset_dir, patient_id))
+                           if f.is_dir()]
+            for series_num in series_list:
+                seg_key = self.seg_type.lower()
+                image_path = os.path.join(dataset_dir, patient_id, series_num, "image")
+                mask_path = os.path.join(dataset_dir, patient_id, series_num, seg_key)
+                if os.path.exists(image_path):
+                    datalist.append({"image": image_path, seg_key: mask_path})
+                else:
+                    datalist.append({seg_key: mask_path})
+        return self._split_datalist(datalist)
+
+    def _split_datalist(self, datalist: list[dict]) -> list[dict]:
+        if self.section == "test":
+            return datalist
+        length = len(datalist)
+        indices = np.arange(length)
+        self.randomize(indices)
+        val_length = int(length * self.val_frac)
+        if self.section == "training":
+            self.indices = indices[val_length:]
+        else:
+            self.indices = indices[:val_length]
+        return [datalist[i] for i in self.indices]

@@ -4,6 +4,8 @@ from .analyzer import (
     FgImageStats,
     FgImageStatsSumm,
     FilenameStats,
+    ImageHistogram,
+    ImageHistogramSumm,
     ImageStats,
     ImageStatsSumm,
     LabelStats,

@@ -18,7 +18,8 @@ from ..utils.enums import DataStatsKeys, ImageStatsKeys, LabelStatsKeys
 from .operations import Operations, SampleOperations, SummaryOperations
 
 __all__ = ["Analyzer", "ImageStats", "FgImageStats", "LabelStats", "ImageStatsSumm",
-           "FgImageStatsSumm", "LabelStatsSumm", "FilenameStats"]
+           "FgImageStatsSumm", "LabelStatsSumm", "FilenameStats", "ImageHistogram",
+           "ImageHistogramSumm"]
 
 
 def _arr(x):
@@ -248,3 +249,90 @@ class FilenameStats(Analyzer):
                 name = item
         d[self.stats_name] = name
         return d
+
+
+class ImageHistogram(Analyzer):
+    """Per-channel intensity histogram (reference: analyzer.py:843)."""
+
+    def __init__(self, image_key: str, stats_name: str = DataStatsKeys.IMAGE_HISTOGRAM,
+                 hist_bins=None, hist_range=None):
+        self.image_key = image_key
+        self.hist_bins = ([100] if hist_bins is None
+                          else hist_bins if isinstance(hist_bins, list) else [hist_bins])
+        self.hist_range = [-500, 500] if hist_range is None else hist_range
+        super().__init__(stats_name, {"counts": None, "bin_edges": None})
+        self.update_ops(ImageStatsKeys.HISTOGRAM, SampleOperations())
+        if not all(isinstance(hr, list) for hr in self.hist_range):
+            self.hist_range = [self.hist_range]
+        if len(self.hist_bins) != len(self.hist_range):
+            raise ValueError(
+                f"Number of histogram bins ({len(self.hist_bins)}) and histogram ranges "
+                f"({len(self.hist_range)}) need to be the same!")
+        for i, (_bins, _range) in enumerate(zip(self.hist_bins, self.hist_range)):
+            if not isinstance(_bins, int) or _bins < 0:
+                raise ValueError(
+                    f"Expected {i + 1}. hist_bins value to be positive integer but got {_bins}")
+            if not isinstance(_range, list) or len(_range) != 2:
+                raise ValueError(
+                    f"Expected {i + 1}. hist_range values to be list of length 2 "
+                    f"but received {_range}")
+
+    def __call__(self, data: dict) -> dict:
+        d = dict(data)
+        ndas = np.asarray(_arr(d[self.image_key]))
+        nr_channels = ndas.shape[0]
+        if len(self.hist_bins) == 1:
+            self.hist_bins = nr_channels * self.hist_bins
+        if len(self.hist_bins) != nr_channels:
+            raise ValueError(
+                f"There is a mismatch between the number of channels ({nr_channels}) "
+                f"and number histogram bins ({len(self.hist_bins)}).")
+        if len(self.hist_range) == 1:
+            self.hist_range = nr_channels * self.hist_range
+        if len(self.hist_range) != nr_channels:
+            raise ValueError(
+                f"There is a mismatch between the number of channels ({nr_channels}) "
+                f"and histogram ranges ({len(self.hist_range)}).")
+        reports = []
+        for channel in range(nr_channels):
+            counts, bin_edges = np.histogram(
+                ndas[channel], bins=self.hist_bins[channel],
+                range=(self.hist_range[channel][0], self.hist_range[channel][1]))
+            reports.append({"counts": counts.tolist(), "bin_edges": bin_edges.tolist()})
+        d[self.stats_name] = reports
+        return d
+
+
+class ImageHistogramSumm(Analyzer):
+    """Sums the per-case histograms channel-wise (reference: analyzer.py:958)."""
+
+    def __init__(self, stats_name: str = DataStatsKeys.IMAGE_HISTOGRAM,
+                 average: bool | None = True):
+        self.summary_average = average
+        super().__init__(stats_name, {ImageStatsKeys.HISTOGRAM: None})
+        self.update_ops(ImageStatsKeys.HISTOGRAM, SummaryOperations())
+
+    def __call__(self, data: list) -> dict:
+        if not isinstance(data, list):
+            raise ValueError(f"Callable {self.__class__} requires list inputs")
+        if len(data) == 0:
+            raise ValueError(f"Callable {self.__class__} input list is empty")
+        if self.stats_name not in data[0]:
+            raise KeyError(f"{self.stats_name} is not in input data")
+        summ_histogram: list = []
+        for d in data:
+            if not summ_histogram:
+                summ_histogram = d[self.stats_name]
+                for k in range(len(summ_histogram)):
+                    summ_histogram[k]["counts"] = np.array(summ_histogram[k]["counts"])
+            else:
+                for k in range(len(summ_histogram)):
+                    summ_histogram[k]["counts"] += np.array(d[self.stats_name][k]["counts"])
+                    if np.all(np.asarray(summ_histogram[k]["bin_edges"])
+                              != np.asarray(d[self.stats_name][k]["bin_edges"])):
+                        raise ValueError(
+                            f"bin edges are not consistent! {summ_histogram[k]['bin_edges']} "
+                            f"vs. {d[self.stats_name][k]['bin_edges']}")
+        for k in range(len(summ_histogram)):
+            summ_histogram[k]["counts"] = summ_histogram[k]["counts"].tolist()
+        return {ImageStatsKeys.HISTOGRAM: summ_histogram}

@@ -10,6 +10,8 @@ from .analyzer import (
     FgImageStats,
     FgImageStatsSumm,
     FilenameStats,
+    ImageHistogram,
+    ImageHistogramSumm,
     ImageStats,
     ImageStatsSumm,
     LabelStats,
@@ -27,6 +29,9 @@ class SegSummarizer(Compose):
                  do_ccp: bool = True, hist_bins=0, hist_range=None, histogram_only: bool = False):
         self.image_key = image_key
         self.label_key = label_key
+        self.hist_bins = hist_bins
+        self.hist_range = hist_range
+        self.histogram_only = histogram_only
         self.summary_analyzers: list[Any] = []
         super().__init__()
         self.add_analyzer(FilenameStats(image_key, DataStatsKeys.BY_CASE_IMAGE_PATH), None)
@@ -38,6 +43,10 @@ class SegSummarizer(Compose):
                                   FgImageStatsSumm(average=average))
                 self.add_analyzer(LabelStats(image_key, label_key, do_ccp=do_ccp),
                                   LabelStatsSumm(average=average, do_ccp=do_ccp))
+        if hist_bins != 0:
+            self.add_analyzer(
+                ImageHistogram(image_key=image_key, hist_bins=hist_bins,
+                               hist_range=hist_range), ImageHistogramSumm())
 
     def add_analyzer(self, case_analyzer, summary_analyzer) -> None:
         self.transforms = tuple(list(self.transforms) + [case_analyzer])
