@@ -126,23 +126,13 @@ def _bspline_kernel(order: int, u, ns):
     return out / factorial(order)
 
 
-def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, ns):
-    """Generic tap-based interpolation: B-spline weights of any order 2..7 (and the
-    full 8-bound handling for orders 0/1). Parity: monai/csrc resample pushpull
-    (orders 0-7 x 8 bounds); validated vs scipy.ndimage.map_coordinates
-    (prefilter=False) in tests/test_resample_parity_tail.py."""
+def _build_spline_taps(grid, spatial, order: int, bound: str, align_corners: bool, ns,
+                       compute_dtype):
+    """Per-dim resolved taps [(idx, weight, sign, mask), ...] for the generic
+    B-spline tap engine — shared by the pull (gather) and push/count (scatter)
+    paths so the adjoint uses the identical weights."""
     D = grid.shape[-1]
-    in_spatial = input.shape[1:]
-    C = input.shape[0]
-    out_spatial = grid.shape[:-1]
-    compute_dtype = ns.float32 if input.dtype not in (ns.float64,) else input.dtype
-    inp = input.astype(compute_dtype)
-    flat_in = inp.reshape(C, -1)
-    strides = np.ones(D, dtype=np.int64)
-    for d in range(D - 2, -1, -1):
-        strides[d] = strides[d + 1] * in_spatial[d + 1]
-
-    taps_per_dim: list[list[tuple]] = []  # per dim: [(idx, weight, sign, mask), ...]
+    taps_per_dim: list[list[tuple]] = []
     for d in range(D):
         c = grid[..., d].astype(compute_dtype)
         if order == 0:
@@ -166,9 +156,30 @@ def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, 
                 dim_taps.append((i_k, w_k))
         resolved = []
         for i_k, w_k in dim_taps:
-            xi, sign, mask = _bound_tap_generic(i_k, in_spatial[d], bound, align_corners, ns)
+            xi, sign, mask = _bound_tap_generic(i_k, spatial[d], bound, align_corners, ns)
             resolved.append((xi, w_k, sign, mask))
         taps_per_dim.append(resolved)
+    return taps_per_dim
+
+
+def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, ns):
+    """Generic tap-based interpolation: B-spline weights of any order 2..7 (and the
+    full 8-bound handling for orders 0/1). Parity: monai/csrc resample pushpull
+    (orders 0-7 x 8 bounds); validated vs scipy.ndimage.map_coordinates
+    (prefilter=False) in tests/test_resample_parity_tail.py."""
+    D = grid.shape[-1]
+    in_spatial = input.shape[1:]
+    C = input.shape[0]
+    out_spatial = grid.shape[:-1]
+    compute_dtype = ns.float32 if input.dtype not in (ns.float64,) else input.dtype
+    inp = input.astype(compute_dtype)
+    flat_in = inp.reshape(C, -1)
+    strides = np.ones(D, dtype=np.int64)
+    for d in range(D - 2, -1, -1):
+        strides[d] = strides[d + 1] * in_spatial[d + 1]
+
+    taps_per_dim = _build_spline_taps(grid, in_spatial, order, bound, align_corners, ns,
+                                      compute_dtype)
 
     out = None
     for corner in itertools.product(*[range(len(t)) for t in taps_per_dim]):
@@ -393,14 +404,72 @@ def grid_pull(input: Any, grid: Any, interpolation: Any = 1, bound: str = "zeros
     raise ValueError(f"Unsupported interpolation order {order}")
 
 
+def _grid_push_spline(input, grid, shape, order: int, bound: str, align_corners: bool, ns):
+    """Adjoint of :func:`_grid_pull_spline`: splat with the identical tap weights
+    (orders 0-7 x the 7 supported bounds — the push/count/grad parity tail of
+    /root/reference/monai/csrc/ext.cpp:35-75)."""
+    D = grid.shape[-1]
+    C = input.shape[0]
+    out_spatial = tuple(int(s) for s in shape)
+    compute_dtype = ns.float32 if input.dtype not in (ns.float64,) else input.dtype
+    inp = input.reshape(C, -1).astype(compute_dtype)
+    npix = int(np.prod(out_spatial))
+    strides = np.ones(D, dtype=np.int64)
+    for d in range(D - 2, -1, -1):
+        strides[d] = strides[d + 1] * out_spatial[d + 1]
+
+    taps_per_dim = _build_spline_taps(grid, out_spatial, order, bound, align_corners, ns,
+                                      compute_dtype)
+    flat_taps = [[(xi.reshape(-1),
+                   None if w is None else w.reshape(-1),
+                   None if s is None else s.reshape(-1),
+                   None if m is None else m.reshape(-1))
+                  for (xi, w, s, m) in dim] for dim in taps_per_dim]
+
+    out = (jnp if is_jax(input) else np).zeros((C, npix), dtype=compute_dtype)
+    for corner in itertools.product(*[range(len(t)) for t in flat_taps]):
+        w = None
+        flat_idx = None
+        for d, k in enumerate(corner):
+            xi, w_k, sign, mask = flat_taps[d][k]
+            wd = w_k if w_k is not None else None
+            if sign is not None:
+                wd = sign if wd is None else wd * sign
+            if mask is not None:
+                mc = mask.astype(compute_dtype)
+                wd = mc if wd is None else wd * mc
+            if wd is not None:
+                w = wd if w is None else w * wd
+            contrib = xi * int(strides[d])
+            flat_idx = contrib if flat_idx is None else flat_idx + contrib
+        contrib_vals = inp if w is None else inp * w[None]
+        if is_jax(input):
+            out = out.at[:, flat_idx].add(contrib_vals)
+        else:
+            np.add.at(out, (slice(None), flat_idx), contrib_vals)
+    return out.reshape((C,) + out_spatial)
+
+
 def grid_push(input: Any, grid: Any, shape: Sequence[int], interpolation: Any = 1, bound: str = "zeros",
               align_corners: bool = False):
     """Splat ``input`` values at voxel coordinates ``grid`` into a ``(C, *shape)`` output.
 
     The adjoint of :func:`grid_pull` (reference: grid_push, spatial_transforms.py:159).
+    Orders 0-7 and the reference's bound modes are supported: orders {0,1,3-Keys} x
+    {zeros,border,reflection} use the torch-compatible fast path below; everything
+    else (B-spline orders incl. interpolation="bspline", dct1/dst1/dst2/dft bounds)
+    shares the generic tap engine with grid_pull so push stays its exact adjoint.
     Only the jax backend supports efficient scatter-add; numpy uses ``np.add.at``.
     """
+    ns_ = xp(input)
+    if str(interpolation).lower() in ("bspline", "bspline3"):
+        return _grid_push_spline(input, grid, shape, 3, resolve_bound(bound),
+                                 align_corners, ns_)
     order = resolve_mode(interpolation)
+    canon_bound = resolve_bound(bound)
+    if order in (2, 4, 5, 6, 7) or canon_bound not in ("zero", "replicate", "dct2"):
+        return _grid_push_spline(input, grid, shape, order, canon_bound, align_corners, ns_)
+    bound = {"zero": "zeros", "replicate": "border", "dct2": "reflection"}[canon_bound]
     ns = xp(input)
     D = grid.shape[-1]
     C = input.shape[0]
@@ -474,7 +543,8 @@ def grid_push(input: Any, grid: Any, shape: Sequence[int], interpolation: Any = 
 def grid_count(grid: Any, shape: Sequence[int], interpolation: Any = 1, bound: str = "zeros"):
     """Splat ones — the normalization map for grid_push (reference: grid_count)."""
     ns = xp(grid)
-    ones = ns.ones((1,) + tuple(grid.shape[:-1]), dtype=ns.float32).reshape(1, -1)
+    dt = grid.dtype if np.issubdtype(np.dtype(str(grid.dtype)), np.floating) else ns.float32
+    ones = ns.ones((1,) + tuple(grid.shape[:-1]), dtype=dt).reshape(1, -1)
     flat_grid = grid.reshape(-1, grid.shape[-1])
     return grid_push(ones.reshape(1, -1), flat_grid, shape, interpolation, bound)[0]
 
