@@ -149,6 +149,13 @@ class Workflow(EventEmitter):
             if self.postprocessing is not None:
                 samples = [apply_transform(self.postprocessing, s, map_items=False) for s in samples]
             engine.state.output = samples
+            # reference decollates state.batch alongside state.output
+            # (workflow.py decollate wiring / DecollateBatch handler invariant)
+            if isinstance(engine.state.batch, dict):
+                try:
+                    engine.state.batch = decollate_batch(engine.state.batch)
+                except Exception:
+                    pass
         for name, metric in self.metrics.items():
             try:
                 if isinstance(engine.state.output, list):
@@ -185,7 +192,12 @@ class Workflow(EventEmitter):
                     self.state.iteration += 1
                     self.state.batch = batchdata
                     self.fire_event(Events.ITERATION_STARTED)
-                    self.state.output = self._iteration(self, batchdata)
+                    # ignite semantics: a user iteration_update REPLACES the default
+                    # _iteration (reference: workflow.py:47 passes it to Engine.__init__)
+                    if self._iteration_update is not None:
+                        self.state.output = self._iteration_update(self, batchdata)
+                    else:
+                        self.state.output = self._iteration(self, batchdata)
                     self._apply_post_and_metrics(self)
                     self.fire_event(Events.ITERATION_COMPLETED)
                     if self.state.terminate:

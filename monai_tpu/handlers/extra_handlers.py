@@ -62,6 +62,8 @@ class MLFlowHandler:
 
     def iteration_completed(self, engine) -> None:
         out = self.output_transform(engine.state.output)
+        if isinstance(out, list) and out and isinstance(out[0], dict):
+            out = out[0]  # decollated per-sample dicts share the iteration loss
         loss = out.get("loss") if isinstance(out, dict) else out
         if loss is not None and np.ndim(to_numpy(loss)) == 0:
             mlflow.log_metric(self.tag_name, float(to_numpy(loss)), step=engine.state.iteration)
@@ -115,7 +117,7 @@ class PostProcessing:
     def __call__(self, engine) -> None:
         from ..engines.utils import engine_apply_transform
 
-        if not isinstance(engine.state.batch, list) and not isinstance(engine.state.output, list):
+        if not isinstance(engine.state.batch, list) or not isinstance(engine.state.output, list):
             engine.state.batch, engine.state.output = engine_apply_transform(
                 engine.state.batch, engine.state.output, self.transform)
         else:
