@@ -95,15 +95,18 @@ class ConfigParser:
             return default
 
     def set(self, config: Any, id: str = "", recursive: bool = True) -> None:
-        keys = ReferenceResolver.split_id(id)
-        conf_ = self.get()
+        """Write ``config`` at ``id``; with ``recursive`` any missing intermediate
+        dict levels along the id path are created first."""
         if recursive:
-            if conf_ is None:
-                self.config = conf_ = {}
-            for k in keys[:-1]:
-                if isinstance(conf_, dict) and k not in conf_:
-                    conf_[k] = {}
-                conf_ = conf_[k if isinstance(conf_, dict) else int(k)]
+            node = self.get()
+            if node is None:
+                node = {}
+                self.config = node
+            for step in ReferenceResolver.split_id(id)[:-1]:
+                if isinstance(node, dict):
+                    node = node.setdefault(step, {})
+                else:
+                    node = node[int(step)]
         self[id] = config
 
     def update(self, pairs: dict) -> None:
@@ -125,11 +128,11 @@ class ConfigParser:
         self._do_parse(config=self.get())
 
     def get_parsed_content(self, id: str = "", **kwargs):
-        """Get the resolved/instantiated value at ``id``."""
-        if not self.ref_resolver.is_resolved():
+        """Get the resolved/instantiated value at ``id``; (re)parses when nothing is
+        resolved yet, or when the caller opts out of lazy reuse."""
+        needs_parse = not self.ref_resolver.is_resolved() or not kwargs.get("lazy", True)
+        if needs_parse:
             self.parse(reset=True)
-        elif not kwargs.get("lazy", True):
-            self.parse(reset=not kwargs.get("lazy", True))
         return self.ref_resolver.get_resolved_content(id=id, **kwargs)
 
     def read_meta(self, f, **kwargs) -> None:
@@ -159,32 +162,41 @@ class ConfigParser:
         self.set(self._do_resolve(config=deepcopy(self.get())))
 
     def _do_parse(self, config: Any, id: str = "") -> None:
+        """Depth-first: register children, then classify this node into the
+        narrowest ConfigItem kind (component > expression > plain)."""
         if isinstance(config, (dict, list)):
             for _, sub_id, v in self.ref_resolver.iter_subconfigs(id, config):
                 self._do_parse(config=v, id=sub_id)
         if ConfigComponent.is_instantiable(config):
-            self.ref_resolver.add_item(ConfigComponent(config=config, id=id, locator=self.locator))
+            item: ConfigItem = ConfigComponent(config=config, id=id, locator=self.locator)
         elif ConfigExpression.is_expression(config):
-            self.ref_resolver.add_item(ConfigExpression(config=config, id=id, globals=self.globals))
+            item = ConfigExpression(config=config, id=id, globals=self.globals)
         else:
-            self.ref_resolver.add_item(ConfigItem(config=config, id=id))
+            item = ConfigItem(config=config, id=id)
+        self.ref_resolver.add_item(item)
 
     @classmethod
     def load_config_file(cls, filepath, **kwargs):
-        """Load a single json/yaml config file."""
+        """Load one config file, dispatching the loader on the filename suffix
+        (.json via the stdlib, .yml/.yaml via pyyaml safe loading)."""
         if not filepath:
             return {}
-        _filepath: str = str(Path(filepath))
-        if not re.compile(cls.path_match, re.IGNORECASE).findall(_filepath):
+        path = str(Path(filepath))
+        if not re.compile(cls.path_match, re.IGNORECASE).findall(path):
             raise ValueError(f'unknown file input: "{filepath}"')
-        with open(_filepath) as f:
-            if _filepath.lower().endswith(cls.suffixes[0]):
-                return json.load(f, **kwargs)
-            if _filepath.lower().endswith(cls.suffixes[1:]):
-                import yaml
+        lowered = path.lower()
 
-                return yaml.safe_load(f, **kwargs)
-            raise ValueError(f"only support JSON or YAML config file so far, got name {_filepath}.")
+        def _yaml_load(fh, **kw):
+            import yaml
+
+            return yaml.safe_load(fh, **kw)
+
+        loader = json.load if lowered.endswith(cls.suffixes[0]) else (
+            _yaml_load if lowered.endswith(cls.suffixes[1:]) else None)
+        if loader is None:
+            raise ValueError(f"only support JSON or YAML config file so far, got name {path}.")
+        with open(path) as f:
+            return loader(f, **kwargs)
 
     @classmethod
     def load_config_files(cls, files, **kwargs) -> dict:

@@ -48,16 +48,18 @@ class PatchIterd:
 
     def __call__(self, data: Mapping) -> Generator:
         d = dict(data)
-        original_spatial_shape = (d[first(self.keys)]).shape[1:]
-        for patches in zip(*[self.patch_iter(d[key]) for key in self.keys]):
-            coords = patches[0][1]
-            ret = {k: v[0] for k, v in zip(self.keys, patches)}
-            for k in set(d.keys()).difference(set(self.keys)):
-                ret[k] = d[k]
-            ret[self.coords_key] = coords
-            ret[self.original_spatial_shape_key] = original_spatial_shape
-            ret[self.start_pos_key] = self.patch_iter.start_pos
-            yield ret, coords
+        spatial_shape = d[first(self.keys)].shape[1:]
+        passthrough = {k: v for k, v in d.items() if k not in self.keys}
+        streams = [self.patch_iter(d[key]) for key in self.keys]
+        for group in zip(*streams):
+            coords = group[0][1]
+            sample = dict(passthrough)
+            sample.update({key: patch_and_coords[0]
+                           for key, patch_and_coords in zip(self.keys, group)})
+            sample[self.coords_key] = coords
+            sample[self.original_spatial_shape_key] = spatial_shape
+            sample[self.start_pos_key] = self.patch_iter.start_pos
+            yield sample, coords
 
 
 class GridPatchDataset(IterableDataset):
@@ -71,15 +73,13 @@ class GridPatchDataset(IterableDataset):
         self.with_coordinates = with_coordinates
 
     def __iter__(self):
+        emit_coords = self.with_coordinates
         for image in super().__iter__():
-            for patch, *others in self.patch_iter(image):
-                out_patch = patch
+            for item in self.patch_iter(image):
+                patch, extras = item[0], item[1:]
                 if self.patch_transform is not None:
-                    out_patch = apply_transform(self.patch_transform, patch, map_items=False)
-                if self.with_coordinates and len(others) > 0:
-                    yield out_patch, others[0]
-                else:
-                    yield out_patch
+                    patch = apply_transform(self.patch_transform, patch, map_items=False)
+                yield (patch, extras[0]) if (emit_coords and extras) else patch
 
 
 class PatchDataset(IterableDataset):
@@ -103,8 +103,8 @@ class PatchDataset(IterableDataset):
             if len(patches) != self.samples_per_image:
                 raise RuntimeWarning(
                     f"`patch_func` must return a sequence of length: samples_per_image={self.samples_per_image}.")
-            for patch in patches:
-                out_patch = patch
-                if self.patch_transform is not None:
-                    out_patch = apply_transform(self.patch_transform, patch, map_items=False)
-                yield out_patch
+            if self.patch_transform is None:
+                yield from patches
+            else:
+                for patch in patches:
+                    yield apply_transform(self.patch_transform, patch, map_items=False)

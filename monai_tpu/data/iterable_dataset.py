@@ -37,32 +37,40 @@ class ShuffleBuffer(Randomizable, IterableDataset):
         self.epochs = epochs
         self._idx = 0
 
+    def randomize(self, size: int) -> None:
+        self._idx = self.R.randint(size)
+
     def randomized_pop(self, buffer):
+        """Take a uniformly random slot out of the buffer; the vacated slot is
+        backfilled with the tail element so the buffer stays dense."""
         self.randomize(len(buffer))
-        ret, buffer[self._idx] = buffer[self._idx], buffer[-1]
-        buffer.pop()
-        return ret
+        slot = self._idx
+        taken = buffer[slot]
+        buffer[slot] = buffer[len(buffer) - 1]
+        del buffer[-1]
+        return taken
 
     def generate_item(self):
-        buffer: list = []
-        for item in iter(self.data):
-            if len(buffer) >= self.size:
-                yield self.randomized_pop(buffer)
-            buffer.append(item)
-        while buffer:
-            yield self.randomized_pop(buffer)
+        """Reservoir pass: keep ``size`` items resident, emitting one random
+        resident per incoming item once warm, then drain in random order."""
+        resident: list = []
+        stream = iter(self.data)
+        for incoming in stream:
+            if len(resident) < self.size:
+                resident.append(incoming)
+                continue
+            yield self.randomized_pop(resident)
+            resident.append(incoming)
+        while resident:
+            yield self.randomized_pop(resident)
 
     def __iter__(self):
         self.seed += 1
         super().set_random_state(seed=self.seed)
-        for _ in range(self.epochs) if self.epochs >= 0 else iter(int, 1):
+        epoch_iter = range(self.epochs) if self.epochs >= 0 else iter(int, 1)
+        for _ in epoch_iter:
             for item in self.generate_item():
-                if self.transform is not None:
-                    item = apply_transform(self.transform, item)
-                yield item
-
-    def randomize(self, size: int) -> None:
-        self._idx = self.R.randint(size)
+                yield item if self.transform is None else apply_transform(self.transform, item)
 
 
 class CSVIterableDataset(IterableDataset):
@@ -72,25 +80,26 @@ class CSVIterableDataset(IterableDataset):
                  col_names: Sequence[str] | None = None, col_types: dict | None = None,
                  col_groups: dict | None = None, transform: Callable | None = None,
                  shuffle: bool = False, seed: int = 0, kwargs_read_csv: dict | None = None, **kwargs):
+        super().__init__(data=None, transform=transform)  # type: ignore
         self.src = src
         self.chunksize = chunksize
-        self.buffer_size = 2 * chunksize if buffer_size is None else buffer_size
-        self.col_names = col_names
-        self.col_types = col_types
-        self.col_groups = col_groups
-        self.shuffle = shuffle
-        self.seed = seed
-        self.kwargs_read_csv = kwargs_read_csv or {"chunksize": chunksize}
+        # default shuffle window: two chunks' worth of rows
+        self.buffer_size = buffer_size if buffer_size is not None else chunksize * 2
+        # column selection/coercion/grouping are forwarded to the table→dict converter
+        self.col_names, self.col_types, self.col_groups = col_names, col_types, col_groups
+        self.shuffle, self.seed = shuffle, seed
+        self.kwargs_read_csv = dict(kwargs_read_csv) if kwargs_read_csv else {"chunksize": chunksize}
         self.kwargs = kwargs
         self.iters: list = []
-        super().__init__(data=None, transform=transform)  # type: ignore
 
     def reset(self, src=None):
+        """(Re)open chunked pandas readers over the source file(s)/buffer(s)."""
         import pandas as pd
 
-        src = self.src if src is None else src
-        srcs = (src,) if not isinstance(src, (tuple, list)) else src
-        self.iters = [pd.read_csv(i, **self.kwargs_read_csv) for i in srcs]
+        sources = src if src is not None else self.src
+        if not isinstance(sources, (tuple, list)):
+            sources = (sources,)
+        self.iters = [pd.read_csv(s, **self.kwargs_read_csv) for s in sources]
         return self.iters
 
     def close(self):

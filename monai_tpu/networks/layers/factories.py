@@ -84,18 +84,16 @@ Dropout = LayerFactory("Dropout")
 
 
 def use_packed_conv() -> bool:
-    """Space-to-depth packed conv for small-channel 3D convs: ON by default on TPU
-    (MXU lane occupancy — ops/packed_conv.py docstring), overridable with
-    MONAI_TPU_PACKED_CONV=0/1 (1 also enables it on CPU, used by numerics tests)."""
-    env = os.environ.get("MONAI_TPU_PACKED_CONV")
-    if env is not None:
-        return env == "1"
-    try:
-        import jax as _jax
+    """Space-to-depth packed conv for small-channel 3D convs — OPT-IN via
+    MONAI_TPU_PACKED_CONV=1.
 
-        return _jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    Measured on v5e (scripts/perf_packed_ab.py, batch-18 UNet window forward,
+    two-K slope timing): packed 61.0 ms vs plain XLA 32.7 ms. The dense-128-lane
+    conv itself wins, but each conv pays two full-activation s2d/d2s transposes
+    and 8x MACs, which nets out ~2x slower at UNet shapes. Default is therefore
+    OFF; the kernel is kept for a future layout-resident variant (pack once per
+    level, not per conv)."""
+    return os.environ.get("MONAI_TPU_PACKED_CONV", "0") == "1"
 
 
 class PallasConv(nnx.Conv):

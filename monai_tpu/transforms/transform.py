@@ -119,17 +119,19 @@ class MapTransform(Transform):
                 raise TypeError(f"keys must be hashable, got {type(key).__name__}")
 
     def key_iterator(self, data: Mapping[Hashable, Any], *extra_iterables) -> Generator:
-        """Yield keys (and parallel extra parameters) present in data
-        (reference: transform.py:500)."""
-        ex_iters = extra_iterables or [[None] * len(self.keys)]
-        for key, *_ex_iters in zip(self.keys, *ex_iters):
-            if key in data:
-                yield (key,) + tuple(_ex_iters) if extra_iterables else key
-            elif not self.allow_missing_keys:
+        """Yield each configured key present in ``data``; with extra iterables,
+        yield ``(key, *extras)`` tuples zipped positionally against ``self.keys``
+        (reference semantics: transform.py:465)."""
+        extras = extra_iterables if extra_iterables else ((None,) * len(self.keys),)
+        for entry in zip(self.keys, *extras):
+            key = entry[0]
+            if key not in data:
+                if self.allow_missing_keys:
+                    continue
                 raise KeyError(
-                    f"Key `{key}` of transform `{self.__class__.__name__}` was missing in the data"
-                    " and allow_missing_keys==False."
-                )
+                    f"{self.__class__.__name__}: required key {key!r} not found in data "
+                    "(pass allow_missing_keys=True to skip absent keys).")
+            yield entry if extra_iterables else key
 
     def first_key(self, data: dict[Hashable, Any]):
         return first(self.key_iterator(data), ())

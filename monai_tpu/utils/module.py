@@ -22,68 +22,69 @@ OPTIONAL_IMPORT_MSG_FMT = "{}"
 
 def look_up_option(opt_str: Hashable, supported: Collection | enum.EnumMeta, default: Any = "no_default",
                    print_all_options: bool = True):
-    """Look up an option in supported keys with did-you-mean errors
-    (reference: monai/utils/module.py:115)."""
+    """Look up an option among supported values with did-you-mean suggestions
+    (reference semantics: monai/utils/module.py:115).
+
+    Implemented as: normalise ``supported`` into a single {candidate: result}
+    table, then one membership check + one fuzzy pass on miss.
+    """
     if not isinstance(opt_str, Hashable):
         raise ValueError(f"Unrecognized option type: {type(opt_str)}:{opt_str}.")
-    if isinstance(opt_str, str):
-        opt_str = opt_str.strip()
-    if isinstance(supported, enum.EnumMeta):
-        if isinstance(opt_str, str) and opt_str in {item.value for item in supported}:
-            return supported(opt_str)
-        if isinstance(opt_str, enum.Enum) and opt_str in supported:
-            return opt_str
-    elif isinstance(supported, Mapping) and opt_str in supported:
-        return supported[opt_str]
-    elif isinstance(supported, Collection) and opt_str in supported:
-        return opt_str
+    query = opt_str.strip() if isinstance(opt_str, str) else opt_str
 
+    table: dict = {}
+    if isinstance(supported, enum.EnumMeta):
+        for member in supported:
+            table[member.value] = member
+            table[member] = member
+    elif isinstance(supported, Mapping):
+        table = dict(supported)
+    elif supported is not None:
+        table = {item: item for item in supported}
+
+    if query in table:
+        return table[query]
     if default != "no_default":
         return default
 
-    set_to_check: set
-    if isinstance(supported, enum.EnumMeta):
-        set_to_check = {item.value for item in supported}
-    else:
-        set_to_check = set(supported) if supported is not None else set()
-    if not set_to_check:
+    candidates = ({m.value for m in supported} if isinstance(supported, enum.EnumMeta)
+                  else set(table))
+    if not candidates:
         raise ValueError(f"No options available: {supported}.")
-    edit_dists = {}
-    opt_str_ = str(opt_str)
-    for key in set_to_check:
-        edit_dist = damerau_levenshtein_distance(str(key), opt_str_)
-        if edit_dist <= 3:
-            edit_dists[key] = edit_dist
-
-    supported_msg = f"Available options are {set_to_check}.\n" if print_all_options else ""
-    if edit_dists:
-        guess_at_spelling = min(edit_dists, key=edit_dists.get)
+    listing = f"Available options are {candidates}.\n" if print_all_options else ""
+    best, best_dist = None, 4  # suggest only within edit distance 3
+    for cand in candidates:
+        dist = damerau_levenshtein_distance(str(cand), str(query))
+        if dist < best_dist:
+            best, best_dist = cand, dist
+    if best is not None:
         raise ValueError(
-            f"By '{opt_str}', did you mean '{guess_at_spelling}'?\n"
-            f"'{opt_str}' is not a valid value.\n" + supported_msg
-        )
-    raise ValueError(f"Unsupported option '{opt_str}', " + supported_msg)
+            f"By '{query}', did you mean '{best}'?\n"
+            f"'{query}' is not a valid value.\n" + listing)
+    raise ValueError(f"Unsupported option '{query}', " + listing)
 
 
 def damerau_levenshtein_distance(s1: str, s2: str) -> int:
-    """Edit distance with transpositions (reference: monai/utils/module.py:171)."""
+    """Edit distance counting insert/delete/substitute/transpose, via a rolling
+    three-row dynamic program (reference semantics: monai/utils/module.py:171)."""
     if s1 == s2:
         return 0
-    string_1_length, string_2_length = len(s1), len(s2)
-    if not s1:
-        return string_2_length
-    if not s2:
-        return string_1_length
-    d = {(i, -1): i + 1 for i in range(-1, string_1_length + 1)}
-    for j in range(-1, string_2_length + 1):
-        d[(-1, j)] = j + 1
-    for i, s1i in enumerate(s1):
-        for j, s2j in enumerate(s2):
-            cost = 0 if s1i == s2j else 1
-            d[(i, j)] = min(d[(i - 1, j)] + 1, d[(i, j - 1)] + 1, d[(i - 1, j - 1)] + cost)
-            if i and j and s1i == s2[j - 1] and s1[i - 1] == s2j:
-                d[(i, j)] = min(d[(i, j)], d[i - 2, j - 2] + cost)
-    return d[string_1_length - 1, string_2_length - 1]
+    if not s1 or not s2:
+        return max(len(s1), len(s2))
+    n = len(s2)
+    prev2: list[int] = []
+    prev = list(range(n + 1))
+    for i, a in enumerate(s1, start=1):
+        row = [i] + [0] * n
+        for j, b in enumerate(s2, start=1):
+            best = min(prev[j] + 1,                      # delete from s1
+                       row[j - 1] + 1,                   # insert into s1
+                       prev[j - 1] + (a != b))           # substitute
+            if i > 1 and j > 1 and a == s2[j - 2] and s1[i - 2] == b:
+                best = min(best, prev2[j - 2] + (a != b))  # transpose
+            row[j] = best
+        prev2, prev = prev, row
+    return prev[n]
 
 
 def min_version(the_module: Any, min_version_str: str = "", *_args) -> bool:
