@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["halo_exchange", "spatial_shard_conv_forward"]
+__all__ = ["halo_exchange", "spatial_shard_conv_forward", "spatial_shard_net_forward"]
 
 
 def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str, spatial_axis: int = 2,
@@ -81,6 +81,64 @@ def spatial_shard_conv_forward(fn, mesh, axis_name: str = "space", halo: int = 1
         slicer = [slice(None)] * out.ndim
         slicer[spatial_axis] = slice(halo, out.shape[spatial_axis] - halo)
         return out[tuple(slicer)]
+
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                         check_vma=False)
+
+
+def spatial_shard_net_forward(layers, mesh, axis_name: str = "space", spatial_axis: int = 2,
+                              ndim: int = 5, boundary: str = "zero",
+                              batch_axis_name: str | None = None):
+    """Spatially-sharded MULTI-LAYER forward, bit-exact vs the unsharded net.
+
+    Unlike :func:`spatial_shard_conv_forward` (one halo for the whole stack, exact
+    only in the interior), each conv layer exchanges its own halo, so every layer
+    sees exactly the neighbor activations plus the true global boundary padding —
+    the sharded result equals the single-device forward everywhere.
+
+    ``layers`` is a sequence of:
+      ("conv", fn, radius)   — ``fn`` is a SAME conv (stride 1) with receptive
+                               radius ``radius`` along ``spatial_axis``;
+      ("pointwise", fn)      — any elementwise map (activation, bias, scale);
+      ("instance_norm", eps) — instance norm whose spatial statistics are reduced
+                               ACROSS shards with ``psum`` (cross-chip exactness).
+
+    ``batch_axis_name`` additionally shards the batch dim over a second mesh axis
+    (DP x SP on a 2-D mesh); the batch axis needs no communication.
+    """
+    spec_dims = [None] * ndim
+    spec_dims[spatial_axis] = axis_name
+    if batch_axis_name is not None:
+        spec_dims[0] = batch_axis_name
+    spec = P(*spec_dims)
+
+    def local_fn(x):
+        for entry in layers:
+            kind = entry[0]
+            if kind == "conv":
+                _, fn_l, radius = entry
+                padded = halo_exchange(x, radius, axis_name, spatial_axis, boundary=boundary)
+                y = fn_l(padded)
+                slicer = [slice(None)] * y.ndim
+                slicer[spatial_axis] = slice(radius, y.shape[spatial_axis] - radius)
+                x = y[tuple(slicer)]
+            elif kind == "pointwise":
+                x = entry[1](x)
+            elif kind == "instance_norm":
+                eps = entry[1]
+                red = tuple(range(2, x.ndim))
+                cnt_local = 1.0
+                for a in red:
+                    cnt_local *= x.shape[a]
+                s = jax.lax.psum(jnp.sum(x, axis=red, keepdims=True), axis_name)
+                ss = jax.lax.psum(jnp.sum(x * x, axis=red, keepdims=True), axis_name)
+                cnt = jax.lax.psum(jnp.asarray(cnt_local, x.dtype), axis_name)
+                mean = s / cnt
+                var = ss / cnt - mean * mean
+                x = (x - mean) * jax.lax.rsqrt(var + eps)
+            else:
+                raise ValueError(f"unknown layer kind {kind!r}")
+        return x
 
     return jax.shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
                          check_vma=False)
