@@ -165,8 +165,8 @@ class OpenSlideWSIReader(BaseWSIReader):
         return out if len(out) > 1 else out[0]
 
     def _get_patch(self, wsi, location, size, level, dtype, mode) -> np.ndarray:
-        ratio = self.get_downsample_ratio(wsi, level)
-        loc0 = (int(location[1] * ratio), int(location[0] * ratio))  # openslide is level-0 xy
+        # `location` is already level-0 (yx); openslide wants level-0 xy
+        loc0 = (int(location[1]), int(location[0]))
         pil = wsi.read_region(location=loc0, size=size[::-1], level=level).convert(mode)
         return np.asarray(pil, dtype=dtype).transpose(2, 0, 1)
 
@@ -195,24 +195,31 @@ class TiffFileWSIReader(BaseWSIReader):
         return out if len(out) > 1 else out[0]
 
     def _get_patch(self, wsi, location, size, level, dtype, mode) -> np.ndarray:
+        # `location` is in the level-0 reference frame (reference convention)
+        ratio = self.get_downsample_ratio(wsi, level)
+        loc = [round(location[i] / ratio) for i in range(len(location))]
         arr = wsi.asarray(level=level)
-        patch = arr[location[0]:location[0] + size[0], location[1]:location[1] + size[1]]
+        patch = arr[loc[0]:loc[0] + size[0], loc[1]:loc[1] + size[1]]
         if patch.ndim == 2:
             patch = patch[..., None].repeat(3, axis=-1)
         return np.asarray(patch, dtype=dtype).transpose(2, 0, 1)[:3]
 
 
 class PILWSIReader(BaseWSIReader):
-    """Single-level fallback backend using PIL: treats an ordinary image file as a
-    one-level slide so the WSI patch datasets work without WSI libraries."""
+    """PIL-backed slide reader. Ordinary images are one-level slides; MULTI-PAGE
+    TIFFs are treated as resolution pyramids (page k = level k), so real pyramidal
+    WSI files round-trip without the optional cucim/openslide/tifffile packages.
+    Patch ``location`` follows the reference's level-0 frame convention."""
 
     supported_suffixes = ["png", "jpg", "jpeg", "bmp", "tif", "tiff"]
     backend = "pil"
 
     def get_level_count(self, wsi) -> int:
-        return 1
+        return int(getattr(wsi, "n_frames", 1))
 
     def get_size(self, wsi, level: int) -> tuple[int, int]:
+        if getattr(wsi, "n_frames", 1) > 1:
+            wsi.seek(level)
         return (int(wsi.height), int(wsi.width))
 
     def read(self, data, **kwargs):
@@ -223,8 +230,14 @@ class PILWSIReader(BaseWSIReader):
         return out if len(out) > 1 else out[0]
 
     def _get_patch(self, wsi, location, size, level, dtype, mode) -> np.ndarray:
+        if getattr(wsi, "n_frames", 1) > 1:
+            ratio = self.get_downsample_ratio(wsi, level)
+            wsi.seek(level)
+        else:
+            ratio = 1.0
+        loc = [round(location[i] / ratio) for i in range(len(location))]
         arr = np.asarray(wsi.convert(mode))
-        patch = arr[location[0]:location[0] + size[0], location[1]:location[1] + size[1]]
+        patch = arr[loc[0]:loc[0] + size[0], loc[1]:loc[1] + size[1]]
         return np.asarray(patch, dtype=dtype).transpose(2, 0, 1)
 
 
