@@ -8,6 +8,12 @@ multi-device scheduling, validation, best-configuration search, ensemble predict
 ``nnunetv2`` package (CUDA/torch) gate on its availability with a clear
 ImportError; everything else (conversion, command generation, fold scheduling,
 environment layout) runs standalone.
+
+
+NOTE: every verb shells out to the optional ``nnunetv2`` package, which is
+not installed in this environment — the orchestration is exercised with
+mocks in tests/test_nnunet_runner.py and the live integration is unproven
+here (it follows the reference CLI contract, apps/nnunet/nnunetv2_runner.py).
 """
 from __future__ import annotations
 

@@ -149,20 +149,30 @@ def separable_affine_resample(img: Any, matrix: np.ndarray, out_shape: Sequence[
     in_shape = img.shape[1:]
     ns = jnp if is_jax(img) else np
     x = img
-    compute_dtype = jnp.float32 if is_jax(img) else np.float32
     orig_dtype = img.dtype
+    # bf16 fast path: a bf16 input keeps the matmuls in bf16 at DEFAULT precision
+    # (full-rate MXU, half the HBM bytes) with f32 accumulation per contraction;
+    # f32/f64 inputs keep the parity-exact f32 HIGHEST path.
+    bf16_path = is_jax(img) and x.dtype == jnp.bfloat16
+    compute_dtype = (jnp.bfloat16 if bf16_path else jnp.float32) if is_jax(img) else np.float32
     x = x.astype(compute_dtype)
     for d in range(D):
         scale = float(m[d, d])
         offset = float(m[d, D])
         W = interp_matrix(int(in_shape[d]), int(out_shape[d]), scale, offset, order, bound,
                           align_corners)
-        Wd = jnp.asarray(W) if is_jax(img) else W
         # contract input axis d+1 (after channel): out[..., i, ...] = sum_j W[i,j] x[..., j, ...]
         if ns is jnp:
-            x = ns.moveaxis(ns.tensordot(Wd, x, axes=(1, d + 1), precision=jax.lax.Precision.HIGHEST), 0, d + 1)
+            if bf16_path:
+                Wd = jnp.asarray(W).astype(jnp.bfloat16)
+                y = jax.lax.dot_general(Wd, x, (((1,), (d + 1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                x = ns.moveaxis(y.astype(jnp.bfloat16), 0, d + 1)
+            else:
+                x = ns.moveaxis(ns.tensordot(jnp.asarray(W), x, axes=(1, d + 1),
+                                             precision=jax.lax.Precision.HIGHEST), 0, d + 1)
         else:
-            x = ns.moveaxis(ns.tensordot(Wd, x, axes=(1, d + 1)), 0, d + 1)
+            x = ns.moveaxis(ns.tensordot(W, x, axes=(1, d + 1)), 0, d + 1)
     if np.issubdtype(np.dtype(str(orig_dtype)), np.floating):
         x = x.astype(orig_dtype)
     return x
