@@ -60,17 +60,23 @@ class Cell(nnx.Module):
     def __init__(self, c_prev: int, c: int, rate: int, arch_code_c=None,
                  spatial_dims: int = 3, act_name="RELU", norm_name=_INSTANCE,
                  *, rngs: nnx.Rngs):
+        # activation-memory cost per output voxel, relative to the op's own output
+        # (reference: dints.py:75-157 _*WithRAMCost constants)
         if rate == -1:
             self.preprocess = FactorizedReduceBlock(c_prev, c, spatial_dims, act_name,
                                                     norm_name, rngs=rngs)
+            self.preprocess_ram_cost = c_prev / c * 2 ** spatial_dims + 3
         elif rate == 1:
             self.preprocess = FactorizedIncreaseBlock(c_prev, c, spatial_dims, act_name,
                                                       norm_name, rngs=rngs)
+            self.preprocess_ram_cost = 2 * c_prev / c + 2
         elif c_prev == c:
             self.preprocess = _Identity()
+            self.preprocess_ram_cost = 0.0
         else:
             self.preprocess = ActiConvNormBlock(c_prev, c, 1, 0, spatial_dims, act_name,
                                                 norm_name, rngs=rngs)
+            self.preprocess_ram_cost = 1 + 2 * c_prev / c
         if spatial_dims == 2:
             ops = {
                 "skip_connect": lambda _c: _Identity(),
@@ -92,6 +98,11 @@ class Cell(nnx.Module):
         else:
             raise NotImplementedError(f"Spatial dimensions {spatial_dims} is not supported.")
         self.op = MixedOp(c, ops, arch_code_c, rngs=rngs)
+        # per-op ram cost (in==out==c): skip 0, full conv 3 (=1+2), P3D 4 (=2+2)
+        names = self.OPS2D_NAMES if spatial_dims == 2 else self.OPS3D_NAMES
+        op_ram = {"skip_connect": 0.0, "conv_3x3": 3.0, "conv_3x3x3": 3.0,
+                  "conv_3x3x1": 4.0, "conv_3x1x3": 4.0, "conv_1x3x3": 4.0}
+        self.op_ram_cost = [op_ram[n] for n in names]
 
     def __call__(self, x, weight=None):
         return self.op(self.preprocess(x), weight)
@@ -190,14 +201,124 @@ class TopologySearch(TopologyConstruction):
         self.log_alpha_a = nnx.Param(1e-3 * jax.random.normal(k1, (num_blocks, n_paths)))
         self.log_alpha_c = nnx.Param(
             1e-3 * jax.random.normal(k2, (num_blocks, n_paths, self.num_cell_ops)))
+        # search-time host-side machinery (reference: dints.py:804 gen_mtx).
+        # Host constants are kept as plain Python lists: nnx treats ndarray
+        # attributes as pytree data, which these are not.
+        transfer_mtx, node_act_list, child_list = self.gen_mtx(num_depths)
+        self.transfer_mtx = {k: [m.tolist() for m in v] for k, v in transfer_mtx.items()}
+        self.node_act_list = node_act_list
+        self.child_list = child_list.tolist()
+        self.node_act_dict = {str(np.asarray(k)): i for i, k in enumerate(node_act_list)}
+        # per-(block, path, op) activation-memory weights (reference: dints.py:781)
+        ram = np.zeros((num_blocks, n_paths, self.num_cell_ops), np.float32)
+        for blk_idx in range(num_blocks):
+            for res_idx in range(n_paths):
+                key_ = str((blk_idx, res_idx))
+                if key_ in self.cell_tree:
+                    cell_obj = self.cell_tree[key_]
+                    ram[blk_idx, res_idx] = np.asarray(cell_obj.op_ram_cost) + float(
+                        cell_obj.preprocess_ram_cost)
+        self.ram_cost = ram.tolist()
+
+    def gen_mtx(self, depth: int):
+        """Feasible-topology tables (reference: dints.py:804): transfer_mtx maps a
+        node-activation pattern to the path-activation matrices consistent with it;
+        node_act_list/child_list enumerate all non-zero node/path activations."""
+        paths = Cell.DIRECTIONS * depth - 2
+
+        def all_binary(n):
+            return [[(i >> (n - 1 - b)) & 1 for b in range(n)] for i in range(2 ** n)]
+
+        all_connect = all_binary(paths)
+        mtx = []
+        for m in all_connect:
+            ma = np.zeros((depth, depth))
+            for i in range(paths):
+                ma[(i + 1) // Cell.DIRECTIONS,
+                   (i + 1) // Cell.DIRECTIONS - 1 + (i + 1) % Cell.DIRECTIONS] = m[i]
+            mtx.append(ma)
+        node_act_list = all_binary(depth)[1:]
+        transfer_mtx = {}
+        for arch_code in node_act_list:
+            transfer_mtx[str(np.array(arch_code))] = [
+                m for m in mtx
+                if ((np.sum(m, 0) > 0).astype(int) == np.array(arch_code)).all()]
+        # indices of path entries in the flattened (depth, depth) matrix
+        self.tidx = []
+        for i in range(paths):
+            r = (i + 1) // Cell.DIRECTIONS
+            c = (i + 1) // Cell.DIRECTIONS - 1 + (i + 1) % Cell.DIRECTIONS
+            self.tidx.append(r * depth + c)
+        return transfer_mtx, node_act_list, np.asarray(all_connect[1:])
 
     def get_prob_a(self, child: bool = False):
-        """Path activation probabilities (sigmoid of log_alpha_a)."""
-        probs = jax.nn.sigmoid(self.log_alpha_a.value)
-        return None, probs
+        """Path-activation probabilities, renormalized to exclude the all-zero
+        pattern; with ``child`` also the probability of every child topology
+        (reference: dints.py:846)."""
+        _p = jax.nn.sigmoid(self.log_alpha_a.value)
+        norm = 1 - jnp.prod(1 - _p, axis=-1)
+        arch_code_prob_a = _p / norm[:, None]
+        if child:
+            pa = jnp.asarray(np.asarray(self.child_list), _p.dtype)  # (n_child, n_paths)
+            probs = jnp.stack([
+                jnp.prod(pa * _p[b] + (1 - pa) * (1 - _p[b]), axis=-1) / norm[b]
+                for b in range(self.num_blocks)])
+            return probs, arch_code_prob_a
+        return None, arch_code_prob_a
+
+    def get_ram_cost_usage(self, in_size, full: bool = False):
+        """Estimated activation memory (MB) of the weighted supernet
+        (reference: dints.py:878)."""
+        batch_size = int(in_size[0])
+        image_size = np.array(in_size[-self._spatial_dims:])
+        sizes = np.array([
+            batch_size * self.filter_nums[res_idx] * (image_size // (2 ** res_idx)).prod()
+            for res_idx in range(self.num_depths)], np.float32)
+        sizes = sizes / (2 ** int(self.use_downsample))
+        _, arch_code_prob_a = self.get_prob_a(child=False)
+        cell_prob = jax.nn.softmax(self.log_alpha_c.value, axis=-1)
+        if full:
+            arch_code_prob_a = jnp.ones_like(arch_code_prob_a)
+        ram_cost = jnp.asarray(self.ram_cost)
+        usage = 0.0
+        for blk_idx in range(self.num_blocks):
+            for path_idx in range(len(self.arch_code2out)):
+                usage = usage + (
+                    arch_code_prob_a[blk_idx, path_idx]
+                    * (1 + (ram_cost[blk_idx, path_idx] * cell_prob[blk_idx, path_idx]).sum())
+                    * sizes[self.arch_code2out[path_idx]])
+        return usage * 32 / 8 / 1024 ** 2
+
+    def get_topology_entropy(self, probs):
+        """Topology continuity entropy between adjacent blocks
+        (reference: dints.py:911)."""
+        if not hasattr(self, "_node2in"):
+            node2in = [[] for _ in range(len(self.node_act_list))]
+            node2out = [[] for _ in range(len(self.node_act_list))]
+            child_arr = np.asarray(self.child_list)
+            for child_idx in range(len(child_arr)):
+                _node_in = np.zeros(self.num_depths)
+                _node_out = np.zeros(self.num_depths)
+                for res_idx in range(len(self.arch_code2out)):
+                    _node_out[self.arch_code2out[res_idx]] += child_arr[child_idx][res_idx]
+                    _node_in[self.arch_code2in[res_idx]] += child_arr[child_idx][res_idx]
+                _node_in = (_node_in >= 1).astype(int)
+                _node_out = (_node_out >= 1).astype(int)
+                node2in[self.node_act_dict[str(_node_out)]].append(child_idx)
+                node2out[self.node_act_dict[str(_node_in)]].append(child_idx)
+            self._node2in, self._node2out = node2in, node2out
+        ent = 0.0
+        for blk_idx in range(self.num_blocks - 1):
+            for node_idx in range(len(self.node_act_list)):
+                _node_p = probs[blk_idx, self._node2in[node_idx]].sum()
+                _out_probs = probs[blk_idx + 1, self._node2out[node_idx]].sum()
+                ent = ent + -(_node_p * jnp.log(_out_probs + 1e-5)
+                              + (1 - _node_p) * jnp.log(1 - _out_probs + 1e-5))
+        return ent
 
     def __call__(self, x: list) -> list:
-        probs_a = jax.nn.sigmoid(self.log_alpha_a.value)
+        # renormalized path probabilities (all-zero pattern excluded), ref forward
+        _, probs_a = self.get_prob_a(child=False)
         probs_c = jax.nn.softmax(self.log_alpha_c.value, axis=-1)
         inputs = x
         for blk_idx in range(self.num_blocks):
@@ -213,15 +334,60 @@ class TopologySearch(TopologyConstruction):
         return inputs
 
     def decode(self):
-        """Greedy arch decode: threshold path probs at 0.5 (at least one path per block),
-        argmax op probs. Returns (arch_code_a, arch_code_c_ind)."""
-        probs_a = np.asarray(jax.nn.sigmoid(self.log_alpha_a.value))
-        code_a = (probs_a >= 0.5).astype(np.int64)
-        for blk in range(code_a.shape[0]):
-            if code_a[blk].sum() == 0:
-                code_a[blk, int(np.argmax(probs_a[blk]))] = 1
-        code_c = np.asarray(jnp.argmax(self.log_alpha_c.value, axis=-1))
-        return code_a, code_c
+        """Dijkstra decode over the feasible-topology DAG (reference: dints.py:949):
+        nodes are (block, child-topology) pairs, edges exist only between
+        consecutive-block topologies consistent under ``transfer_mtx``, edge weight
+        is -log(child probability). Returns
+        ``(node_a, arch_code_a, arch_code_c, arch_code_a_max)``."""
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import dijkstra
+
+        probs, _ = self.get_prob_a(child=True)
+        probs = np.asarray(probs)
+        child_arr = np.asarray(self.child_list)
+        arch_code_a_max = child_arr[np.argmax(probs, -1)]
+        arch_code_c = np.asarray(jnp.argmax(
+            jax.nn.softmax(self.log_alpha_c.value, axis=-1), axis=-1))
+
+        n_child = len(child_arr)
+        amtx = np.zeros((1 + n_child * self.num_blocks + 1,
+                         1 + n_child * self.num_blocks + 1))
+        path2child = {str(child_arr[i]): i for i in range(n_child)}
+        sub_amtx = np.zeros((n_child, n_child))
+        for child_idx in range(n_child):
+            _node_act = np.zeros(self.num_depths, int)
+            for path_idx in range(child_arr.shape[1]):
+                _node_act[self.arch_code2out[path_idx]] += child_arr[child_idx][path_idx]
+            _node_act = (_node_act >= 1).astype(int)
+            for mtx in self.transfer_mtx[str(_node_act)]:
+                mtx = np.asarray(mtx)
+                connect_idx = path2child[str(mtx.flatten()[self.tidx].astype(int))]
+                sub_amtx[child_idx, connect_idx] = 1
+        amtx[0, 1:1 + n_child] = -np.log(probs[0] + 1e-5) + 0.001
+        for blk_idx in range(1, self.num_blocks):
+            amtx[1 + (blk_idx - 1) * n_child:1 + blk_idx * n_child,
+                 1 + blk_idx * n_child:1 + (blk_idx + 1) * n_child] = (
+                sub_amtx * np.tile(-np.log(probs[blk_idx] + 1e-5) + 0.001, (n_child, 1)))
+        amtx[1 + (self.num_blocks - 1) * n_child:1 + self.num_blocks * n_child, -1] = 0.001
+
+        _, predecessors, _ = dijkstra(csgraph=csr_matrix(amtx), directed=True, indices=0,
+                                      min_only=True, return_predecessors=True)
+        index, a_idx = -1, -1
+        arch_code_a = np.zeros((self.num_blocks, len(self.arch_code2out)))
+        node_a = np.zeros((self.num_blocks + 1, self.num_depths))
+        while True:
+            index = predecessors[index]
+            if index == 0:
+                break
+            child_idx = (index - 1) % n_child
+            arch_code_a[a_idx, :] = child_arr[child_idx]
+            for res_idx in range(len(self.arch_code2out)):
+                node_a[a_idx, self.arch_code2out[res_idx]] += arch_code_a[a_idx, res_idx]
+            a_idx -= 1
+        for res_idx in range(len(self.arch_code2out)):
+            node_a[a_idx, self.arch_code2in[res_idx]] += arch_code_a[0, res_idx]
+        node_a = (node_a >= 1).astype(int)
+        return node_a, arch_code_a, arch_code_c, arch_code_a_max
 
 
 class _Act(nnx.Module):
