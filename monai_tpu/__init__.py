@@ -64,3 +64,15 @@ def load_submodules(basemod=None, load_all: bool = True, exclude_pattern: str = 
         setattr(sys.modules[__name__], name, mod)
         mods.append(mod)
     return mods, []
+
+
+class DeprecatedTypesWarningFilter(__import__("logging").Filter):
+    """Logging filter dropping numpy/torch deprecated-type warnings emitted by
+    third-party imports (reference: monai/__init__.py:31)."""
+
+    _BODIES = ("np.bool8", "np.object0", "np.int0", "np.uint0", "np.void0", "np.str0",
+               "np.bytes0", "@validator", "@root_validator", "class-based `config`",
+               "pkg_resources", "Implicitly cleaning up")
+
+    def filter(self, record):  # noqa: A003
+        return not any(b in record.getMessage() for b in self._BODIES)

@@ -6,6 +6,7 @@ from .ensemble_builder import AlgoEnsemble, AlgoEnsembleBestByFold, AlgoEnsemble
 from .hpo_gen import GridHPOGen, HPOGen, NNIGen, RandomHPOGen
 from .ensemble_builder import AlgoEnsembleBuilder, EnsembleRunner
 from .hpo_gen import OptunaGen
+from .transforms import EnsureSameShaped
 from .utils import (
     algo_from_pickle,
     algo_to_pickle,

@@ -5,3 +5,5 @@ from .utils.matchers import ATSSMatcher, Matcher
 from .utils.sampler import HardNegativeSampler
 from .metrics import COCOMetric, matching_batch
 from .utils.box_selector import BoxSelector
+from .networks.retinanet import RetinaNetClassificationHead, RetinaNetRegressionHead
+from .utils.sampler import HardNegativeSamplerBase

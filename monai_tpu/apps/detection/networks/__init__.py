@@ -1,0 +1,1 @@
+from .retinanet import RetinaNet, RetinaNetClassificationHead, RetinaNetDetector, RetinaNetHead, RetinaNetRegressionHead

@@ -187,3 +187,36 @@ class RetinaNetDetector:
                 results.append({"boxes": np.zeros((0, 2 * self.spatial_dims)),
                                 "scores": np.zeros((0,)), "labels": np.zeros((0,), dtype=np.int64)})
         return results
+
+
+class RetinaNetClassificationHead(_HeadTower):
+    """Classification tower emitting num_anchors*num_classes logit maps
+    (reference: retinanet_network.py RetinaNetClassificationHead)."""
+
+    def __init__(self, in_channels: int, num_anchors: int, num_classes: int,
+                 spatial_dims: int = 3, prior_probability: float = 0.01, *, rngs):
+        super().__init__(spatial_dims, in_channels, num_anchors * num_classes, rngs=rngs)
+        self.num_classes = num_classes
+        self.num_anchors = num_anchors
+
+    def __call__(self, x):
+        if isinstance(x, (list, tuple)):
+            return [super(RetinaNetClassificationHead, self).__call__(f) for f in x]
+        return super().__call__(x)
+
+
+class RetinaNetRegressionHead(_HeadTower):
+    """Box-delta regression tower emitting num_anchors*2*spatial_dims maps
+    (reference: retinanet_network.py RetinaNetRegressionHead)."""
+
+    def __init__(self, in_channels: int, num_anchors: int, spatial_dims: int = 3, *, rngs):
+        super().__init__(spatial_dims, in_channels, num_anchors * 2 * spatial_dims, rngs=rngs)
+        self.num_anchors = num_anchors
+
+    def __call__(self, x):
+        if isinstance(x, (list, tuple)):
+            return [super(RetinaNetRegressionHead, self).__call__(f) for f in x]
+        return super().__call__(x)
+
+
+__all__ += ["RetinaNetClassificationHead", "RetinaNetRegressionHead"]

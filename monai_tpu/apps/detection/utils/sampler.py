@@ -46,3 +46,24 @@ class HardNegativeSampler:
             pos_masks.append(pos_mask)
             neg_masks.append(neg_mask)
         return pos_masks, neg_masks
+
+
+class HardNegativeSamplerBase:
+    """Base protocol for hard-negative samplers: subclasses implement
+    ``select_samples_img`` / ``__call__`` (reference: hard_negative_sampler.py:24
+    HardNegativeSamplerBase)."""
+
+    def __init__(self, pool_size: float = 10):
+        self.pool_size = pool_size
+
+    def select_negatives(self, negative: np.ndarray, num_neg: int, fg_probs: np.ndarray):
+        """Hardest-negative selection from a randomized pool of the highest-scoring
+        negatives."""
+        pool = min(negative.size, int(num_neg * self.pool_size))
+        if negative.size == 0:
+            return negative
+        hard_idx = negative[np.argsort(-fg_probs[negative])[:pool]]
+        return np.random.permutation(hard_idx)[:num_neg]
+
+
+__all__ += ["HardNegativeSamplerBase"]

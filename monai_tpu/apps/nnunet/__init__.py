@@ -7,3 +7,4 @@ from .nnunet_bundle import (
     get_nnunet_monai_predictor,
     get_nnunet_trainer,
 )
+from .utils import NNUNETMode, analyze_data, create_new_data_copy, create_new_dataset_json

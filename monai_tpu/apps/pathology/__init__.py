@@ -19,6 +19,11 @@ from .post_transforms import (
     GenerateInstanceCentroidd,
     GenerateInstanceTyped,
     HoVerNetNuclearTypePostProcessingd,
+    GenerateWatershedMaskd,
+    GenerateInstanceBorderd,
+    GenerateDistanceMapd,
+    GenerateWatershedMarkersd,
+    HoVerNetInstanceMapPostProcessingd,
     find_contours,
     watershed,
 )

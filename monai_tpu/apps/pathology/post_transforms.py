@@ -38,6 +38,11 @@ __all__ = [
     "GenerateInstanceCentroidd",
     "GenerateInstanceTyped",
     "HoVerNetNuclearTypePostProcessingd",
+    "GenerateWatershedMaskd",
+    "GenerateInstanceBorderd",
+    "GenerateDistanceMapd",
+    "GenerateWatershedMarkersd",
+    "HoVerNetInstanceMapPostProcessingd",
 ]
 
 
@@ -596,4 +601,121 @@ class HoVerNetNuclearTypePostProcessingd(Transform):
             d[self.type_prediction_key], d[self.instance_info_key], d[self.instance_map_key])
         if type_map is not None:
             d[self.type_map_key] = type_map
+        return d
+
+
+class GenerateWatershedMaskd(MapTransform):
+    """Dict wrapper of GenerateWatershedMask (reference: post/dictionary.py:127):
+    reads the prediction at each key, writes the foreground mask to ``mask_key``."""
+
+    def __init__(self, keys, mask_key: str = "mask", activation="softmax",
+                 threshold: float | None = None, min_object_size: int = 10,
+                 allow_missing_keys: bool = False, **kwargs):
+        super().__init__(keys, allow_missing_keys)
+        from .hovernet_utils import GenerateWatershedMask
+
+        self.mask_key = mask_key
+        self.transform = GenerateWatershedMask(activation=activation, threshold=threshold,
+                                               min_object_size=min_object_size)
+
+    def __call__(self, data):
+        d = dict(data)
+        for key in self.key_iterator(d):
+            mask = self.transform(d[key])
+            if self.mask_key in d:
+                raise KeyError(f"Mask with key {self.mask_key} already exists.")
+            d[self.mask_key] = mask
+        return d
+
+
+class GenerateInstanceBorderd(Transform):
+    """Dict wrapper of GenerateInstanceBorder (reference: post/dictionary.py:171)."""
+
+    def __init__(self, mask_key: str = "mask", hover_map_key: str = "hover_map",
+                 border_key: str = "border", kernel_size: int = 5, **kwargs):
+        from .hovernet_utils import GenerateInstanceBorder
+
+        self.mask_key = mask_key
+        self.hover_map_key = hover_map_key
+        self.border_key = border_key
+        self.transform = GenerateInstanceBorder(kernel_size=kernel_size)
+
+    def __call__(self, data):
+        d = dict(data)
+        if self.border_key in d:
+            raise KeyError(f"Border with key {self.border_key} already exists.")
+        d[self.border_key] = self.transform(d[self.mask_key], d[self.hover_map_key])
+        return d
+
+
+class GenerateDistanceMapd(Transform):
+    """Dict wrapper of GenerateDistanceMap (reference: post/dictionary.py:212)."""
+
+    def __init__(self, mask_key: str = "mask", border_key: str = "border",
+                 dist_map_key: str = "dist_map", smooth_fn=None, **kwargs):
+        from .hovernet_utils import GenerateDistanceMap
+
+        self.mask_key = mask_key
+        self.border_key = border_key
+        self.dist_map_key = dist_map_key
+        self.transform = GenerateDistanceMap(smooth_fn=smooth_fn)
+
+    def __call__(self, data):
+        d = dict(data)
+        if self.dist_map_key in d:
+            raise KeyError(f"Distance map with key {self.dist_map_key} already exists.")
+        d[self.dist_map_key] = self.transform(d[self.mask_key], d[self.border_key])
+        return d
+
+
+class GenerateWatershedMarkersd(Transform):
+    """Dict wrapper of GenerateWatershedMarkers (reference: post/dictionary.py:248)."""
+
+    def __init__(self, mask_key: str = "mask", border_key: str = "border",
+                 markers_key: str = "markers", threshold: float = 0.4, radius: int = 2,
+                 min_object_size: int = 10, postprocess_fn=None, **kwargs):
+        from .hovernet_utils import GenerateWatershedMarkers
+
+        self.mask_key = mask_key
+        self.border_key = border_key
+        self.markers_key = markers_key
+        self.postprocess_fn = postprocess_fn
+        self.transform = GenerateWatershedMarkers(threshold=threshold, radius=radius,
+                                                  min_object_size=min_object_size)
+
+    def __call__(self, data):
+        d = dict(data)
+        if self.markers_key in d:
+            raise KeyError(f"Markers with key {self.markers_key} already exists.")
+        markers = self.transform(d[self.mask_key], d[self.border_key])
+        if self.postprocess_fn is not None:
+            markers = self.postprocess_fn(markers)
+        d[self.markers_key] = markers
+        return d
+
+
+class HoVerNetInstanceMapPostProcessingd(Transform):
+    """Dict wrapper of HoVerNetInstanceMapPostProcessing
+    (reference: post/dictionary.py:462): writes ``instance_info`` and
+    ``instance_map`` from the NP and HV branch predictions."""
+
+    def __init__(self, nuclear_prediction_key: str = "nucleus_prediction",
+                 hover_map_key: str = "horizontal_vertical",
+                 instance_info_key: str = "instance_info",
+                 instance_map_key: str = "instance_map", **kwargs):
+        from .hovernet_utils import HoVerNetInstanceMapPostProcessing
+
+        self.nuclear_prediction_key = nuclear_prediction_key
+        self.hover_map_key = hover_map_key
+        self.instance_info_key = instance_info_key
+        self.instance_map_key = instance_map_key
+        self.converter = HoVerNetInstanceMapPostProcessing(**kwargs)
+
+    def __call__(self, data):
+        d = dict(data)
+        for key in (self.instance_info_key, self.instance_map_key):
+            if key in d:
+                raise KeyError(f"The output key {key} already exists.")
+        d[self.instance_info_key], d[self.instance_map_key] = self.converter(
+            d[self.nuclear_prediction_key], d[self.hover_map_key])
         return d

@@ -162,3 +162,30 @@ class CameraDataset(IterableDataset, VideoDataset):
             except RuntimeError:
                 return
             produced += 1
+
+
+class SuppressStderr:
+    """Context manager silencing OS-level stderr — OpenCV backends are noisy
+    (reference: data/video_dataset.py:43)."""
+
+    def __enter__(self):
+        import sys
+
+        self._devnull = open(os.devnull, "w")
+        self._old_fd = os.dup(sys.stderr.fileno())
+        self._stderr_fileno = sys.stderr.fileno()
+        self._old_stderr = sys.stderr
+        os.dup2(self._devnull.fileno(), self._stderr_fileno)
+        sys.stderr = self._devnull
+        return self
+
+    def __exit__(self, *_):
+        import sys
+
+        os.dup2(self._old_fd, self._stderr_fileno)
+        os.close(self._old_fd)
+        sys.stderr = self._old_stderr
+        self._devnull.close()
+
+
+__all__ += ["SuppressStderr"]

@@ -55,7 +55,7 @@ from .extra_metrics import (
     compute_variance,
     label_quality_score,
 )
-from .metrics_reloaded import MetricsReloadedBinary, MetricsReloadedCategorical
+from .metrics_reloaded import MetricsReloadedBinary, MetricsReloadedCategorical, MetricsReloadedWrapper
 from .regression import KernelType, MultiScaleSSIMMetric
 
 from .regression import compute_mmd, compute_ms_ssim, compute_ssim_and_cs

@@ -84,3 +84,8 @@ class MetricsReloadedCategorical(_MetricsReloadedWrapper):
                                  list(range(n_class)))
             out[i, 0] = getattr(measures, self.metric_name)()
         return out
+
+
+# Reference-name export (reference: metrics/wrapper.py:31 MetricsReloadedWrapper —
+# the shared base of the Binary/Categorical wrappers)
+MetricsReloadedWrapper = _MetricsReloadedWrapper

@@ -75,7 +75,7 @@ from .segresnet_block import get_upsample_layer
 
 # activation blocks live with the simple layers; re-exported here to mirror the
 # reference's networks/blocks/activation.py public surface
-from ..layers.simplelayers import GEGLU, MemoryEfficientSwish, Mish, Swish
+from ..layers.simplelayers import GEGLU, MemoryEfficientSwish, Mish, Swish, SwishImplementation
 
 # reference-name aliases
 Upsample = UpSample

@@ -339,3 +339,9 @@ def median_filter(in_tensor, kernel_size: Sequence[int] = (3, 3, 3), spatial_dim
     radii = [max((k - 1) // 2, 0) for k in ensure_tuple_rep(kernel_size, spatial_dims)]
     out = MedianFilter(radius=radii, spatial_dims=spatial_dims)(x)
     return out.reshape(orig_shape)
+
+
+# Reference-name export: the torch autograd.Function behind MemoryEfficientSwish
+# (reference: networks/blocks/activation.py:72 SwishImplementation). JAX autodiff
+# makes the custom backward unnecessary; the class is the op itself here.
+SwishImplementation = MemoryEfficientSwish

@@ -294,3 +294,13 @@ class AHNet(nnx.Module):
 
 
 AHnet = Ahnet = AHNet
+
+
+# Reference-name exports of the building blocks (reference: ahnet.py classes)
+Bottleneck3x3x1 = _Bottleneck331
+Pseudo3DLayer = _Pseudo3DLayer
+UpTransition = _UpTransition
+Final = _Final
+Projection = _Projection
+PSP = _PSP
+__all__ += ["Bottleneck3x3x1", "Pseudo3DLayer", "UpTransition", "Final", "Projection", "PSP"]

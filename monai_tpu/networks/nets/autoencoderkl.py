@@ -159,3 +159,115 @@ class AutoencoderKL(nnx.Module):
 
     def decode_stage_2_outputs(self, z: jnp.ndarray) -> jnp.ndarray:
         return self.decode(z)
+
+
+# ---------------------------------------------------------------------------
+# Public building blocks (reference: autoencoderkl.py AEKLResBlock / AsymmetricPad /
+# AEKLDownsample / Encoder / Decoder). AutoencoderKL above builds its stages as
+# flat module lists; these expose the reference block granularity, channels-last.
+# ---------------------------------------------------------------------------
+AEKLResBlock = _ResBlock
+
+
+class AsymmetricPad(nnx.Module):
+    """Pad (0, 1) on every spatial dim — the reference pads asymmetrically before
+    its stride-2 encoder conv (reference: autoencoderkl.py AsymmetricPad)."""
+
+    def __init__(self, spatial_dims: int):
+        self.spatial_dims = spatial_dims
+
+    def __call__(self, x):
+        pads = [(0, 0)] + [(0, 1)] * self.spatial_dims + [(0, 0)]
+        return jnp.pad(x, pads)
+
+
+class AEKLDownsample(nnx.Module):
+    """Asymmetric pad + stride-2 VALID conv (reference: autoencoderkl.py AEKLDownsample)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, *, rngs: nnx.Rngs):
+        self.pad = AsymmetricPad(spatial_dims)
+        self.conv = nnx.Conv(in_channels, in_channels, kernel_size=(3,) * spatial_dims,
+                             strides=(2,) * spatial_dims, padding="VALID", rngs=rngs)
+
+    def __call__(self, x):
+        return self.conv(self.pad(x))
+
+
+class Encoder(nnx.Module):
+    """Standalone VAE encoder stage: the same res/attn/downsample stack
+    AutoencoderKL builds inline (reference: autoencoderkl.py Encoder)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, channels, out_channels: int,
+                 num_res_blocks, norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                 attention_levels=None, with_nonlocal_attn: bool = True, *, rngs: nnx.Rngs):
+        n_levels = len(channels)
+        attention_levels = attention_levels or (False,) * n_levels
+        mods = [nnx.Conv(in_channels, channels[0], kernel_size=(3,) * spatial_dims, rngs=rngs)]
+        ch = channels[0]
+        for lvl in range(n_levels):
+            out_ch = channels[lvl]
+            for _ in range(num_res_blocks[lvl] if not isinstance(num_res_blocks, int)
+                           else num_res_blocks):
+                mods.append(_ResBlock(spatial_dims, ch, out_ch, norm_num_groups, norm_eps, rngs=rngs))
+                ch = out_ch
+                if attention_levels[lvl]:
+                    mods.append(_SpatialAttn(ch, norm_num_groups, norm_eps, rngs=rngs))
+            if lvl != n_levels - 1:
+                mods.append(AEKLDownsample(spatial_dims, ch, rngs=rngs))
+        if with_nonlocal_attn:
+            mods.append(_ResBlock(spatial_dims, ch, ch, norm_num_groups, norm_eps, rngs=rngs))
+            mods.append(_SpatialAttn(ch, norm_num_groups, norm_eps, rngs=rngs))
+            mods.append(_ResBlock(spatial_dims, ch, ch, norm_num_groups, norm_eps, rngs=rngs))
+        mods.append(_gn(ch, norm_num_groups, norm_eps, rngs))
+        mods.append(nnx.Conv(ch, out_channels, kernel_size=(3,) * spatial_dims, rngs=rngs))
+        self.blocks = nnx.List(mods)
+
+    def __call__(self, x):
+        n = len(self.blocks)
+        for i, m in enumerate(self.blocks):
+            x = m(x)
+            if isinstance(m, nnx.GroupNorm) and i == n - 2:
+                x = jax.nn.silu(x)
+        return x
+
+
+class Decoder(nnx.Module):
+    """Standalone VAE decoder stage (reference: autoencoderkl.py Decoder)."""
+
+    def __init__(self, spatial_dims: int, channels, in_channels: int, out_channels: int,
+                 num_res_blocks, norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                 attention_levels=None, with_nonlocal_attn: bool = True,
+                 use_convtranspose: bool = False, *, rngs: nnx.Rngs):
+        n_levels = len(channels)
+        attention_levels = attention_levels or (False,) * n_levels
+        ch = channels[-1]
+        mods = [nnx.Conv(in_channels, ch, kernel_size=(3,) * spatial_dims, rngs=rngs)]
+        if with_nonlocal_attn:
+            mods.append(_ResBlock(spatial_dims, ch, ch, norm_num_groups, norm_eps, rngs=rngs))
+            mods.append(_SpatialAttn(ch, norm_num_groups, norm_eps, rngs=rngs))
+            mods.append(_ResBlock(spatial_dims, ch, ch, norm_num_groups, norm_eps, rngs=rngs))
+        for lvl in reversed(range(n_levels)):
+            out_ch = channels[lvl]
+            for _ in range((num_res_blocks[lvl] if not isinstance(num_res_blocks, int)
+                            else num_res_blocks) + 1):
+                mods.append(_ResBlock(spatial_dims, ch, out_ch, norm_num_groups, norm_eps, rngs=rngs))
+                ch = out_ch
+                if attention_levels[lvl]:
+                    mods.append(_SpatialAttn(ch, norm_num_groups, norm_eps, rngs=rngs))
+            if lvl != 0:
+                mods.append(nnx.ConvTranspose(ch, ch, kernel_size=(2,) * spatial_dims,
+                                              strides=(2,) * spatial_dims, rngs=rngs))
+        mods.append(_gn(ch, norm_num_groups, norm_eps, rngs))
+        mods.append(nnx.Conv(ch, out_channels, kernel_size=(3,) * spatial_dims, rngs=rngs))
+        self.blocks = nnx.List(mods)
+
+    def __call__(self, x):
+        n = len(self.blocks)
+        for i, m in enumerate(self.blocks):
+            x = m(x)
+            if isinstance(m, nnx.GroupNorm) and i == n - 2:
+                x = jax.nn.silu(x)
+        return x
+
+
+__all__ += ["AEKLResBlock", "AsymmetricPad", "AEKLDownsample", "Encoder", "Decoder"]

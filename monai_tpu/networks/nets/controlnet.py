@@ -120,3 +120,34 @@ class ControlNet(nnx.Module):
                           for zc, o in zip(self.controlnet_down_blocks, outs)]
         mid_residual = self.controlnet_mid_block(h) * conditioning_scale
         return down_residuals, mid_residual
+
+
+class ControlNetConditioningEmbedding(nnx.Module):
+    """Encode the conditioning image into the latent space: SiLU conv stack with
+    stride-2 downsamples, zero-initialised output conv
+    (reference: controlnet.py:44). Channels-last."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int,
+                 channels, *, rngs: nnx.Rngs):
+        self.conv_in = nnx.Conv(in_channels, channels[0], kernel_size=(3,) * spatial_dims,
+                                rngs=rngs)
+        blocks = []
+        for i in range(len(channels) - 1):
+            blocks.append(nnx.Conv(channels[i], channels[i], kernel_size=(3,) * spatial_dims,
+                                   rngs=rngs))
+            blocks.append(nnx.Conv(channels[i], channels[i + 1],
+                                   kernel_size=(3,) * spatial_dims,
+                                   strides=(2,) * spatial_dims, rngs=rngs))
+        self.blocks = nnx.List(blocks)
+        self.conv_out = nnx.Conv(channels[-1], out_channels, kernel_size=(3,) * spatial_dims,
+                                 kernel_init=nnx.initializers.zeros_init(),
+                                 bias_init=nnx.initializers.zeros_init(), rngs=rngs)
+
+    def __call__(self, x):
+        h = jax.nn.silu(self.conv_in(x))
+        for blk in self.blocks:
+            h = jax.nn.silu(blk(h))
+        return self.conv_out(h)
+
+
+__all__ += ["ControlNetConditioningEmbedding"]

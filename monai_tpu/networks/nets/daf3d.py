@@ -216,3 +216,65 @@ class DAF3D(nnx.Module):
             sup3 = [to_cf(self.predict2(a)) for a in att_maps]
             return [up_full(final)] + [up_full(o) for o in supervised1 + supervised2 + sup3]
         return up_full(final)
+
+
+# ---------------------------------------------------------------------------
+# Reference-name exports (reference: daf3d.py Daf3dResNetBottleneck /
+# Daf3dResNetDilatedBottleneck / Daf3dResNet / Daf3dFPN / Daf3dBackboneWithFPN /
+# Daf3dASPP). The compact DAF3D above folds FPN/backbone composition inline;
+# these expose the reference granularity, channels-last.
+# ---------------------------------------------------------------------------
+Daf3dASPP = _ASPP
+Daf3dResNetBottleneck = _Bottleneck
+
+
+class Daf3dResNetDilatedBottleneck(_Bottleneck):
+    """Dilation-2 bottleneck (reference: daf3d.py Daf3dResNetDilatedBottleneck)."""
+
+    def __init__(self, in_planes, planes, stride=1, dilation: int = 2, *, rngs):
+        super().__init__(in_planes, planes, stride, dilation, rngs=rngs)
+
+
+class Daf3dResNet(Daf3dBackbone):
+    """The 4-stage GroupNorm/PReLU ResNet trunk (reference: daf3d.py Daf3dResNet);
+    identical to Daf3dBackbone here (which is its only instantiation)."""
+
+
+class Daf3dFPN(nnx.Module):
+    """Top-down feature pyramid over the 4 backbone maps: 1x1 lateral convs +
+    upsample-and-add + 3x3 smoothing (reference: daf3d.py Daf3dFPN)."""
+
+    def __init__(self, spatial_dims: int, in_channels_list, out_channels: int,
+                 *, rngs: nnx.Rngs):
+        self.inner = nnx.List([nnx.Conv(c, out_channels, kernel_size=(1,) * spatial_dims,
+                                        rngs=rngs) for c in in_channels_list])
+        self.layer = nnx.List([nnx.Conv(out_channels, out_channels,
+                                        kernel_size=(3,) * spatial_dims, rngs=rngs)
+                               for _ in in_channels_list])
+
+    def __call__(self, feats):
+        laterals = [conv(f) for conv, f in zip(self.inner, feats)]
+        out = [laterals[-1]]
+        for lat in reversed(laterals[:-1]):
+            up = _resize_to(out[0], lat.shape[1:-1])
+            out.insert(0, lat + up)
+        return [conv(o) for conv, o in zip(self.layer, out)]
+
+
+class Daf3dBackboneWithFPN(nnx.Module):
+    """Backbone + FPN composition (reference: daf3d.py Daf3dBackboneWithFPN)."""
+
+    def __init__(self, backbone=None, return_layers=None, in_channels_list=None,
+                 out_channels: int = 128, spatial_dims: int = 3, n_input_channels: int = 1,
+                 *, rngs: nnx.Rngs):
+        self.body = backbone if backbone is not None else Daf3dBackbone(n_input_channels,
+                                                                        rngs=rngs)
+        self.fpn = Daf3dFPN(spatial_dims, in_channels_list or (256, 512, 1024, 2048),
+                            out_channels, rngs=rngs)
+
+    def __call__(self, x_cl):
+        return self.fpn(self.body(x_cl))
+
+
+__all__ += ["Daf3dASPP", "Daf3dResNetBottleneck", "Daf3dResNetDilatedBottleneck",
+            "Daf3dResNet", "Daf3dFPN", "Daf3dBackboneWithFPN"]

@@ -284,3 +284,201 @@ class DiffusionModelEncoder(nnx.Module):
                     h = blk(h)
         h = h.mean(axis=tuple(range(1, h.ndim - 1)))  # global average pool
         return self.out_lin(h)
+
+
+# ---------------------------------------------------------------------------
+# Public building blocks (reference: diffusion_model_unet.py get_down_block /
+# get_mid_block / get_up_block factories and their block classes). The compact
+# DiffusionModelUNet above composes _ResBlock/_AttnBlock inline; these classes
+# expose the same reference block granularity for custom assembly. All operate
+# channels-last like the rest of this module.
+# ---------------------------------------------------------------------------
+DiffusionUNetResnetBlock = _ResBlock
+SpatialTransformer = _AttnBlock
+DiffusionUNetTransformerBlock = _AttnBlock
+
+
+class DiffusionUnetDownsample(nnx.Module):
+    """Stride-2 downsampler (conv or avg-pool)
+    (reference: diffusion_model_unet.py DiffusionUnetDownsample)."""
+
+    def __init__(self, spatial_dims: int, num_channels: int, use_conv: bool = True,
+                 out_channels: int | None = None, padding: int = 1, *, rngs: nnx.Rngs):
+        out_channels = out_channels or num_channels
+        self.use_conv = use_conv
+        if use_conv:
+            self.op = nnx.Conv(num_channels, out_channels, kernel_size=(3,) * spatial_dims,
+                               strides=(2,) * spatial_dims,
+                               padding=[(padding, padding)] * spatial_dims, rngs=rngs)
+        else:
+            if out_channels != num_channels:
+                raise ValueError("out_channels must equal num_channels when use_conv=False")
+            self.spatial_dims = spatial_dims
+
+    def __call__(self, x, emb=None):
+        if self.use_conv:
+            return self.op(x)
+        window = (1,) + (2,) * self.spatial_dims + (1,)
+        return jax.lax.reduce_window(x, 0.0, jax.lax.add, window, window, "VALID") / (
+            2 ** self.spatial_dims)
+
+
+class WrappedUpsample(nnx.Module):
+    """2x nearest upsample + conv (reference: diffusion_model_unet.py WrappedUpsample)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int | None = None,
+                 *, rngs: nnx.Rngs):
+        out_channels = out_channels or in_channels
+        self.spatial_dims = spatial_dims
+        self.conv = nnx.Conv(in_channels, out_channels, kernel_size=(3,) * spatial_dims, rngs=rngs)
+
+    def __call__(self, x, emb=None):
+        for ax in range(1, self.spatial_dims + 1):
+            x = jnp.repeat(x, 2, axis=ax)
+        return self.conv(x)
+
+
+class _DownBlockBase(nnx.Module):
+    def __init__(self, spatial_dims, in_channels, out_channels, temb_channels,
+                 num_res_blocks=1, norm_num_groups=32, norm_eps=1e-6, add_downsample=True,
+                 downsample_padding=1, num_head_channels=1, cross_attention_dim=None,
+                 with_attn=False, *, rngs):
+        resnets, attns = [], []
+        for i in range(num_res_blocks):
+            ci = in_channels if i == 0 else out_channels
+            resnets.append(_ResBlock(spatial_dims, ci, temb_channels, out_channels,
+                                     norm_num_groups, norm_eps, rngs=rngs))
+            if with_attn:
+                attns.append(_AttnBlock(out_channels, num_head_channels, norm_num_groups,
+                                        cross_attention_dim, rngs=rngs))
+        self.resnets = nnx.List(resnets)
+        self.attentions = nnx.List(attns) if attns else None
+        self.downsampler = (DiffusionUnetDownsample(spatial_dims, out_channels,
+                                                    padding=downsample_padding, rngs=rngs)
+                            if add_downsample else None)
+
+    def __call__(self, hidden_states, temb, context=None):
+        output_states = []
+        for i, res in enumerate(self.resnets):
+            hidden_states = res(hidden_states, temb)
+            if self.attentions is not None:
+                hidden_states = self.attentions[i](hidden_states, context)
+            output_states.append(hidden_states)
+        if self.downsampler is not None:
+            hidden_states = self.downsampler(hidden_states, temb)
+            output_states.append(hidden_states)
+        return hidden_states, output_states
+
+
+class DownBlock(_DownBlockBase):
+    """Resnet down stage (reference: diffusion_model_unet.py DownBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, out_channels, temb_channels, **kw):
+        super().__init__(spatial_dims, in_channels, out_channels, temb_channels,
+                         with_attn=False, **kw)
+
+
+class AttnDownBlock(_DownBlockBase):
+    """Resnet + self-attention down stage (reference: AttnDownBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, out_channels, temb_channels, **kw):
+        kw.pop("cross_attention_dim", None)
+        super().__init__(spatial_dims, in_channels, out_channels, temb_channels,
+                         with_attn=True, **kw)
+
+
+class CrossAttnDownBlock(_DownBlockBase):
+    """Resnet + cross-attention down stage (reference: CrossAttnDownBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, out_channels, temb_channels,
+                 cross_attention_dim=None, **kw):
+        super().__init__(spatial_dims, in_channels, out_channels, temb_channels,
+                         cross_attention_dim=cross_attention_dim, with_attn=True, **kw)
+
+
+class AttnMidBlock(nnx.Module):
+    """resnet - attention - resnet mid stage (reference: AttnMidBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, temb_channels, norm_num_groups=32,
+                 norm_eps=1e-6, num_head_channels=1, cross_attention_dim=None, *, rngs):
+        self.resnet_1 = _ResBlock(spatial_dims, in_channels, temb_channels, in_channels,
+                                  norm_num_groups, norm_eps, rngs=rngs)
+        self.attention = _AttnBlock(in_channels, num_head_channels, norm_num_groups,
+                                    cross_attention_dim, rngs=rngs)
+        self.resnet_2 = _ResBlock(spatial_dims, in_channels, temb_channels, in_channels,
+                                  norm_num_groups, norm_eps, rngs=rngs)
+
+    def __call__(self, hidden_states, temb, context=None):
+        hidden_states = self.resnet_1(hidden_states, temb)
+        hidden_states = self.attention(hidden_states, context)
+        return self.resnet_2(hidden_states, temb)
+
+
+class CrossAttnMidBlock(AttnMidBlock):
+    """resnet - cross-attention - resnet mid stage (reference: CrossAttnMidBlock)."""
+
+
+class _UpBlockBase(nnx.Module):
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, num_res_blocks=1, norm_num_groups=32, norm_eps=1e-6,
+                 add_upsample=True, num_head_channels=1, cross_attention_dim=None,
+                 with_attn=False, *, rngs):
+        resnets, attns = [], []
+        for i in range(num_res_blocks):
+            res_skip = in_channels if (i == num_res_blocks - 1) else out_channels
+            res_in = prev_output_channel if i == 0 else out_channels
+            resnets.append(_ResBlock(spatial_dims, res_in + res_skip, temb_channels,
+                                     out_channels, norm_num_groups, norm_eps, rngs=rngs))
+            if with_attn:
+                attns.append(_AttnBlock(out_channels, num_head_channels, norm_num_groups,
+                                        cross_attention_dim, rngs=rngs))
+        self.resnets = nnx.List(resnets)
+        self.attentions = nnx.List(attns) if attns else None
+        self.upsampler = (WrappedUpsample(spatial_dims, out_channels, rngs=rngs)
+                          if add_upsample else None)
+
+    def __call__(self, hidden_states, res_hidden_states_list, temb, context=None):
+        res_hidden_states_list = list(res_hidden_states_list)
+        for i, res in enumerate(self.resnets):
+            skip = res_hidden_states_list.pop()
+            hidden_states = res(jnp.concatenate([hidden_states, skip], axis=-1), temb)
+            if self.attentions is not None:
+                hidden_states = self.attentions[i](hidden_states, context)
+        if self.upsampler is not None:
+            hidden_states = self.upsampler(hidden_states, temb)
+        return hidden_states
+
+
+class UpBlock(_UpBlockBase):
+    """Resnet up stage with skip concat (reference: UpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, **kw):
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, with_attn=False, **kw)
+
+
+class AttnUpBlock(_UpBlockBase):
+    """Resnet + self-attention up stage (reference: AttnUpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, **kw):
+        kw.pop("cross_attention_dim", None)
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, with_attn=True, **kw)
+
+
+class CrossAttnUpBlock(_UpBlockBase):
+    """Resnet + cross-attention up stage (reference: CrossAttnUpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, cross_attention_dim=None, **kw):
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, cross_attention_dim=cross_attention_dim,
+                         with_attn=True, **kw)
+
+
+__all__ += ["DiffusionUNetResnetBlock", "SpatialTransformer", "DiffusionUNetTransformerBlock",
+            "DiffusionUnetDownsample", "WrappedUpsample", "DownBlock", "AttnDownBlock",
+            "CrossAttnDownBlock", "AttnMidBlock", "CrossAttnMidBlock", "UpBlock",
+            "AttnUpBlock", "CrossAttnUpBlock"]

@@ -501,3 +501,36 @@ class DiNTS(nnx.Module):
                 temp = self.stem_up[str(res_idx)](outputs[res_idx])
         pred = self.stem_final_conv(self.stem_final_block(temp))
         return jnp.transpose(pred, (0, pred.ndim - 1) + tuple(range(1, pred.ndim - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Reference-name interface/stem classes (reference: dints.py CellInterface /
+# StemInterface / StemTS — torchscript interface shims there; here plain modules)
+# ---------------------------------------------------------------------------
+class CellInterface(nnx.Module):
+    """Interface protocol for a searchable cell: __call__(x, weight)."""
+
+    def __call__(self, x, weight=None):
+        raise NotImplementedError
+
+
+class StemInterface(nnx.Module):
+    """Interface protocol for a stem: __call__(x)."""
+
+    def __call__(self, x):
+        raise NotImplementedError
+
+
+class StemTS(StemInterface):
+    """Sequential stem wrapper (reference: dints.py StemTS)."""
+
+    def __init__(self, *mod):
+        self.mod = nnx.List(list(mod))
+
+    def __call__(self, x):
+        for m in self.mod:
+            x = m(x)
+        return x
+
+
+__all__ += ["CellInterface", "StemInterface", "StemTS"]

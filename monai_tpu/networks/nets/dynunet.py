@@ -91,3 +91,30 @@ class DynUNet(nnx.Module):
                 heads.append(h_cf)
             return jnp.stack([out_cf] + heads, axis=1)
         return out_cf
+
+
+class DynUNetSkipLayer(nnx.Module):
+    """Recursive skip-topology layer: downsample -> next_layer -> upsample with skip,
+    optionally writing a deep-supervision head into the shared ``heads`` list
+    (reference: dynunet.py:25 DynUNetSkipLayer; the torchscript-recursion rationale
+    there does not apply to JAX, DynUNet above uses a plain loop — this class serves
+    users assembling custom topologies)."""
+
+    def __init__(self, index, downsample, upsample, next_layer, heads=None, super_head=None):
+        self.downsample = downsample
+        self.next_layer = next_layer
+        self.upsample = upsample
+        self.super_head = super_head
+        self.heads = heads
+        self.index = index
+
+    def __call__(self, x):
+        downout = self.downsample(x)
+        nextout = self.next_layer(downout)
+        upout = self.upsample(nextout, downout)
+        if self.super_head is not None and self.heads is not None and self.index > 0:
+            self.heads[self.index - 1] = self.super_head(upout)
+        return upout
+
+
+__all__ += ["DynUNetSkipLayer"]

@@ -74,8 +74,10 @@ def _apply_adn_packed(adn, x, fine_c):
     """Apply a Convolution block's adn list on a packed tensor: GroupNorm modules
     become grouped-stat instance norms; everything else must be elementwise (the
     ``packable`` guard enforces INSTANCE norm + scalar-param activations)."""
+    from ..layers.fast_norm import InstanceNormTPU
+
     for op in adn or ():
-        if isinstance(op, nnx.GroupNorm):
+        if isinstance(op, (nnx.GroupNorm, InstanceNormTPU)):
             scale = op.scale.value if op.use_scale else None
             bias = op.bias.value if op.use_bias else None
             x = packed_instance_norm(x, fine_c, eps=op.epsilon, scale=scale, bias=bias)
@@ -131,11 +133,15 @@ def _packed_residual(ru, q):
     return rp.reshape(*q.shape[:-1], 8 * ru.out_channels)
 
 
-def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False) -> jnp.ndarray:
-    """Channel-first forward of ``unet`` with the top fine level packed.
+def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False,
+                        pack_level0: bool = True) -> jnp.ndarray:
+    """Channel-first forward of ``unet`` with packed regions selectable.
 
-    Mirrors UNet.__call__/_Level composition (nets/unet.py) down to the L1 up
-    path; levels below run the unmodified module tree.
+    ``pack_level0`` packs the top fine level (down0 subunits + L1 up path + L0
+    skip concat); ``pack_tail`` packs the output tail (up0's transposed conv +
+    final res-unit — the CO=out_channels ops whose fine emission measured
+    pathologically slow). Mirrors UNet.__call__/_Level composition (nets/unet.py)
+    down to the L1 up path; levels below run the unmodified module tree.
     """
     perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
     h = jnp.transpose(x, perm_in)  # channels-last
@@ -146,30 +152,34 @@ def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False) -> jnp.nd
     up0_mods = list(level0.up.mods) if hasattr(level0.up, "mods") else [level0.up]
     up1_mods = list(level1.up.mods) if hasattr(level1.up, "mods") else [level1.up]
     c0 = unet.channels[0]
-
-    # ---- down0: conv1 fine -> s2d once -> remaining subunits packed
-    conv1 = down0.convs[0]
-    f = conv1.conv(h)                                   # fine (.., S/2^3, c0)
-    p = space_to_depth(f, _PACK)                        # packed (.., S/4^3, 8*c0)
-    p = _apply_adn_packed(conv1.adn, p, c0)
-    for cu in list(down0.convs)[1:]:                    # stride-1 subunit convs
-        p = _packed_s1_convolution(cu, p, c0)
-    res0 = down0.residual(h) if down0.residual is not None else h
-    dn0_packed = p + space_to_depth(res0, _PACK)
-
-    # ---- inner tree (fine): down1 + everything below + the L1 skip concat
-    fine0 = depth_to_space(dn0_packed, _PACK, c0)
-    dn1_out = level1.down(fine0)
-    sub1_out = level1.skip.submodule(dn1_out)
-    cat1_fine = jnp.concatenate([dn1_out, sub1_out], axis=-1)
-
-    # ---- L1 up path packed: convT(2*c1 -> c0) emits packed output at S/4^3
-    up1_packed = _packed_up_seq(up1_mods, cat1_fine, c0)
-
-    # ---- L0 skip concat in packed layout, then the output tail
-    cat0_packed = packed_cat(dn0_packed, c0, up1_packed, c0)
-    cat0_fine = depth_to_space(cat0_packed, _PACK, 2 * c0)
     out_c = unet.out_channels
+
+    if pack_level0:
+        # ---- down0: conv1 fine -> s2d once -> remaining subunits packed
+        conv1 = down0.convs[0]
+        f = conv1.conv(h)                               # fine (.., S/2^3, c0)
+        p = space_to_depth(f, _PACK)                    # packed (.., S/4^3, 8*c0)
+        p = _apply_adn_packed(conv1.adn, p, c0)
+        for cu in list(down0.convs)[1:]:                # stride-1 subunit convs
+            p = _packed_s1_convolution(cu, p, c0)
+        res0 = down0.residual(h) if down0.residual is not None else h
+        dn0_packed = p + space_to_depth(res0, _PACK)
+
+        # ---- inner tree (fine): down1 + below + the L1 skip concat
+        fine0 = depth_to_space(dn0_packed, _PACK, c0)
+        dn1_out = level1.down(fine0)
+        sub1_out = level1.skip.submodule(dn1_out)
+        cat1_fine = jnp.concatenate([dn1_out, sub1_out], axis=-1)
+
+        # ---- L1 up path packed: convT(2*c1 -> c0) emits packed output
+        up1_packed = _packed_up_seq(up1_mods, cat1_fine, c0)
+        cat0_packed = packed_cat(dn0_packed, c0, up1_packed, c0)
+        cat0_fine = depth_to_space(cat0_packed, _PACK, 2 * c0)
+    else:
+        dn0_out = down0(h)
+        sub_out = level0.skip.submodule(dn0_out)
+        cat0_fine = jnp.concatenate([dn0_out, sub_out], axis=-1)
+
     if pack_tail:
         tail_packed = _packed_up_seq(up0_mods, cat0_fine, out_c)
         out = depth_to_space(tail_packed, _PACK, out_c)

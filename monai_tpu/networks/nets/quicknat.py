@@ -141,3 +141,72 @@ class Quicknat(nnx.Module):
 
 
 QuickNAT = Quicknat
+
+
+class Bottleneck(ConvConcatDenseBlock):
+    """Encoder/decoder linking dense block (reference: quicknat.py:252 Bottleneck)."""
+
+    def __init__(self, in_channels: int, se_layer=None, dropout=None, un_pool=None,
+                 max_pool=None, **kwargs):
+        kwargs.setdefault("se_block", "None")
+        super().__init__(in_channels, **kwargs)
+        self.max_pool = max_pool
+        self.un_pool = un_pool
+
+    def __call__(self, x, indices=None):
+        if self.max_pool is not None:
+            x, indices = _max_pool_with_mask(x)
+        out = super().__call__(x)
+        if self.un_pool is not None and indices is not None:
+            out = _max_unpool(out, indices)
+        return out, indices
+
+
+class ClassifierBlock(nnx.Module):
+    """1x1 conv classifier head without top activation (reference: quicknat.py:66)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int,
+                 strides: int = 1, kernel_size: int = 1, act=None, adn_ordering="A",
+                 *, rngs: nnx.Rngs):
+        self.conv = nnx.Conv(in_channels, out_channels,
+                             kernel_size=(kernel_size,) * spatial_dims,
+                             strides=(strides,) * spatial_dims, rngs=rngs)
+
+    def __call__(self, x, indices=None):
+        return self.conv(x), None
+
+
+class SequentialWithIdx(nnx.Module):
+    """Sequential container threading (x, indices) through members
+    (reference: quicknat.py:49 SequentialWithIdx)."""
+
+    def __init__(self, *mods):
+        self.mods = nnx.List(list(mods))
+
+    def __call__(self, x, indices=None):
+        for m in self.mods:
+            x, indices = m(x, indices)
+        return x, indices
+
+
+class SkipConnectionWithIdx(nnx.Module):
+    """Skip connection (cat/add/mul) whose submodule threads pooling indices
+    (reference: quicknat.py:35 SkipConnectionWithIdx)."""
+
+    def __init__(self, submodule, dim: int = -1, mode: str = "cat"):
+        self.submodule = submodule
+        self.dim = dim
+        self.mode = mode
+
+    def __call__(self, x, indices=None):
+        y, indices = self.submodule(x, indices)
+        if self.mode == "cat":
+            return jnp.concatenate([x, y], axis=self.dim), indices
+        if self.mode == "add":
+            return x + y, indices
+        if self.mode == "mul":
+            return x * y, indices
+        raise ValueError(f"unsupported mode {self.mode}")
+
+
+__all__ += ["Bottleneck", "ClassifierBlock", "SequentialWithIdx", "SkipConnectionWithIdx"]

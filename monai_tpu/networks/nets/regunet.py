@@ -134,3 +134,67 @@ class LocalNet(RegUNet):
         super().__init__(spatial_dims=spatial_dims, in_channels=in_channels,
                          num_channel_initial=num_channel_initial, depth=depth,
                          out_channels=out_channels, rngs=rngs)
+
+
+class AffineHead(nnx.Module):
+    """Affine-parameter head: flatten encoder features -> linear (identity-initialised)
+    -> theta -> dense displacement field over ``image_size``
+    (reference: regunet.py:236 AffineHead)."""
+
+    def __init__(self, spatial_dims: int, image_size, decode_size, in_channels: int,
+                 save_theta: bool = False, *, rngs: nnx.Rngs):
+        self.spatial_dims = spatial_dims
+        self.image_size = tuple(image_size)
+        n_params = spatial_dims * (spatial_dims + 1)
+        feat = int(np.prod(decode_size)) * in_channels
+        self.fc = nnx.Linear(feat, n_params,
+                             kernel_init=nnx.initializers.zeros_init(),
+                             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                                 np.eye(spatial_dims, spatial_dims + 1).reshape(-1), dtype=dtype),
+                             rngs=rngs)
+        self.save_theta = save_theta
+        self.theta = None
+
+    def __call__(self, x, image_size=None):
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        size = tuple(image_size) if image_size is not None else self.image_size
+        theta = self.fc(x.reshape(x.shape[0], -1)).reshape(-1, self.spatial_dims,
+                                                           self.spatial_dims + 1)
+        if self.save_theta:
+            self.theta = theta
+        coords = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32) for s in size],
+                                        indexing="ij"), axis=0)
+        flat = coords.reshape(self.spatial_dims, -1)
+
+        def _one(th):
+            A = th[:, : self.spatial_dims] - jnp.eye(self.spatial_dims)
+            t = th[:, self.spatial_dims]
+            return (A @ flat + t[:, None]).reshape((self.spatial_dims,) + size)
+
+        return jax.vmap(_one)(theta)
+
+
+class AdditiveUpSampleBlock(nnx.Module):
+    """Deconv + resized-input additive skip: output = deconv(x) + mean of the
+    channel-halved interpolated input (reference: regunet.py:378). Channel-last."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, out_channels: int,
+                 mode: str = "nearest", align_corners=None, *, rngs: nnx.Rngs):
+        self.spatial_dims = spatial_dims
+        self.deconv = Conv["convtrans", spatial_dims](in_channels, out_channels,
+                                                      kernel_size=2, strides=2, rngs=rngs)
+
+    def __call__(self, x):
+        up = self.deconv(x)
+        out_sp = up.shape[1:-1]
+        resized = x
+        for ax, s in enumerate(out_sp, start=1):
+            resized = jnp.repeat(resized, 2, axis=ax)[(slice(None),) * ax + (slice(0, s),)]
+        b = resized.shape[0]
+        c = resized.shape[-1]
+        halved = resized.reshape(resized.shape[:-1] + (2, c // 2)).mean(axis=-2)
+        return up + halved
+
+
+__all__ += ["AffineHead", "AdditiveUpSampleBlock"]

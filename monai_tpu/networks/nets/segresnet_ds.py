@@ -150,3 +150,55 @@ class SegResNetDS2(SegResNetDS):
             outs = self._decode(h, skips, self.up_layers_auto, self.heads_auto)
             out_auto = outs[::-1] if len(outs) > 1 else outs[-1]
         return out_point, out_auto
+
+
+class SegResBlock(nnx.Module):
+    """norm-act-conv x2 residual block (reference: segresnet_ds.py:95 SegResBlock)."""
+
+    def __init__(self, spatial_dims: int, in_channels: int, norm, kernel_size=3,
+                 act=("RELU", {}), *, rngs: nnx.Rngs):
+        self.block = ResBlock(spatial_dims, in_channels, norm, act=act, rngs=rngs)
+
+    def __call__(self, x):
+        return self.block(x)
+
+
+class SegResEncoder(nnx.Module):
+    """The down path of SegResNetDS as a standalone feature encoder returning one
+    feature map per level (reference: segresnet_ds.py:150 SegResEncoder).
+    Channel-first in/out, matching the parent net's public convention."""
+
+    def __init__(self, spatial_dims: int = 3, init_filters: int = 32, in_channels: int = 1,
+                 act=("RELU", {}), norm=("GROUP", {"num_groups": 8}),
+                 blocks_down: Sequence[int] = (1, 2, 2, 4), head_module=None,
+                 anisotropic_scales=None, *, rngs: nnx.Rngs):
+        self.head_module = head_module
+        self.conv_init = _conv(spatial_dims, in_channels, init_filters, rngs=rngs)
+        downs = []
+        ch = init_filters
+        for i, nb in enumerate(blocks_down):
+            level = []
+            if i > 0:
+                level.append(_conv(spatial_dims, ch, ch * 2, stride=2, rngs=rngs))
+                ch = ch * 2
+            for _ in range(nb):
+                level.append(ResBlock(spatial_dims, ch, norm, act=act, rngs=rngs))
+            downs.append(nnx.List(level))
+        self.down_layers = nnx.List(downs)
+
+    def __call__(self, x):
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        h = jnp.transpose(x, perm_in)
+        h = self.conv_init(h)
+        outputs = []
+        for level in self.down_layers:
+            for blk in level:
+                h = blk(h)
+            perm_out = (0, h.ndim - 1) + tuple(range(1, h.ndim - 1))
+            outputs.append(jnp.transpose(h, perm_out))
+        if self.head_module is not None:
+            outputs = self.head_module(outputs)
+        return outputs
+
+
+__all__ += ["SegResBlock", "SegResEncoder"]

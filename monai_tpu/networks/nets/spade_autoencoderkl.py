@@ -115,3 +115,8 @@ class SPADEAutoencoderKL(AutoencoderKL):
 
     def decode_stage_2_outputs(self, z: jnp.ndarray, seg: jnp.ndarray) -> jnp.ndarray:
         return self.decode(z, seg)
+
+
+# Reference-name export (reference: spade_autoencoderkl.py SPADEResBlock)
+SPADEResBlock = _SPADEResBlock
+__all__ += ["SPADEResBlock"]

@@ -137,3 +137,78 @@ class SPADEDiffusionModelUNet(DiffusionModelUNet):
         h = self.conv_out(jax.nn.silu(self.norm_out(h)))
         perm_out = (0, h.ndim - 1) + tuple(range(1, h.ndim - 1))
         return jnp.transpose(h, perm_out)
+
+
+# ---------------------------------------------------------------------------
+# Public building blocks (reference: spade_diffusion_model_unet.py SPADEUpBlock /
+# SPADEAttnUpBlock / SPADECrossAttnUpBlock / SPADEDiffResBlock): up stages whose
+# resblocks are SPADE-conditioned on a semantic map, channels-last.
+# ---------------------------------------------------------------------------
+SPADEDiffResBlock = _SPADEDiffResBlock
+
+
+class _SPADEUpBase(nnx.Module):
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, label_nc, num_res_blocks=1, norm_num_groups=32,
+                 norm_eps=1e-6, add_upsample=True, num_head_channels=1,
+                 cross_attention_dim=None, spade_intermediate_channels=128,
+                 with_attn=False, *, rngs):
+        from .diffusion_model_unet import WrappedUpsample
+
+        resnets, attns = [], []
+        for i in range(num_res_blocks):
+            res_skip = in_channels if (i == num_res_blocks - 1) else out_channels
+            res_in = prev_output_channel if i == 0 else out_channels
+            resnets.append(_SPADEDiffResBlock(spatial_dims, res_in + res_skip, temb_channels,
+                                              label_nc, out_channels, norm_num_groups,
+                                              norm_eps, spade_intermediate_channels, rngs=rngs))
+            if with_attn:
+                attns.append(_AttnBlock(out_channels, num_head_channels, norm_num_groups,
+                                        cross_attention_dim, rngs=rngs))
+        self.resnets = nnx.List(resnets)
+        self.attentions = nnx.List(attns) if attns else None
+        self.upsampler = (WrappedUpsample(spatial_dims, out_channels, rngs=rngs)
+                          if add_upsample else None)
+
+    def __call__(self, hidden_states, res_hidden_states_list, temb, seg, context=None):
+        res_hidden_states_list = list(res_hidden_states_list)
+        for i, res in enumerate(self.resnets):
+            skip = res_hidden_states_list.pop()
+            hidden_states = res(jnp.concatenate([hidden_states, skip], axis=-1), temb, seg)
+            if self.attentions is not None:
+                hidden_states = self.attentions[i](hidden_states, context)
+        if self.upsampler is not None:
+            hidden_states = self.upsampler(hidden_states)
+        return hidden_states
+
+
+class SPADEUpBlock(_SPADEUpBase):
+    """SPADE resnet up stage (reference: SPADEUpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, label_nc, **kw):
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, label_nc, with_attn=False, **kw)
+
+
+class SPADEAttnUpBlock(_SPADEUpBase):
+    """SPADE resnet + self-attention up stage (reference: SPADEAttnUpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, label_nc, **kw):
+        kw.pop("cross_attention_dim", None)
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, label_nc, with_attn=True, **kw)
+
+
+class SPADECrossAttnUpBlock(_SPADEUpBase):
+    """SPADE resnet + cross-attention up stage (reference: SPADECrossAttnUpBlock)."""
+
+    def __init__(self, spatial_dims, in_channels, prev_output_channel, out_channels,
+                 temb_channels, label_nc, cross_attention_dim=None, **kw):
+        super().__init__(spatial_dims, in_channels, prev_output_channel, out_channels,
+                         temb_channels, label_nc, cross_attention_dim=cross_attention_dim,
+                         with_attn=True, **kw)
+
+
+__all__ += ["SPADEDiffResBlock", "SPADEUpBlock", "SPADEAttnUpBlock", "SPADECrossAttnUpBlock"]

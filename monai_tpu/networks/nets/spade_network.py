@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from ...utils.enums import StrEnum
 from ..blocks.convolutions import Convolution
 from ..blocks.spade_norm import SPADE
 from ..layers.factories import get_act_layer
@@ -200,3 +201,14 @@ class SPADENet(nnx.Module):
 
     def decode(self, seg: jnp.ndarray, z: jnp.ndarray | None = None):
         return self.decoder(seg, z)
+
+
+class UpsamplingModes(StrEnum):
+    """Decoder upsampling interpolation modes (reference: spade_network.py:30)."""
+
+    bicubic = "bicubic"
+    nearest = "nearest"
+    bilinear = "bilinear"
+
+
+__all__ += ["UpsamplingModes"]

@@ -40,3 +40,21 @@ class DecoderOnlyTransformer(nnx.Module):
         for block in self.blocks:
             h = block(h, context=context)
         return self.to_logits(h)
+
+
+class AbsolutePositionalEmbedding(nnx.Module):
+    """Learned absolute position embedding over token indices
+    (reference: transformer.py:22)."""
+
+    def __init__(self, max_seq_len: int, embedding_dim: int, *, rngs: nnx.Rngs):
+        self.max_seq_len = max_seq_len
+        self.embedding_dim = embedding_dim
+        self.embedding = nnx.Embed(max_seq_len, embedding_dim, rngs=rngs)
+
+    def __call__(self, x):
+        seq_len = x.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(seq_len), (x.shape[0], seq_len))
+        return self.embedding(positions)
+
+
+__all__ += ["AbsolutePositionalEmbedding"]

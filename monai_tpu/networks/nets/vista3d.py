@@ -473,3 +473,9 @@ def vista3d132(encoder_embed_dim: int = 48, in_channels: int = 1, *, rngs: nnx.R
     class_head = ClassMappingClassify(n_classes=512, feature_size=encoder_embed_dim,
                                       use_mlp=True, rngs=rngs)
     return VISTA3D(image_encoder=segresnet, class_head=class_head, point_head=point_head)
+
+
+# Reference-name exports (reference: vista3d.py MLP / Attention blocks)
+MLP = _MLP
+Attention = _Attention
+__all__ += ["MLP", "Attention"]

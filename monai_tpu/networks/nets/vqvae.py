@@ -110,3 +110,8 @@ class VQVAE(nnx.Module):
     def decode_stage_2_outputs(self, z: jnp.ndarray) -> jnp.ndarray:
         e, _ = self.quantize(z)
         return self.decode(e)
+
+
+# Reference-name export (reference: vqvae.py VQVAEResidualUnit)
+VQVAEResidualUnit = _VQResUnit
+__all__ += ["VQVAEResidualUnit"]

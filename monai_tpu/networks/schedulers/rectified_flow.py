@@ -96,3 +96,13 @@ class RFlowScheduler(Scheduler):
         pred_post_sample = sample + v_pred * dt
         pred_original_sample = sample + v_pred * timestep / self.num_train_timesteps
         return pred_post_sample, pred_original_sample
+
+
+class RFlowPredictionType:
+    """Valid ``prediction_type`` names for RFlowScheduler
+    (reference: schedulers/rectified_flow.py:43) — velocity prediction only."""
+
+    V_PREDICTION = "v_prediction"
+
+
+__all__ += ["RFlowPredictionType"]

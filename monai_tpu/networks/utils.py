@@ -431,3 +431,14 @@ def trt_compile(model, base_path: str, args=None, submodule=None, logger=None):
     warnings.warn("trt_compile is a no-op on TPU: XLA compiles jitted programs "
                   "ahead-of-time; see bundle ckpt_export for StableHLO artifacts.")
     return model
+
+
+class CastToFloatAll(CastToFloat):
+    """CastToFloat for modules with multiple return values: every output is cast
+    back to the input dtype (reference: networks/utils.py:1289 CastToFloatAll)."""
+
+    def __call__(self, x, *args, **kwargs):
+        ys = self.mod(x.astype(jnp.float32), *args, **kwargs)
+        if isinstance(ys, tuple):
+            return tuple(y.astype(x.dtype) for y in ys)
+        return ys.astype(x.dtype)

@@ -7,3 +7,4 @@ from .lr_finder import LearningRateFinder
 # :52 ExponentialLR) — here they are optax-style schedule factories
 LinearLR = LinearLRSchedule
 ExponentialLR = ExponentialLRSchedule
+from .lr_finder import DataLoaderIter, TrainDataLoaderIter, ValDataLoaderIter

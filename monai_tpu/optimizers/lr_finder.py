@@ -66,3 +66,70 @@ class LearningRateFinder:
         except ValueError:
             print("Failed to compute the gradients, there might not be enough points.")
             return None, None
+
+
+class DataLoaderIter:
+    """Wraps a DataLoader with image/label extractor callables; iterating yields
+    (image, label) pairs (reference: optimizers/lr_finder.py:45)."""
+
+    def __init__(self, data_loader, image_extractor, label_extractor):
+        self.data_loader = data_loader
+        self._iterator = iter(data_loader)
+        self.image_extractor = image_extractor
+        self.label_extractor = label_extractor
+
+    @property
+    def dataset(self):
+        return getattr(self.data_loader, "dataset", None)
+
+    def inputs_labels_from_batch(self, batch_data):
+        return self.image_extractor(batch_data), self.label_extractor(batch_data)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.inputs_labels_from_batch(next(self._iterator))
+
+
+class TrainDataLoaderIter(DataLoaderIter):
+    """Training iterator: optionally resets and re-iterates when exhausted
+    (reference: optimizers/lr_finder.py:73)."""
+
+    def __init__(self, data_loader, image_extractor, label_extractor,
+                 auto_reset: bool = True):
+        super().__init__(data_loader, image_extractor, label_extractor)
+        self.run_limit = len(data_loader) if hasattr(data_loader, "__len__") else None
+        self.auto_reset = auto_reset
+
+    def __next__(self):
+        try:
+            return self.inputs_labels_from_batch(next(self._iterator))
+        except StopIteration:
+            if not self.auto_reset:
+                raise
+            self._iterator = iter(self.data_loader)
+            return self.inputs_labels_from_batch(next(self._iterator))
+
+
+class ValDataLoaderIter(DataLoaderIter):
+    """Validation iterator: must be re-entered via iter() after exhaustion; tracks
+    consumed batches (reference: optimizers/lr_finder.py:95)."""
+
+    def __init__(self, data_loader, image_extractor, label_extractor):
+        super().__init__(data_loader, image_extractor, label_extractor)
+        self.run_limit = len(data_loader) if hasattr(data_loader, "__len__") else None
+        self.run_counter = 0
+
+    def __iter__(self):
+        if self.run_limit is not None and self.run_counter >= self.run_limit:
+            self._iterator = iter(self.data_loader)
+            self.run_counter = 0
+        return self
+
+    def __next__(self):
+        self.run_counter += 1
+        return super().__next__()
+
+
+__all__ += ["DataLoaderIter", "TrainDataLoaderIter", "ValDataLoaderIter"]

@@ -594,3 +594,24 @@ def flatten_dict(metrics: dict) -> dict:
         else:
             result[key] = value
     return result
+
+
+import yaml as _yaml
+
+
+class CheckKeyDuplicatesYamlLoader(_yaml.SafeLoader):
+    """YAML SafeLoader that warns (or raises when MONAI_FAIL_ON_DUPLICATE_CONFIG=1)
+    on duplicate mapping keys (reference: utils/misc.py:763)."""
+
+    def construct_mapping(self, node, deep=False):
+        import warnings
+
+        seen = set()
+        for key_node, _ in node.value:
+            key = self.construct_object(key_node, deep=deep)
+            if key in seen:
+                if os.environ.get("MONAI_FAIL_ON_DUPLICATE_CONFIG", "0") == "1":
+                    raise ValueError(f"Duplicate key: `{key}`")
+                warnings.warn(f"Duplicate key: `{key}`")
+            seen.add(key)
+        return super().construct_mapping(node, deep)

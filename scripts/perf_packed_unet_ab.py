@@ -76,7 +76,13 @@ def packed_tail(x):
     return packed_unet_forward(nnx.merge(graphdef, state), x, pack_tail=True)
 
 
-for name, fwd in [("plain", plain), ("packed", packed), ("packed+tail", packed_tail)]:
+def tail_only(x):
+    return packed_unet_forward(nnx.merge(graphdef, state), x, pack_tail=True,
+                               pack_level0=False)
+
+
+for name, fwd in [("plain", plain), ("tail-only", tail_only), ("packed", packed),
+                  ("packed+tail", packed_tail)]:
     try:
         dt = slope(chain(fwd))
         mfu = B * FLOPS_PER_WIN / dt / PEAK

@@ -1,0 +1,36 @@
+"""Runtime API-surface gate (VERDICT r2 #4): every module-level public class in
+the reference package must resolve from monai_tpu (mirrored module path, subpackage
+root, or top level). Threshold 98% so genuinely-new reference classes fail loudly
+without being flaky about torch-internal additions."""
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REF = "/root/reference/monai"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not present")
+def test_public_class_surface_resolves():
+    from api_surface_check import ref_public_classes, try_resolve
+
+    classes = ref_public_classes()
+    total = resolved = 0
+    missing = []
+    seen: set[str] = set()
+    for mod, names in classes.items():
+        for name in names:
+            if name in seen:
+                continue
+            seen.add(name)
+            total += 1
+            if try_resolve(name, mod):
+                resolved += 1
+            else:
+                missing.append(f"{mod}.{name}")
+    pct = 100.0 * resolved / total
+    assert pct >= 98.0, f"API surface {pct:.1f}% < 98%; missing: {missing[:40]}"
