@@ -307,11 +307,34 @@ def bench_transform_resample(extra):
         extra["transform_fused_resample_bf16_error"] = str(e)[:160]
 
 
+REF_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU_REF.json")
+
+
 def bench_reference_cpu(extra):
     """Ground the baseline: the actual PyTorch reference sliding-window eval
-    (same UNet config/volume/roi/overlap) on this host's CPU."""
+    (same UNet config/volume/roi/overlap) on this host's CPU.
+
+    The measurement is cached in BASELINE_CPU_REF.json (with provenance) because
+    the torch run takes minutes on this 1-core host and the reference number is a
+    property of the host, not of this repo's code. Delete the file or set
+    MONAI_TPU_BENCH_REMEASURE_REF=1 to re-measure; the code below is the full
+    derivation a third party can rerun.
+    """
     import subprocess
     import sys
+
+    if os.environ.get("MONAI_TPU_BENCH_REMEASURE_REF", "0") != "1":
+        try:
+            with open(REF_CPU_CACHE) as f:
+                cached = json.load(f)
+            cpu_vps = float(cached["cpu_vols_per_sec"])
+            extra["ref_cpu_vols_per_sec"] = round(cpu_vps, 4)
+            extra["ref_cpu_cached"] = cached.get("measured_at", True)
+            extra["a100_over_cpu_factor"] = A100_OVER_CPU_FACTOR
+            return cpu_vps * A100_OVER_CPU_FACTOR
+        except Exception:
+            pass
 
     code = r"""
 import sys, time, json
@@ -341,6 +364,19 @@ print(json.dumps({"cpu_vols_per_sec": 1.0 / dt}))
         cpu_vps = best
         extra["ref_cpu_vols_per_sec"] = round(cpu_vps, 4)
         extra["a100_over_cpu_factor"] = A100_OVER_CPU_FACTOR
+        try:
+            import platform
+            import time as _time
+
+            with open(REF_CPU_CACHE, "w") as f:
+                json.dump({"cpu_vols_per_sec": cpu_vps,
+                           "measured_at": _time.strftime("%Y-%m-%d %H:%M UTC", _time.gmtime()),
+                           "host": platform.platform(),
+                           "n_cpus": os.cpu_count(),
+                           "method": "best-of-2 torch reference sliding_window_inference, "
+                                     "see bench_reference_cpu in bench.py"}, f, indent=1)
+        except OSError:
+            pass
         return cpu_vps * A100_OVER_CPU_FACTOR
     except Exception as e:
         extra["ref_cpu_error"] = str(e)[:200]
@@ -348,13 +384,21 @@ print(json.dumps({"cpu_vols_per_sec": 1.0 / dt}))
 
 
 def main() -> None:
+    import sys
+
+    def progress(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     extra: dict = {}
+    progress("unet sliding-window …")
     vols_per_sec = bench_unet_sw(extra)
     for fn in (bench_swinunetr_sw, bench_transform_resample):
         try:
+            progress(fn.__name__ + " …")
             fn(extra)
         except Exception as e:
             extra[fn.__name__ + "_error"] = str(e)[:200]
+    progress("reference cpu baseline …")
     a100_est = bench_reference_cpu(extra)
     if a100_est:
         extra["a100_est_vols_per_sec"] = round(a100_est, 3)

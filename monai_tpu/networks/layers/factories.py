@@ -125,7 +125,18 @@ class PallasConv(nnx.Conv):
                 if self.use_bias and self.bias is not None:
                     y = y + self.bias.value.astype(y.dtype)
                 return y
-        return super().__call__(x)
+        from ...ops.layout import conv_layout_barrier
+
+        return conv_layout_barrier(super().__call__(x))
+
+
+class BarrierConvTranspose(nnx.ConvTranspose):
+    """nnx.ConvTranspose + post-op layout barrier (see ops/layout.py)."""
+
+    def __call__(self, x):
+        from ...ops.layout import conv_layout_barrier
+
+        return conv_layout_barrier(super().__call__(x))
 
 
 @Conv.factory_function("conv")
@@ -154,7 +165,8 @@ def convtrans_factory(dim: int):
         st = ensure_tuple_rep(strides, dim)
         if isinstance(padding, int):
             padding = [(padding, padding)] * dim
-        return nnx.ConvTranspose(in_channels, out_channels, kernel_size=ks, strides=st,
+        cls = BarrierConvTranspose if dim == 3 else nnx.ConvTranspose
+        return cls(in_channels, out_channels, kernel_size=ks, strides=st,
                                  use_bias=bias, padding=padding, rngs=rngs or nnx.Rngs(0), **kw)
 
     return make

@@ -28,23 +28,33 @@ __all__ = ["InstanceNormTPU", "fast_instance_norm"]
 def fast_instance_norm(x: jnp.ndarray, eps: float = 1e-5,
                        scale: jnp.ndarray | None = None,
                        bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Instance norm on channels-last ``x`` (B, *spatial, C): two-moment f32
-    spatial reduce + fused rsqrt normalize."""
+    """Instance norm on channels-last ``x`` (B, *spatial, C): two-moment spatial
+    reduce with f32 accumulation + fused rsqrt normalize.
+
+    CRITICAL LAYOUT NOTE: never bind ``x.astype(f32)`` to a reused name. A bf16
+    activation upcast that feeds several consumers gets *materialized* by XLA as
+    a full f32 tensor (2x HBM) plus layout copies; at (6, 96^3, 24) that turned
+    a ~2 ms conv+norm into 14.8 ms (traced in scripts/perf_xprof.py — 500 MB f32
+    fusions, two materialized full-size broadcasts, three relayout copies).
+    Instead each consumer reads the bf16 tensor directly so the convert fuses
+    into the reduce / normalize fusions and the conv's preferred layout flows
+    through the whole block."""
     axes = tuple(range(1, x.ndim - 1))
     n_sp = 1
     for d in axes:
         n_sp *= x.shape[d]
-    xf = x.astype(jnp.float32)
-    s = xf.sum(axis=axes)
-    s2 = (xf * xf).sum(axis=axes)
+    # converts fuse into the reduces: one multi-output pass over the bf16 tensor
+    s = jnp.sum(x, axis=axes, dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes)
     m = s / n_sp
     v = jnp.maximum(s2 / n_sp - m * m, 0.0)
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    inv = jax.lax.rsqrt(v + eps).reshape(shape)
-    mr = m.reshape(shape)
-    y = (xf - mr) * inv
+    inv = jax.lax.rsqrt(v + eps)
     if scale is not None:
-        y = y * scale.astype(jnp.float32)
+        inv = inv * scale.astype(jnp.float32)
+    # one fused elementwise pass, bf16 in / bf16 out (the astype has a single
+    # consumer so the convert fuses instead of materializing)
+    y = (x.astype(jnp.float32) - m.reshape(shape)) * inv.reshape(shape)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

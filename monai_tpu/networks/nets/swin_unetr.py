@@ -146,25 +146,33 @@ class WindowAttention(nnx.Module):
         self.proj_drop = nnx.Dropout(proj_drop, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        from ...ops.pallas_window_attention import fused_window_attention, use_pallas_window_attention
+
         b, n, c = x.shape
         qkv = self.qkv(x).reshape(b, n, 3, self.num_heads, c // self.num_heads)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
         q, k, v = qkv[0], qkv[1], qkv[2]  # (b, heads, n, d)
         q = q * self.scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         # slice the index to the runtime token count (windows clamp to small inputs,
         # matching the reference's [:n, :n] behavior, swin_unetr.py:~500)
         idx = self.relative_position_index[...][:n, :n].reshape(-1)
         bias = self.relative_position_bias_table[...][idx]
-        bias = bias.reshape(n, n, -1)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b // nw, nw, self.num_heads, n, n) + mask[None, :, None]
-            attn = attn.reshape(-1, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = self.attn_drop(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        bias_hnn = jnp.transpose(bias.reshape(n, n, -1), (2, 0, 1))
+        if (use_pallas_window_attention() and self.attn_drop.rate == 0.0
+                and (mask is None or b % mask.shape[0] == 0)):
+            # fused VMEM-resident scores kernel (ops/pallas_window_attention.py):
+            # avoids materializing the (b, heads, n, n) tensor in HBM
+            out = fused_window_attention(q, k, v, bias_hnn, mask)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+            attn = attn + bias_hnn[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b // nw, nw, self.num_heads, n, n) + mask[None, :, None]
+                attn = attn.reshape(-1, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = self.attn_drop(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, c)
         return self.proj_drop(self.proj(out))
 

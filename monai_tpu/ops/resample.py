@@ -110,7 +110,9 @@ def _bound_tap_generic(idx, n: int, bound: str, align_corners: bool, ns):
         return xi, sign, mask
     raise NotImplementedError(
         f"bound mode {bound!r} is not supported here ('sliding' applies per-component "
-        "displacement-field handling in the reference and is handled by the caller).")
+        "displacement-field handling; the reference's own kernels leave it as an "
+        "unimplemented TODO stub — /root/reference/monai/csrc/resample/pushpull_cpu.cpp:594 "
+        "interpolate1d_sliding — so raising is full parity).")
 
 
 def _bspline_kernel(order: int, u, ns):

@@ -1,0 +1,113 @@
+"""Capture a jax.profiler trace of a callable and print per-HLO-op device times,
+parsed straight out of the XSpace protobuf (tensorboard-plugin-profile's
+xplane_pb2). Used to diagnose composition pathologies the slope-timing probes
+can't see inside one jit program.
+
+Usage: python scripts/perf_xprof.py <case>    # case in {convnorm, block, unet, swin}
+"""
+import glob
+import os
+import shutil
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+TRACE_DIR = "/tmp/xprof_trace"
+
+
+def parse_xspace(trace_dir):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        raise RuntimeError("no xplane.pb produced")
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    per_op = defaultdict(float)
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        stats_meta = {m.id: m.name for m in plane.stat_metadata.values()}
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                per_op[name] += ev.duration_ps / 1e9  # -> ms
+    return per_op, sorted(paths)[-1]
+
+
+def report(per_op, top=30):
+    total = sum(per_op.values())
+    print(f"total device-event time {total:.2f} ms (sum over lines; overlaps double-count)")
+    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:8.3f} ms  {name[:110]}")
+
+
+def main():
+    case = sys.argv[1] if len(sys.argv) > 1 else "convnorm"
+    B, S = 6, 96
+    rng = np.random.RandomState(0)
+
+    if case in ("convnorm", "block"):
+        from monai_tpu.networks.blocks.dynunet_block import UnetrBasicBlock
+
+        blk = UnetrBasicBlock(3, 1, 24, 3, 1, ("instance", {"affine": True}), True,
+                              rngs=nnx.Rngs(0))
+        graphdef, state = nnx.split(blk)
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            state)
+        m = nnx.merge(graphdef, state)
+        rb = m.layer
+        x = jnp.asarray(rng.rand(B, S, S, S, 1).astype(np.float32)).astype(jnp.bfloat16)
+        if case == "convnorm":
+            fn = jax.jit(lambda z: rb.norm1(rb.conv1(z)))
+        else:
+            fn = jax.jit(lambda z: rb(z))
+    elif case == "swin":
+        from monai_tpu.networks.nets import SwinUNETR
+
+        net = SwinUNETR(in_channels=1, out_channels=14, feature_size=24, spatial_dims=3,
+                        rngs=nnx.Rngs(0))
+        graphdef, state = nnx.split(net)
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            state)
+        x = jnp.asarray(rng.rand(B, 1, S, S, S).astype(np.float32)).astype(jnp.bfloat16)
+        fn = jax.jit(lambda z: nnx.merge(graphdef, state)(z))
+    else:  # unet
+        from monai_tpu.networks.nets import UNet
+
+        net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
+                   channels=(16, 32, 64, 128, 256), strides=(2, 2, 2, 2), num_res_units=2,
+                   rngs=nnx.Rngs(0))
+        graphdef, state = nnx.split(net)
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            state)
+        x = jnp.asarray(rng.rand(18, 1, S, S, S).astype(np.float32)).astype(jnp.bfloat16)
+        fn = jax.jit(lambda z: nnx.merge(graphdef, state)(z))
+
+    r = fn(x)
+    float(jax.device_get(jnp.ravel(r)[0]))
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(2):
+            r = fn(x)
+        float(jax.device_get(jnp.ravel(r)[0]))
+    per_op, path = parse_xspace(TRACE_DIR)
+    print("parsed", path)
+    report(per_op)
+
+
+if __name__ == "__main__":
+    main()
