@@ -83,6 +83,19 @@ def _slope(make_chain, K1=2, K2=6, n=3):
     return (min(t2s) - min(t1s)) / (K2 - K1)
 
 
+def _cost_analysis(jitted, *args):
+    """FLOP counts from the lowered (uncompiled) module — avoids a second remote
+    compile; falls back to AOT compile if the lowered analysis is unavailable."""
+    lo = jitted.lower(*args)
+    try:
+        cost = lo.cost_analysis()
+        if cost and float(cost.get("flops", 0.0)) > 0:
+            return cost
+    except Exception:
+        pass
+    return lo.compile().cost_analysis()
+
+
 def build_unet_predictor():
     import jax
     import jax.numpy as jnp
@@ -140,9 +153,12 @@ def bench_unet_sw(extra):
     num_windows = len(dense_patch_slices(vol_shape, roi, interval, return_slice=False))
     inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=num_windows, overlap=overlap,
                                    mode="gaussian")
-    rng = np.random.RandomState(0)
-    vol = jnp.asarray(rng.rand(1, 1, *vol_shape).astype(np.float32))
-    vols4 = [jnp.asarray(rng.rand(4, 1, *vol_shape).astype(np.float32)) for _ in range(3)]
+    # generate inputs on-device (a host-side np.random + transfer of ~360 MB over
+    # the tunneled backend costs ~3 min before timing starts; the pipelined
+    # harness stages inputs on device beforehand either way)
+    vol = jax.random.uniform(jax.random.key(0), (1, 1, *vol_shape), jnp.float32)
+    vols4 = [jax.random.uniform(jax.random.key(i + 1), (4, 1, *vol_shape), jnp.float32)
+             for i in range(3)]
 
     # latency (old methodology, per-call sync)
     _progress("unet: batch-1 latency (compile ~1 min)")
@@ -156,7 +172,7 @@ def bench_unet_sw(extra):
     extra["unet_num_windows"] = num_windows
 
     # per-stage breakdown via slope timing
-    win = jnp.asarray(rng.rand(num_windows, 1, *roi).astype(np.float32))
+    win = jax.random.uniform(jax.random.key(99), (num_windows, 1, *roi), jnp.float32)
 
     def chain_forward(K):
         @jax.jit
@@ -184,9 +200,11 @@ def bench_unet_sw(extra):
         except Exception as e:
             extra["breakdown_error"] = str(e)[:160]
 
-    # MFU from the compiled window-forward's XLA cost analysis, at steady-state rate
+    # MFU from the window-forward's XLA cost analysis, at steady-state rate
+    # (Lowered.cost_analysis: no second remote compile; dot/conv FLOPs are
+    # identical pre/post optimization)
     try:
-        cost = fwd.lower(state_bf16, win.astype(jnp.bfloat16)).compile().cost_analysis()
+        cost = _cost_analysis(fwd, state_bf16, win.astype(jnp.bfloat16))
         flops_per_vol = float(cost.get("flops", 0.0))
         extra["unet_flops_per_volume_g"] = round(flops_per_vol / 1e9, 1)
         extra["unet_mfu"] = round(flops_per_vol * vols_per_sec / V5E_BF16_PEAK_FLOPS, 4)
@@ -264,9 +282,8 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, 1, *patch).astype(np.float32))
-    y = jnp.asarray((rng.rand(batch, 1, *patch) > 0.5).astype(np.float32))
+    x = jax.random.uniform(jax.random.key(0), (batch, 1, *patch), jnp.float32)
+    y = (jax.random.uniform(jax.random.key(1), (batch, 1, *patch)) > 0.5).astype(jnp.float32)
 
     params, opt_state, l = step(params, opt_state, x, y)  # compile + warm
     _sync(l)
@@ -278,7 +295,7 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     extra["unet_train_steps_per_sec"] = round(1.0 / dt, 3)
     extra["unet_train_patches_per_sec"] = round(batch / dt, 2)
     try:
-        cost = step.lower(params, opt_state, x, y).compile().cost_analysis()
+        cost = _cost_analysis(step, params, opt_state, x, y)
         flops = float(cost.get("flops", 0.0))
         extra["unet_train_flops_per_step_g"] = round(flops / 1e9, 1)
         extra["unet_train_mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
@@ -316,8 +333,8 @@ def bench_swinunetr_sw(extra):
     # same harness as the UNet bench: ALL windows in one forward; the remote
     # compile service can 500 on the largest SwinUNETR batch, so fall back to
     # smaller window batches until one compiles
-    rng = np.random.RandomState(0)
-    vols = [jnp.asarray(rng.rand(1, 1, *vol_shape).astype(np.float32)) for _ in range(2)]
+    vols = [jax.random.uniform(jax.random.key(i), (1, 1, *vol_shape), jnp.float32)
+            for i in range(2)]
     last_err = None
     for sw_bs in (num_windows, 9, 6, 4):
         try:
@@ -338,7 +355,7 @@ def bench_swinunetr_sw(extra):
     extra["swinunetr_sw_eval_vols_per_sec"] = round(vps, 4)
     try:
         win = jnp.zeros((extra["swinunetr_sw_batch"], 1) + roi, jnp.bfloat16)
-        cost = fwd.lower(state_bf16, win).compile().cost_analysis()
+        cost = _cost_analysis(fwd, state_bf16, win)
         flops_per_win_batch = float(cost.get("flops", 0.0))
         flops_per_vol = flops_per_win_batch * num_windows / extra["swinunetr_sw_batch"]
         extra["swinunetr_mfu"] = round(flops_per_vol * vps / V5E_BF16_PEAK_FLOPS, 4)
