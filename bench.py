@@ -164,11 +164,13 @@ def bench_unet_sw(extra):
     _progress("unet: batch-1 latency (compile ~1 min)")
     lat = 1.0 / _timeit(lambda v: inferer(v, predictor), vol, n_iters=4)
     extra["unet_latency_vols_per_sec"] = round(lat, 3)
+    _progress(f"unet latency: {lat:.2f} vols/s")
 
     # steady-state pipelined batch-4 throughput — the primary number
     _progress("unet: batch-4 pipelined throughput")
     dt4 = _timeit_pipelined(lambda v: inferer(v, predictor), vols4, n_iters=6)
     vols_per_sec = 4.0 / dt4
+    _progress(f"unet steady-state: {vols_per_sec:.2f} vols/s")
     extra["unet_num_windows"] = num_windows
 
     # per-stage breakdown via slope timing
@@ -294,6 +296,7 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     dt = (time.perf_counter() - t0) / n_iters
     extra["unet_train_steps_per_sec"] = round(1.0 / dt, 3)
     extra["unet_train_patches_per_sec"] = round(batch / dt, 2)
+    _progress(f"unet train: {1.0 / dt:.2f} steps/s")
     try:
         cost = _cost_analysis(step, params, opt_state, x, y)
         flops = float(cost.get("flops", 0.0))
@@ -335,8 +338,13 @@ def bench_swinunetr_sw(extra):
     # smaller window batches until one compiles
     vols = [jax.random.uniform(jax.random.key(i), (1, 1, *vol_shape), jnp.float32)
             for i in range(2)]
+    # the remote compile service reliably 500s on the all-windows (18) SwinUNETR
+    # batch after ~4 min of compile; that attempt is opt-in to keep the default
+    # bench fast (set MONAI_TPU_BENCH_SWIN_ALL=1 to retry the full batch)
+    batches = (num_windows, 9, 6, 4) if os.environ.get(
+        "MONAI_TPU_BENCH_SWIN_ALL", "0") == "1" else (9, 6, 4)
     last_err = None
-    for sw_bs in (num_windows, 9, 6, 4):
+    for sw_bs in batches:
         try:
             _progress(f"swinunetr: sw_batch={sw_bs}")
             inferer = SlidingWindowInferer(roi_size=roi, sw_batch_size=sw_bs,
@@ -353,6 +361,7 @@ def bench_swinunetr_sw(extra):
         raise last_err
     vps = 1.0 / dt
     extra["swinunetr_sw_eval_vols_per_sec"] = round(vps, 4)
+    _progress(f"swinunetr: {vps:.2f} vols/s @ sw_batch={extra['swinunetr_sw_batch']}")
     try:
         win = jnp.zeros((extra["swinunetr_sw_batch"], 1) + roi, jnp.bfloat16)
         cost = _cost_analysis(fwd, state_bf16, win)
