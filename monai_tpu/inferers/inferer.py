@@ -62,10 +62,91 @@ class SlidingWindowInferer(Inferer):
             buffer_dim=self.buffer_dim, *args, **kwargs)
 
 
+def _is_oom(exc: BaseException) -> bool:
+    msg = str(exc)
+    return ("RESOURCE_EXHAUSTED" in msg or "Resource exhausted" in msg
+            or "out of memory" in msg.lower() or "OutOfMemory" in msg)
+
+
 class SlidingWindowInfererAdapt(SlidingWindowInferer):
-    """The reference variant auto-falls-back to CPU stitching on GPU OOM
-    (inferer.py:555).  XLA on TPU allocates statically, so the adaptive retry is a
-    no-op here; kept for API parity."""
+    """OOM-adaptive sliding-window inference (reference: inferer.py:555
+    SlidingWindowInfererAdapt auto-falls-back to CPU stitching on CUDA OOM).
+
+    TPU analog: on RESOURCE_EXHAUSTED from the single-program stitch, halve
+    ``sw_batch_size`` (smaller window batch = smaller live window/pred buffers and
+    a smaller compiled program) and retry; once at ``sw_batch_size == 1`` a final
+    failure falls back to host stitching — each window batch still runs on device,
+    but the (potentially huge) stitched output accumulates in host RAM, the same
+    memory trade the reference makes when it moves stitching to CPU.
+
+    The adapted ``sw_batch_size`` persists on the instance so subsequent volumes
+    skip the failed sizes (reference behavior; its CPU flag persists too).
+    """
+
+    def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        while True:
+            try:
+                return super().__call__(inputs, network, *args, **kwargs)
+            except Exception as e:  # jax errors don't share one base class
+                if not _is_oom(e):
+                    raise
+                if self.sw_batch_size > 1:
+                    self.sw_batch_size = max(1, self.sw_batch_size // 2)
+                    continue
+                return self._host_stitch(inputs, network, *args, **kwargs)
+
+    def _host_stitch(self, inputs: Any, network: Callable, *args, **kwargs):
+        """Device window forwards + numpy accumulation (single-array outputs)."""
+        import jax
+        import numpy as np
+        from flax import nnx
+
+        from ..data.meta_image import MetaImage
+        from ..data.utils import compute_importance_map, dense_patch_slices
+        from ..utils.backend import to_jax
+        from ..utils.misc import ensure_tuple_rep, fall_back_tuple
+        from .utils import compute_scan_interval
+
+        is_meta = isinstance(inputs, MetaImage)
+        x = to_jax(inputs.data if is_meta else inputs)
+        nsd = x.ndim - 2
+        roi = fall_back_tuple(self.roi_size, x.shape[2:])
+        overlap = ensure_tuple_rep(self.overlap, nsd)
+        image_size = x.shape[2:]
+        if any(roi[d] > image_size[d] for d in range(nsd)):
+            raise NotImplementedError("host-stitch fallback requires roi <= image size")
+        interval = compute_scan_interval(image_size, roi, nsd, overlap)
+        slices = dense_patch_slices(image_size, roi, interval)
+        imp = np.asarray(compute_importance_map(roi, mode=self.mode,
+                                                sigma_scale=self.sigma_scale,
+                                                dtype=np.float32))
+        if isinstance(network, nnx.Module):
+            graphdef, state = nnx.split(network)
+            fwd = jax.jit(lambda s, w: nnx.merge(graphdef, s)(w, *args, **kwargs))
+            call = lambda w: fwd(state, w)  # noqa: E731
+        else:
+            fwd = jax.jit(lambda w: network(w, *args, **kwargs))
+            call = fwd
+        out_np = None
+        count = np.zeros((1, 1) + tuple(image_size), np.float32)
+        for sl in slices:
+            win = jax.lax.slice(x, (0, 0) + tuple(s.start for s in sl),
+                                (x.shape[0], x.shape[1]) + tuple(s.stop for s in sl))
+            pred = np.asarray(call(win), dtype=np.float32)
+            if pred.shape[2:] != tuple(roi):
+                raise NotImplementedError("host-stitch fallback requires output roi == input roi")
+            if out_np is None:
+                out_np = np.zeros((x.shape[0], pred.shape[1]) + tuple(image_size), np.float32)
+            idx = (slice(None), slice(None)) + tuple(sl)
+            out_np[idx] += pred * imp[None, None]
+            count[(slice(0, 1), slice(0, 1)) + tuple(sl)] += imp[None, None]
+        out_np /= np.maximum(count, 1e-8)
+        output = jnp.asarray(out_np)
+        if is_meta:
+            out_m = inputs.new_like(output)
+            out_m.is_batch = inputs.is_batch
+            return out_m
+        return output
 
 
 class SliceInferer(SlidingWindowInferer):

@@ -13,8 +13,9 @@ implemented with scatter-add; together they give exact custom gradients.
 Coordinate convention: ``grid`` holds **voxel coordinates of the input** (not normalized
 [-1, 1] like torch); the affine helpers below produce output-voxel → input-voxel maps.
 
-Supported: interpolation order 0 (nearest), 1 (linear), 3 (cubic, Keys spline a=-0.5 —
-matching torch 'bicubic'); padding modes zeros / border / reflection.
+Supported: spline orders 0-7 (order 3 defaults to torch's Keys cubic; B-spline via
+interpolation="bspline") x all 8 reference bound modes (zero / replicate / dct1 /
+dct2 / dst1 / dst2 / dft / sliding), plus per-dimension bound tuples.
 """
 from __future__ import annotations
 
@@ -58,8 +59,19 @@ def resolve_mode(mode: Any) -> int:
     raise ValueError(f"Unsupported interpolation mode: {mode!r}")
 
 
-def resolve_bound(bound: Any) -> str:
-    """Canonicalize a boundary-mode name (reference: csrc BoundType)."""
+def resolve_bound(bound: Any):
+    """Canonicalize a boundary-mode name (reference: csrc BoundType).
+
+    A list/tuple gives dimension-specific bounds in spatial order (reference:
+    spatial_transforms.py:93 "A list of values can be provided, in the order
+    [W, H, D]"); 'sliding' applies per-component flow-field handling and cannot
+    be dimension-specific (spatial_transforms.py:94-95)."""
+    if isinstance(bound, (list, tuple)):
+        resolved = tuple(resolve_bound(b) for b in bound)
+        if "sliding" in resolved:
+            raise ValueError("'sliding' cannot be combined with per-dimension bounds "
+                             "(reference: spatial_transforms.py:95).")
+        return resolved
     key = str(bound).lower()
     if key in _BOUND_ALIASES:
         return _BOUND_ALIASES[key]
@@ -108,11 +120,8 @@ def _bound_tap_generic(idx, n: int, bound: str, align_corners: bool, ns):
         sign = ns.where(refl, -1.0, 1.0)
         mask = (u != 0) & (u != n + 1)
         return xi, sign, mask
-    raise NotImplementedError(
-        f"bound mode {bound!r} is not supported here ('sliding' applies per-component "
-        "displacement-field handling; the reference's own kernels leave it as an "
-        "unimplemented TODO stub — /root/reference/monai/csrc/resample/pushpull_cpu.cpp:594 "
-        "interpolate1d_sliding — so raising is full parity).")
+    raise NotImplementedError(f"bound mode {bound!r} is not supported by the tap engine "
+                              "('sliding' is expanded per channel before reaching here).")
 
 
 def _bspline_kernel(order: int, u, ns):
@@ -128,12 +137,14 @@ def _bspline_kernel(order: int, u, ns):
     return out / factorial(order)
 
 
-def _build_spline_taps(grid, spatial, order: int, bound: str, align_corners: bool, ns,
+def _build_spline_taps(grid, spatial, order: int, bound, align_corners: bool, ns,
                        compute_dtype):
     """Per-dim resolved taps [(idx, weight, sign, mask), ...] for the generic
     B-spline tap engine — shared by the pull (gather) and push/count (scatter)
-    paths so the adjoint uses the identical weights."""
+    paths so the adjoint uses the identical weights. ``bound`` is one mode name
+    or a per-dimension tuple of mode names."""
     D = grid.shape[-1]
+    bounds = bound if isinstance(bound, (list, tuple)) else (bound,) * D
     taps_per_dim: list[list[tuple]] = []
     for d in range(D):
         c = grid[..., d].astype(compute_dtype)
@@ -158,10 +169,32 @@ def _build_spline_taps(grid, spatial, order: int, bound: str, align_corners: boo
                 dim_taps.append((i_k, w_k))
         resolved = []
         for i_k, w_k in dim_taps:
-            xi, sign, mask = _bound_tap_generic(i_k, spatial[d], bound, align_corners, ns)
+            xi, sign, mask = _bound_tap_generic(i_k, spatial[d], bounds[d], align_corners, ns)
             resolved.append((xi, w_k, sign, mask))
         taps_per_dim.append(resolved)
     return taps_per_dim
+
+
+def _sliding_bounds(D: int) -> list[tuple]:
+    """Per-channel bound tuples for the 'sliding' flow-field condition
+    (reference: resample_utils.h:86 "Sliding — for deformation-fields only:
+    mixture of DCT2 and DST2"): the flow component NORMAL to a face is
+    antisymmetric across it (DST2, Dirichlet — no flow through the wall), the
+    TANGENTIAL components are symmetric (DCT2, Neumann — free slip). So channel
+    ``c`` uses dst2 along spatial dim ``c`` and dct2 along every other dim.
+
+    The reference's own sliding kernel bodies are TODO stubs
+    (pushpull_cpu.cpp:594-660), so parity validation is against the definition:
+    per-channel equivalence with explicit per-dim bounds + exact pull/push
+    adjointness (tests/test_resample_parity_tail.py)."""
+    return [tuple("dst2" if d == c else "dct2" for d in range(D)) for c in range(D)]
+
+
+def _check_sliding_channels(C: int, D: int, op: str):
+    if C != D:
+        raise ValueError(
+            f"'sliding' only applies to flow fields with as many channels as spatial "
+            f"dims (reference: spatial_transforms.py:94); {op} got C={C}, D={D}.")
 
 
 def _grid_pull_spline(input, grid, order: int, bound: str, align_corners: bool, ns):
@@ -289,22 +322,31 @@ def grid_pull(input: Any, grid: Any, interpolation: Any = 1, bound: str = "zeros
     Returns ``(C, *out_spatial)``.
     """
     ns = xp(input)
+    canon_bound = resolve_bound(bound)
+    if canon_bound == "sliding":
+        # flow-field sliding condition: channel c = dst2 along dim c, dct2 elsewhere
+        D = grid.shape[-1]
+        _check_sliding_channels(input.shape[0], D, "grid_pull")
+        return ns.concatenate(
+            [grid_pull(input[c:c + 1], grid, interpolation, bc, align_corners)
+             for c, bc in enumerate(_sliding_bounds(D))], axis=0)
     if str(interpolation).lower() in ("bspline", "bspline3"):
         # the reference compiled grid_pull's cubic: B-spline basis, not Keys
-        return _grid_pull_spline(input, grid, 3, resolve_bound(bound), align_corners, ns)
+        return _grid_pull_spline(input, grid, 3, canon_bound, align_corners, ns)
     order = resolve_mode(interpolation)
     D = grid.shape[-1]
     in_spatial = input.shape[1:]
     if len(in_spatial) != D:
         raise ValueError(f"grid last dim {D} != input spatial rank {len(in_spatial)}")
-    canon_bound = resolve_bound(bound)
     # torch-compatible fast paths below cover orders {0,1,3(Keys cubic)} x
-    # {zero,replicate,dct2}; everything else (B-spline orders 2,4-7 and the
-    # reference's remaining bound modes) goes through the generic tap engine.
+    # {zero,replicate,dct2}; everything else (B-spline orders 2,4-7, per-dim bound
+    # tuples, and the reference's remaining bound modes) goes through the generic
+    # tap engine.
     # NOTE: order 3 here is torch's Keys bicubic; the reference's compiled grid_pull
     # order 3 is the cubic B-SPLINE — request it as interpolation="bspline" or via
     # use_bspline=True on callers that need csrc parity.
-    if order in (2, 4, 5, 6, 7) or canon_bound not in ("zero", "replicate", "dct2"):
+    if (order in (2, 4, 5, 6, 7) or isinstance(canon_bound, tuple)
+            or canon_bound not in ("zero", "replicate", "dct2")):
         return _grid_pull_spline(input, grid, order, canon_bound, align_corners, ns)
     bound = {"zero": "zeros", "replicate": "border", "dct2": "reflection"}[canon_bound]
     C = input.shape[0]
@@ -464,12 +506,19 @@ def grid_push(input: Any, grid: Any, shape: Sequence[int], interpolation: Any = 
     Only the jax backend supports efficient scatter-add; numpy uses ``np.add.at``.
     """
     ns_ = xp(input)
+    canon_bound = resolve_bound(bound)
+    if canon_bound == "sliding":
+        D = grid.shape[-1]
+        _check_sliding_channels(input.shape[0], D, "grid_push")
+        return ns_.concatenate(
+            [grid_push(input[c:c + 1], grid, shape, interpolation, bc, align_corners)
+             for c, bc in enumerate(_sliding_bounds(D))], axis=0)
     if str(interpolation).lower() in ("bspline", "bspline3"):
-        return _grid_push_spline(input, grid, shape, 3, resolve_bound(bound),
+        return _grid_push_spline(input, grid, shape, 3, canon_bound,
                                  align_corners, ns_)
     order = resolve_mode(interpolation)
-    canon_bound = resolve_bound(bound)
-    if order in (2, 4, 5, 6, 7) or canon_bound not in ("zero", "replicate", "dct2"):
+    if (order in (2, 4, 5, 6, 7) or isinstance(canon_bound, tuple)
+            or canon_bound not in ("zero", "replicate", "dct2")):
         return _grid_push_spline(input, grid, shape, order, canon_bound, align_corners, ns_)
     bound = {"zero": "zeros", "replicate": "border", "dct2": "reflection"}[canon_bound]
     ns = xp(input)
@@ -543,8 +592,16 @@ def grid_push(input: Any, grid: Any, shape: Sequence[int], interpolation: Any = 
 
 
 def grid_count(grid: Any, shape: Sequence[int], interpolation: Any = 1, bound: str = "zeros"):
-    """Splat ones — the normalization map for grid_push (reference: grid_count)."""
+    """Splat ones — the normalization map for grid_push (reference: grid_count).
+
+    For ``bound='sliding'`` the count is a scalar density (no flow component to be
+    antisymmetric about), so the symmetric half of the mixture (dct2) applies to
+    every dim — the convention a per-channel push of ones would reduce to if the
+    dst2 sign flips were ignored, which is the only meaningful choice for a count.
+    """
     ns = xp(grid)
+    if resolve_bound(bound) == "sliding":
+        bound = "dct2"
     dt = grid.dtype if np.issubdtype(np.dtype(str(grid.dtype)), np.floating) else ns.float32
     ones = ns.ones((1,) + tuple(grid.shape[:-1]), dtype=dt).reshape(1, -1)
     flat_grid = grid.reshape(-1, grid.shape[-1])
@@ -606,6 +663,18 @@ def grid_grad(input: Any, grid: Any, interpolation: Any = 1, bound: str = "zeros
     Returns ``(C, *out_spatial, D)``.
     """
     import jax
+
+    if resolve_bound(bound) == "sliding":
+        D = grid.shape[-1]
+        _check_sliding_channels(input.shape[0], D, "grid_grad")
+        per_chan_bounds = _sliding_bounds(D)
+
+        def chan_grad(c):
+            return jax.grad(lambda g: jnp.sum(grid_pull(
+                jnp.asarray(input)[c:c + 1], g, interpolation, per_chan_bounds[c],
+                align_corners)))(grid)
+
+        return jnp.stack([chan_grad(c) for c in range(D)], axis=0)
 
     def per_channel(inp_c):
         return jax.grad(lambda g: jnp.sum(grid_pull(inp_c[None], g, interpolation,

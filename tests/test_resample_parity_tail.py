@@ -144,10 +144,123 @@ class TestBoundAliases:
         with pytest.raises(ValueError):
             resolve_bound("banana")
 
-    def test_sliding_not_implemented(self):
-        img, coords = _case()
-        with pytest.raises(NotImplementedError):
+    def test_sliding_requires_flow_channels(self):
+        img, coords = _case()  # 1 channel, 2 spatial dims
+        with pytest.raises(ValueError, match="flow fields"):
             grid_pull(img, coords[None], interpolation=2, bound="sliding")
+
+    def test_sliding_cannot_be_dimension_specific(self):
+        with pytest.raises(ValueError, match="per-dimension"):
+            resolve_bound(["sliding", "dct2"])
+
+
+class TestSlidingBound:
+    """'sliding' bound (reference: resample_utils.h:86 — deformation-fields-only
+    mixture of DCT2 and DST2; the reference's own kernel bodies are TODO stubs,
+    pushpull_cpu.cpp:594-660, so validation is against the definition): flow
+    channel c is antisymmetric (dst2) across faces normal to dim c — no flow
+    through the wall — and symmetric (dct2) across the others — free slip."""
+
+    @staticmethod
+    def _flow(shape=(9, 11), seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.rand(len(shape), *shape).astype(np.float64)
+
+    # order 3 is requested as "bspline" so the uniform-dct2 reference leg uses the
+    # same tap engine as the mixture (plain 3 + dct2 is the Keys-cubic torch path)
+    @pytest.mark.parametrize("order", [0, 1, 2, "bspline", 5])
+    @pytest.mark.parametrize("oob_dim", [0, 1])
+    def test_channel_mixture_vs_single_bound_engine(self, order, oob_dim):
+        # coords out of bounds ONLY along oob_dim: sliding channel c must then
+        # equal the (scipy-validated) single-bound engine with dst2 if c == oob_dim
+        # else dct2 — a non-circular check of the per-channel mixture.
+        shape = (9, 11)
+        flow = self._flow(shape)
+        rng = np.random.RandomState(3)
+        n = 100
+        # keep the non-OOB dim far enough inside that even the widest tested kernel
+        # (order 5: taps floor(c)-2 .. floor(c)+3) never touches a boundary there
+        coords = np.stack([rng.uniform(3.0, shape[d] - 4.0, n) for d in range(2)], -1)
+        coords[:, oob_dim] = rng.uniform(-4.0, shape[oob_dim] + 3.0, n)
+        got = np.asarray(grid_pull(flow, coords[None], interpolation=order, bound="sliding"))
+        for c in range(2):
+            want_bound = "dst2" if c == oob_dim else "dct2"
+            want = np.asarray(grid_pull(flow[c:c + 1], coords[None],
+                                        interpolation=order, bound=want_bound))
+            np.testing.assert_allclose(got[c], want[0], atol=1e-10)
+
+    def test_no_flow_through_the_wall(self):
+        # linear interpolation exactly at a face (coordinate -0.5 along dim c):
+        # the NORMAL flow component must vanish (dst2 is antisymmetric about the
+        # edge), the tangential one is untouched (dct2 is symmetric: no constraint).
+        shape = (8, 10)
+        flow = self._flow(shape, seed=4) + 0.5  # keep values away from 0
+        n = 20
+        rng = np.random.RandomState(5)
+        ys = rng.uniform(1.0, shape[1] - 2.0, n)
+        coords = np.stack([np.full(n, -0.5), ys], -1)  # on the dim-0 face
+        out = np.asarray(grid_pull(flow, coords[None], interpolation=1, bound="sliding"))
+        np.testing.assert_allclose(out[0], 0.0, atol=1e-12)       # normal component
+        assert np.all(np.abs(out[1]) > 1e-3)                       # tangential survives
+
+    @pytest.mark.parametrize("order", [1, 2, 4])
+    def test_push_is_adjoint_of_sliding_pull(self, order):
+        from monai_tpu.ops.resample import grid_push
+
+        rng = np.random.RandomState(13)
+        shape = (7, 9)
+        u = rng.rand(2, *shape)
+        n_pts = 64
+        coords = np.stack([rng.uniform(-2, shape[d] + 1, n_pts) for d in range(2)], -1)
+        v = rng.rand(2, n_pts)
+        pull_u = np.asarray(grid_pull(u, coords[None], interpolation=order, bound="sliding"))
+        push_v = np.asarray(grid_push(v, coords, shape, interpolation=order, bound="sliding"))
+        lhs = float((push_v * u).sum())
+        rhs = float((pull_u.reshape(2, -1) * v).sum())
+        assert abs(lhs - rhs) < 1e-8 * max(1.0, abs(lhs))
+
+    def test_count_sliding_is_dct2(self):
+        from monai_tpu.ops.resample import grid_count
+
+        rng = np.random.RandomState(17)
+        coords = rng.uniform(-2, 9, (30, 2))
+        a = np.asarray(grid_count(coords, (7, 8), interpolation=2, bound="sliding"))
+        b = np.asarray(grid_count(coords, (7, 8), interpolation=2, bound="dct2"))
+        np.testing.assert_allclose(a, b)
+
+    def test_grad_sliding_matches_finite_differences(self):
+        from monai_tpu.ops.resample import grid_grad
+
+        rng = np.random.RandomState(19)
+        shape = (9, 9)
+        flow = rng.rand(2, *shape)
+        pts = np.stack([rng.uniform(-2, 10, 12), rng.uniform(-2, 10, 12)], -1)
+        g = np.asarray(grid_grad(flow, pts[None], interpolation=2, bound="sliding"))
+        eps = 1e-4
+        for d in range(2):
+            dp = pts.copy(); dp[:, d] += eps
+            dm = pts.copy(); dm[:, d] -= eps
+            f_p = np.asarray(grid_pull(flow, dp[None], interpolation=2, bound="sliding"))
+            f_m = np.asarray(grid_pull(flow, dm[None], interpolation=2, bound="sliding"))
+            fd = (f_p - f_m) / (2 * eps)
+            np.testing.assert_allclose(g[:, 0, :, d], fd[:, 0], atol=1e-5)
+
+    @pytest.mark.parametrize("order", [1, 3])
+    def test_per_dim_bound_tuple(self, order):
+        # per-dim bounds (reference: spatial_transforms.py:93 "[W, H, D] order"):
+        # OOB along only one dim must match the uniform bound of that dim.
+        shape = (9, 11)
+        img = np.random.RandomState(23).rand(1, *shape)
+        rng = np.random.RandomState(29)
+        n = 50
+        for oob_dim, want_bound in ((0, "dft"), (1, "dct1")):
+            coords = np.stack([rng.uniform(1.0, shape[d] - 2.0, n) for d in range(2)], -1)
+            coords[:, oob_dim] = rng.uniform(-4.0, shape[oob_dim] + 3.0, n)
+            got = np.asarray(grid_pull(img, coords[None], interpolation=order,
+                                       bound=("dft", "dct1")))
+            want = np.asarray(grid_pull(img, coords[None], interpolation=order,
+                                        bound=want_bound))
+            np.testing.assert_allclose(got, want, atol=1e-10)
 
 
 class TestAdjointTail:
