@@ -419,10 +419,12 @@ def bench_swinunetr_sw(extra):
     # The product path: SlidingWindowInfererAdapt halves sw_batch_size on
     # RESOURCE_EXHAUSTED (and can move stitching to host at sw_batch 1) — the same
     # fallback the reference's SlidingWindowInfererAdapt does for CUDA OOM
-    # (reference: monai/inferers/inferer.py:555). Start at 9 windows/forward; the
-    # remote compile service 500s on the full-18 batch (r3 finding, opt-in via
-    # MONAI_TPU_BENCH_SWIN_ALL=1).
-    start_bs = num_windows if os.environ.get("MONAI_TPU_BENCH_SWIN_ALL", "0") == "1" else 9
+    # (reference: monai/inferers/inferer.py:555). Start at 6 windows/forward:
+    # compiled temp is 4.2 GB vs 14.5 GB at 9 (XLA picks a pathological schedule
+    # at 9; measured via Compiled.memory_analysis, r4) and 18 windows = exactly 3
+    # chunks. The full-18 batch 500s the remote compile service (r3 finding,
+    # opt-in via MONAI_TPU_BENCH_SWIN_ALL=1).
+    start_bs = num_windows if os.environ.get("MONAI_TPU_BENCH_SWIN_ALL", "0") == "1" else 6
     inferer = SlidingWindowInfererAdapt(roi_size=roi, sw_batch_size=start_bs,
                                         overlap=overlap, mode="gaussian")
     _progress(f"swinunetr: adaptive, start sw_batch={start_bs}")

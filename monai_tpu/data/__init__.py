@@ -107,6 +107,14 @@ _LAZY_ATTRS = {
     "clip_boxes_to_image": ".box_utils", "convert_box_mode": ".box_utils",
     "convert_box_to_standard_mode": ".box_utils", "non_max_suppression": ".box_utils",
     "spatial_crop_boxes": ".box_utils", "standardize_empty_box": ".box_utils",
+    "get_boxmode": ".box_utils", "batched_nms": ".box_utils",
+    # round-4 function-surface additions
+    "collate_meta_tensor_fn": ".utils", "dev_collate": ".utils", "is_no_channel": ".utils",
+    "buffer_iterator": ".dataloader",
+    "import_cv": ".video_dataset",
+    "itk_image_to_metatensor": ".itk_torch_bridge", "metatensor_to_itk_image": ".itk_torch_bridge",
+    "itk_to_monai_affine": ".itk_torch_bridge", "monai_to_itk_affine": ".itk_torch_bridge",
+    "get_itk_image_center": ".itk_torch_bridge", "monai_to_itk_ddf": ".itk_torch_bridge",
 }
 
 

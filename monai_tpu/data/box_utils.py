@@ -265,6 +265,20 @@ class BoxMode:
         d = get_spatial_dims(boxes=boxes)
         return convert_box_mode(boxes, src_mode=self.get_name(d), dst_mode=None)
 
+    def boxes_to_corners(self, boxes) -> tuple:
+        """Split boxes in this mode into per-coordinate corner columns
+        ``(xmin, ymin, (zmin,) xmax, ymax(, zmax))``, each shaped (N, 1)
+        (reference: box_utils.py BoxMode.boxes_to_corners)."""
+        d = get_spatial_dims(boxes=boxes)
+        mins, maxs = _split_mode(self.get_name(d), boxes)
+        return tuple(np.asarray(c).reshape(-1, 1) for c in (*mins, *maxs))
+
+    def corners_to_boxes(self, corners):
+        """Inverse of ``boxes_to_corners``: corner columns -> boxes in this mode."""
+        std = np.concatenate([np.asarray(c).reshape(-1, 1) for c in corners], axis=1)
+        d = std.shape[1] // 2
+        return convert_box_mode(std, src_mode=None, dst_mode=self.get_name(d))
+
 
 class CornerCornerModeTypeA(BoxMode):
     """[xmin, ymin, (zmin,) xmax, ymax(, zmax)] — StandardMode (reference: box_utils.py)."""
@@ -297,3 +311,36 @@ class CenterSizeMode(BoxMode):
 
 
 StandardMode = CornerCornerModeTypeA
+
+
+def get_boxmode(mode=None, *args, **kwargs) -> BoxMode:
+    """Return a ``BoxMode`` instance from a string / class / instance
+    (reference: box_utils.py:457)."""
+    if mode is None:
+        return StandardMode(*args, **kwargs)
+    if isinstance(mode, BoxMode):
+        return mode
+    if isinstance(mode, type) and issubclass(mode, BoxMode):
+        return mode(*args, **kwargs)
+    if isinstance(mode, str):
+        for cls in (CornerCornerModeTypeA, CornerCornerModeTypeB, CornerCornerModeTypeC,
+                    CornerSizeMode, CenterSizeMode):
+            if mode in cls.name.values():
+                return cls(*args, **kwargs)
+    raise ValueError(f"unsupported box mode: {mode}.")
+
+
+def batched_nms(boxes, scores, labels, nms_thresh: float, max_proposals: int = -1,
+                box_overlap_metric=box_iou) -> np.ndarray:
+    """Per-class NMS via the coordinate-offset trick: shift each class's boxes by
+    ``label * (max_coordinate + 1)`` so boxes of different classes can never
+    overlap, then run one plain NMS (reference: box_utils.py:1144)."""
+    boxes_np = to_numpy(boxes)
+    if boxes_np.shape[0] == 0:
+        return np.asarray([], dtype=np.int64)
+    labels_np = to_numpy(labels).astype(np.float64)
+    max_coordinate = float(boxes_np.max())
+    offsets = labels_np * (max_coordinate + 1.0)
+    boxes_for_nms = boxes_np.astype(np.float64) + offsets[:, None]
+    return non_max_suppression(boxes_for_nms, scores, nms_thresh, max_proposals,
+                               box_overlap_metric)

@@ -159,3 +159,12 @@ class ThreadDataLoader(DataLoader):
         for batch in buffer:
             for _ in range(self.repeats):
                 yield batch
+
+
+def buffer_iterator(src, buffer_size: int = 1, timeout: float = 0.01, repeats: int = 1):
+    """Wrap ``src`` in a ThreadBuffer and yield each item ``repeats`` times
+    (reference: thread_buffer.py:83)."""
+    buffer = ThreadBuffer(src=src, buffer_size=buffer_size, timeout=timeout)
+    for batch in buffer:
+        for _ in range(repeats):
+            yield batch

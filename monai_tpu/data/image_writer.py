@@ -158,3 +158,14 @@ class ITKWriter(ImageWriter):
         super().__init__(**kwargs)
         self.output_dtype = output_dtype
         self.affine_lps_to_ras = affine_lps_to_ras
+
+
+def init() -> None:
+    """(Re-)register the default writers per filename extension (reference:
+    image_writer.py:865)."""
+    for ext in ("png", "jpg", "jpeg", "bmp", "tiff", "tif"):
+        register_writer(ext, PILWriter)
+    for ext in ("nii.gz", "nii"):
+        register_writer(ext, NiftiWriter, NibabelWriter)
+    register_writer("nrrd", NiftiWriter, NibabelWriter)
+    register_writer("*", NiftiWriter, NibabelWriter)

@@ -568,3 +568,63 @@ def get_extra_metadata_keys() -> list:
 def remove_extra_metadata(meta: dict) -> None:
     """Drop the unnecessary header keys in place (reference: data/utils.py:1541)."""
     remove_keys(meta, get_extra_metadata_keys())
+
+
+def collate_meta_tensor_fn(batch, *, collate_fn_map=None):
+    """Collate a sequence of MetaImages into one batched MetaImage; the inner
+    worker of ``collate_meta_tensor`` (reference: data/utils.py:447)."""
+    return collate_meta_tensor(list(batch))
+
+
+def dev_collate(batch, level: int = 1, logger_name: str = "dev_collate"):
+    """Recursively run collate logic with critical-level logging for debugging
+    collate failures (reference: data/utils.py:357)."""
+    import logging
+
+    elem = batch[0]
+    elem_type = type(elem)
+    l_str = ">" * level
+    batch_str = f"{batch[:10]}{' ... ' if len(batch) > 10 else ''}"
+    log = logging.getLogger(logger_name)
+    if isinstance(elem, np.ndarray) or is_jax(elem) or isinstance(elem, MetaImage):
+        try:
+            log.critical(f"{l_str} collate/stack a list of arrays")
+            return collate_meta_tensor(list(batch))
+        except (TypeError, ValueError) as e:
+            log.critical(f"{l_str} E: {e}, shape "
+                         f"{[getattr(e_, 'shape', None) for e_ in batch]} in collate({batch_str})")
+            return None
+    if isinstance(elem, (float, int, str, bytes)):
+        return batch
+    if isinstance(elem, Mapping):
+        out = {}
+        for key in elem:
+            log.critical(f"{l_str} collate dict key '{key}' out of {len(elem)} keys")
+            out[key] = dev_collate([d[key] for d in batch], level=level + 1, logger_name=logger_name)
+        return out
+    if isinstance(elem, (list, tuple)):
+        it = iter(batch)
+        elem_size = len(next(it))
+        if not all(len(e) == elem_size for e in it):
+            log.critical(f"{l_str} E: inconsistent lengths {[len(e) for e in batch]} "
+                         f"in collate({batch_str})")
+            return None
+        return [dev_collate(samples, level=level + 1, logger_name=logger_name)
+                for samples in zip(*batch)]
+    log.critical(f"{l_str} E: unsupported type {elem_type} in collate({batch_str})")
+    return None
+
+
+def is_no_channel(val) -> bool:
+    """Whether ``val`` indicates "no_channel" for MetaKeys.ORIGINAL_CHANNEL_DIM
+    (reference: data/utils.py:1589)."""
+    if isinstance(val, str):
+        return val == "no_channel"
+    if val is None:
+        return True
+    try:
+        if np.isscalar(val) or (hasattr(val, "ndim") and val.ndim == 0):
+            return bool(np.isnan(np.asarray(val, dtype=np.float64)))
+    except (TypeError, ValueError):
+        return False
+    return False

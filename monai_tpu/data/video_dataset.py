@@ -189,3 +189,10 @@ class SuppressStderr:
 
 
 __all__ += ["SuppressStderr"]
+
+
+def import_cv():
+    """(Re-)import cv2 lazily — avoids webcam side effects at package import
+    (reference: video_dataset.py:36)."""
+    global cv2, has_cv2
+    cv2, has_cv2 = optional_import("cv2")

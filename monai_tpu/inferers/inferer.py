@@ -84,12 +84,32 @@ class SlidingWindowInfererAdapt(SlidingWindowInferer):
     """
 
     def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        import jax
+
+        from ..data.meta_image import MetaImage
+
         while True:
             try:
-                return super().__call__(inputs, network, *args, **kwargs)
+                out = super().__call__(inputs, network, *args, **kwargs)
+                # JAX dispatch is asynchronous: a RESOURCE_EXHAUSTED from the
+                # stitch program surfaces at block_until_ready, not at the call.
+                # Force completion HERE so the adaptation loop actually sees the
+                # OOM (the r3 bench failure mode: the error escaped to the
+                # caller's first device_get and no halving ever happened).
+                jax.block_until_ready(out.data if isinstance(out, MetaImage) else out)
+                return out
             except Exception as e:  # jax errors don't share one base class
                 if not _is_oom(e):
                     raise
+                # drop compiled executables + dead buffers from the failed attempt
+                # BEFORE retrying: a failed scan program's allocations otherwise
+                # stay pinned by the jit cache and every retry inherits a nearly
+                # full HBM arena (observed: device_put of a KB-sized constant
+                # RESOURCE_EXHAUSTED-ing after one failed sw_batch=9 attempt).
+                import gc
+
+                jax.clear_caches()
+                gc.collect()
                 if self.sw_batch_size > 1:
                     self.sw_batch_size = max(1, self.sw_batch_size // 2)
                     continue
@@ -141,12 +161,14 @@ class SlidingWindowInfererAdapt(SlidingWindowInferer):
             out_np[idx] += pred * imp[None, None]
             count[(slice(0, 1), slice(0, 1)) + tuple(sl)] += imp[None, None]
         out_np /= np.maximum(count, 1e-8)
-        output = jnp.asarray(out_np)
+        # host stitching means the stitched output LIVES on host — moving it back
+        # to device here defeats the fallback (and OOMed in practice). Callers get
+        # numpy; downstream post-transforms accept either backend.
         if is_meta:
-            out_m = inputs.new_like(output)
+            out_m = inputs.new_like(out_np)
             out_m.is_batch = inputs.is_batch
             return out_m
-        return output
+        return out_np
 
 
 class SliceInferer(SlidingWindowInferer):

@@ -466,3 +466,51 @@ def get_pad_layer(name, spatial_dims: int = 1, rngs=None):
     """Instantiate a padding layer by factory name."""
     pad_name, pad_args = split_args(name)
     return Pad[pad_name, spatial_dims](rngs=rngs, **pad_args)
+
+
+# reference-named factory functions (reference: layers/factories.py:281-357 —
+# the reference exposes its registered factory callables at module level under
+# these names; ours above use the short names, aliased/wrapped here).
+def swish_factory():
+    """Swish activation layer factory (reference: factories.py:306)."""
+    from .simplelayers import Swish
+
+    return Swish
+
+
+def memswish_factory():
+    """Memory-efficient swish factory (reference: factories.py:319)."""
+    from .simplelayers import MemoryEfficientSwish
+
+    return MemoryEfficientSwish
+
+
+def mish_factory():
+    """Mish activation factory (reference: factories.py:332)."""
+    from .simplelayers import Mish
+
+    return Mish
+
+
+def geglu_factory():
+    """GEGLU activation factory (reference: factories.py:345)."""
+    from .simplelayers import GEGLU
+
+    return GEGLU
+
+
+def instance_nvfuser_factory(dim: int):
+    """The reference's nvfuser-accelerated instance norm is CUDA-only and falls
+    back to plain InstanceNorm3d elsewhere (reference: factories.py:272
+    instance_nvfuser_factory); on TPU the fused two-moment instance norm IS the
+    fast path, so this always returns it."""
+    import warnings
+
+    warnings.warn("`INSTANCE_NVFUSER` is CUDA-specific; using the TPU fused instance norm.")
+    return instance_factory(dim)
+
+
+maxpooling_factory = maxpool_factory
+avgpooling_factory = avgpool_factory
+adaptive_maxpooling_factory = adaptive_maxpool_factory
+adaptive_avgpooling_factory = adaptive_avgpool_factory

@@ -304,3 +304,31 @@ Final = _Final
 Projection = _Projection
 PSP = _PSP
 __all__ += ["Bottleneck3x3x1", "Pseudo3DLayer", "UpTransition", "Final", "Projection", "PSP"]
+
+
+def copy_conv_param(module2d, module3d):
+    """Inflate a 2D conv's parameters into a 3D conv by adding a unit depth axis
+    (reference: ahnet.py:537). Works on nnx modules (kernel layout (*spatial,
+    cin, cout)) and torch modules (parameters())."""
+    if hasattr(module2d, "parameters"):  # torch pair
+        for p2d, p3d in zip(module2d.parameters(), module3d.parameters()):
+            p3d.data[:] = p2d.data.unsqueeze(dim=4).clone()[:]
+        return
+    k2 = module2d.kernel.value
+    module3d.kernel.value = k2[:, :, None, :, :].astype(module3d.kernel.value.dtype)
+    if getattr(module2d, "bias", None) is not None and getattr(module3d, "bias", None) is not None:
+        module3d.bias.value = module2d.bias.value.astype(module3d.bias.value.dtype)
+
+
+def copy_bn_param(module2d, module3d):
+    """Copy 2D norm scale/bias into the matching 3D norm (reference:
+    ahnet.py:542)."""
+    if hasattr(module2d, "parameters"):  # torch pair
+        for p2d, p3d in zip(module2d.parameters(), module3d.parameters()):
+            p3d.data[:] = p2d.data[:]
+        return
+    for name in ("scale", "bias", "mean", "var"):
+        src = getattr(module2d, name, None)
+        dst = getattr(module3d, name, None)
+        if src is not None and dst is not None and hasattr(src, "value"):
+            dst.value = src.value

@@ -151,3 +151,7 @@ class ControlNetConditioningEmbedding(nnx.Module):
 
 
 __all__ += ["ControlNetConditioningEmbedding"]
+
+
+# reference: controlnet.py:~30 re-exports zero_module from diffusion_model_unet
+from .diffusion_model_unet import zero_module  # noqa: E402,F401

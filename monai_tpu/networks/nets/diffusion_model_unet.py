@@ -482,3 +482,82 @@ __all__ += ["DiffusionUNetResnetBlock", "SpatialTransformer", "DiffusionUNetTran
             "DiffusionUnetDownsample", "WrappedUpsample", "DownBlock", "AttnDownBlock",
             "CrossAttnDownBlock", "AttnMidBlock", "CrossAttnMidBlock", "UpBlock",
             "AttnUpBlock", "CrossAttnUpBlock"]
+
+
+# ---------------------------------------------------------------------------
+# module-level block factories (reference: diffusion_model_unet.py:1313
+# get_down_block, :1384 get_mid_block, :1430 get_up_block, :49 zero_module).
+# DiffusionModelUNet above builds these structures inline; the factories expose
+# the same building blocks for custom UNet assembly (ControlNet, SPADE, MAISI).
+# ---------------------------------------------------------------------------
+def zero_module(module: nnx.Module) -> nnx.Module:
+    """Zero all parameters of an nnx module in place and return it (reference:
+    diffusion_model_unet.py:49)."""
+    state = nnx.state(module, nnx.Param)
+    nnx.update(module, jax.tree_util.tree_map(jnp.zeros_like, state))
+    return module
+
+
+def get_down_block(spatial_dims: int, in_channels: int, out_channels: int, temb_channels: int,
+                   num_res_blocks: int = 1, norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                   add_downsample: bool = True, resblock_updown: bool = False,
+                   with_attn: bool = False, with_cross_attn: bool = False,
+                   num_head_channels: int = 8, transformer_num_layers: int = 1,
+                   cross_attention_dim: int | None = None, *, rngs: nnx.Rngs, **_kwargs) -> nnx.List:
+    """One encoder level: res blocks (+ attention) (+ stride-2 downsample conv)
+    (reference: diffusion_model_unet.py:1313)."""
+    blocks = []
+    ch = in_channels
+    ca_dim = cross_attention_dim if with_cross_attn else None
+    for _ in range(num_res_blocks):
+        blocks.append(_ResBlock(spatial_dims, ch, temb_channels, out_channels,
+                                norm_num_groups, norm_eps, rngs=rngs))
+        ch = out_channels
+        if with_attn or with_cross_attn:
+            blocks.append(_AttnBlock(ch, num_head_channels, norm_num_groups, ca_dim, rngs=rngs))
+    if add_downsample:
+        blocks.append(nnx.Conv(ch, ch, kernel_size=(3,) * spatial_dims,
+                               strides=(2,) * spatial_dims, rngs=rngs))
+    return nnx.List(blocks)
+
+
+def get_mid_block(spatial_dims: int, in_channels: int, temb_channels: int,
+                  norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                  with_conditioning: bool = False, num_head_channels: int = 8,
+                  transformer_num_layers: int = 1, cross_attention_dim: int | None = None,
+                  *, rngs: nnx.Rngs, **_kwargs) -> nnx.List:
+    """The res-attn-res bottleneck (reference: diffusion_model_unet.py:1384)."""
+    ca_dim = cross_attention_dim if with_conditioning else None
+    return nnx.List([
+        _ResBlock(spatial_dims, in_channels, temb_channels, in_channels,
+                  norm_num_groups, norm_eps, rngs=rngs),
+        _AttnBlock(in_channels, num_head_channels, norm_num_groups, ca_dim, rngs=rngs),
+        _ResBlock(spatial_dims, in_channels, temb_channels, in_channels,
+                  norm_num_groups, norm_eps, rngs=rngs),
+    ])
+
+
+def get_up_block(spatial_dims: int, in_channels: int, prev_output_channel: int,
+                 out_channels: int, temb_channels: int, num_res_blocks: int = 1,
+                 norm_num_groups: int = 32, norm_eps: float = 1e-6,
+                 add_upsample: bool = True, resblock_updown: bool = False,
+                 with_attn: bool = False, with_cross_attn: bool = False,
+                 num_head_channels: int = 8, transformer_num_layers: int = 1,
+                 cross_attention_dim: int | None = None, *, rngs: nnx.Rngs, **_kwargs) -> nnx.List:
+    """One decoder level: res blocks over concat(skip, x) (+ attention)
+    (+ stride-2 transposed-conv upsample) (reference:
+    diffusion_model_unet.py:1430)."""
+    blocks = []
+    ch = prev_output_channel
+    ca_dim = cross_attention_dim if with_cross_attn else None
+    for i in range(num_res_blocks):
+        skip_ch = in_channels if i == num_res_blocks - 1 else out_channels
+        blocks.append(_ResBlock(spatial_dims, ch + skip_ch, temb_channels, out_channels,
+                                norm_num_groups, norm_eps, rngs=rngs))
+        ch = out_channels
+        if with_attn or with_cross_attn:
+            blocks.append(_AttnBlock(ch, num_head_channels, norm_num_groups, ca_dim, rngs=rngs))
+    if add_upsample:
+        blocks.append(nnx.ConvTranspose(ch, ch, kernel_size=(2,) * spatial_dims,
+                                        strides=(2,) * spatial_dims, rngs=rngs))
+    return nnx.List(blocks)

@@ -236,3 +236,42 @@ def resnet152(**kwargs):
 
 def resnet200(**kwargs):
     return _resnet(ResNetBottleneck, [3, 24, 36, 3], [64, 128, 256, 512], **kwargs)
+
+
+def get_inplanes():
+    """Stage widths of the MedicalNet ResNet family (reference: resnet.py:63)."""
+    return [64, 128, 256, 512]
+
+
+def get_avgpool():
+    """Per-spatial-dims adaptive-avgpool output sizes (reference: resnet.py:67)."""
+    return [0, 1, (1, 1), (1, 1, 1)]
+
+
+def get_medicalnet_pretrained_resnet_args(resnet_depth: int):
+    """shortcut_type / bias_downsample matching released MedicalNet weights
+    (reference: resnet.py:675)."""
+    bias_downsample = resnet_depth in (18, 34)
+    shortcut_type = "A" if resnet_depth in [18, 34] else "B"
+    return bias_downsample, shortcut_type
+
+
+def get_pretrained_resnet_medicalnet(resnet_depth: int, device: str = "cpu", datasets23: bool = True):
+    """Download MedicalNet pretrained weights from Hugging Face (reference:
+    resnet.py:620). Gated on MONAI_TPU_ALLOW_DOWNLOADS (no-egress default)."""
+    import os
+
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError(
+            "get_pretrained_resnet_medicalnet downloads from huggingface.co; set "
+            "MONAI_TPU_ALLOW_DOWNLOADS=1 in an egress-enabled environment.")
+    from huggingface_hub import hf_hub_download
+    import torch
+
+    if resnet_depth not in (10, 18, 34, 50, 101, 152, 200):
+        raise NotImplementedError(f"Supported resnet_depth: 10/18/34/50/101/152/200, got {resnet_depth}")
+    repo = f"TencentMedicalNet/MedicalNet-Resnet{resnet_depth}"
+    filename = f"resnet_{resnet_depth}{'_23dataset' if datasets23 else ''}.pth"
+    path = hf_hub_download(repo_id=repo, filename=filename)
+    checkpoint = torch.load(path, map_location=device, weights_only=True)
+    return checkpoint.get("state_dict")

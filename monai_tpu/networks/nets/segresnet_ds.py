@@ -202,3 +202,29 @@ class SegResEncoder(nnx.Module):
 
 
 __all__ += ["SegResBlock", "SegResEncoder"]
+
+
+def scales_for_resolution(resolution, n_stages: int | None = None):
+    """Downsampling-scale schedule for an anisotropic input resolution
+    (reference: segresnet_ds.py:30)."""
+    import numpy as np
+
+    ndim = len(resolution)
+    res = np.array(resolution)
+    if not all(res > 0):
+        raise ValueError("Resolution must be positive")
+    nl = np.floor(np.log2(np.max(res) / res)).astype(np.int32)
+    scales = [tuple(np.where(2**i >= 2**nl, 1, 2)) for i in range(max(nl))]
+    if n_stages and n_stages > max(nl):
+        scales = scales + [(2,) * ndim] * (n_stages - max(nl))
+    else:
+        scales = scales[:n_stages]
+    return scales
+
+
+def aniso_kernel(scale):
+    """kernel_size / padding / stride for an anisotropic scale (reference:
+    segresnet_ds.py:58)."""
+    kernel_size = [3 if scale[k] > 1 else 1 for k in range(len(scale))]
+    padding = [k // 2 for k in kernel_size]
+    return kernel_size, padding, scale

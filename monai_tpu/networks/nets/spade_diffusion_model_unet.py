@@ -212,3 +212,25 @@ class SPADECrossAttnUpBlock(_SPADEUpBase):
 
 
 __all__ += ["SPADEDiffResBlock", "SPADEUpBlock", "SPADEAttnUpBlock", "SPADECrossAttnUpBlock"]
+
+
+def get_spade_up_block(spatial_dims, in_channels, prev_output_channel, out_channels,
+                       temb_channels, num_res_blocks, norm_num_groups=32, norm_eps=1e-6,
+                       add_upsample=True, resblock_updown=False, with_attn=False,
+                       with_cross_attn=False, num_head_channels=1, transformer_num_layers=1,
+                       label_nc=3, cross_attention_dim=None, upcast_attention=False,
+                       spade_intermediate_channels=128, *, rngs, **_kwargs):
+    """Build the right SPADE decoder stage for the attention flags (reference:
+    spade_diffusion_model_unet.py:594)."""
+    common = dict(spatial_dims=spatial_dims, in_channels=in_channels,
+                  prev_output_channel=prev_output_channel, out_channels=out_channels,
+                  temb_channels=temb_channels, label_nc=label_nc,
+                  num_res_blocks=num_res_blocks, norm_num_groups=norm_num_groups,
+                  norm_eps=norm_eps, add_upsample=add_upsample,
+                  num_head_channels=num_head_channels,
+                  spade_intermediate_channels=spade_intermediate_channels, rngs=rngs)
+    if with_attn:
+        return SPADEAttnUpBlock(**common)
+    if with_cross_attn:
+        return SPADECrossAttnUpBlock(cross_attention_dim=cross_attention_dim, **common)
+    return SPADEUpBlock(**common)

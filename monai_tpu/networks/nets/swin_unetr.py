@@ -385,3 +385,25 @@ class SwinUNETR(nnx.Module):
         logits = self.out(out)
         perm_out = (0, logits.ndim - 1) + tuple(range(1, logits.ndim - 1))
         return jnp.transpose(logits, perm_out)
+
+
+def filter_swinunetr(key, value):
+    """Key filter for the public Disruptive-Autoencoders SSL pretrained weights
+    (arXiv:2307.16896): maps ``encoder.*`` entries onto ``swinViT.*`` and drops
+    decoder/mask-token entries. Use with ``copy_model_state`` (reference:
+    swin_unetr.py:1078)."""
+    if key in [
+        "encoder.mask_token",
+        "encoder.norm.weight",
+        "encoder.norm.bias",
+        "out.conv.conv.weight",
+        "out.conv.conv.bias",
+    ]:
+        return None
+    if key[:8] == "encoder.":
+        if key[8:19] == "patch_embed":
+            new_key = "swinViT." + key[8:]
+        else:
+            new_key = "swinViT." + key[8:18] + key[20:]
+        return new_key, value
+    return None

@@ -138,3 +138,13 @@ class VNet(nnx.Module):
         x = self.out_tr(x)
         perm_out = (0, x.ndim - 1) + tuple(range(1, x.ndim - 1))
         return jnp.transpose(x, perm_out)
+
+
+def get_acti_layer(act, nchan: int = 0):
+    """Instantiate a VNet activation by factory spec, wiring PReLU's
+    num_parameters (reference: vnet.py:24)."""
+    from ..layers.factories import get_act_layer
+
+    if act == "prelu":
+        act = ("prelu", {"num_parameters": nchan})
+    return get_act_layer(act)

@@ -442,3 +442,52 @@ class CastToFloatAll(CastToFloat):
         if isinstance(ys, tuple):
             return tuple(y.astype(x.dtype) for y in ys)
         return ys.astype(x.dtype)
+
+
+def get_profile_shapes(input_shape, dynamic_batchsize):
+    """Given a sample input shape and a (min, opt, max) dynamic batch triple,
+    build the min/opt/max profile shapes (reference: networks/utils.py:76; used
+    there for TRT profiles, kept here as a generic shape utility)."""
+    def scale_batch_size(shape, scale_num: int):
+        scale_shape = list(shape)
+        scale_shape[0] = scale_num
+        return scale_shape
+
+    if dynamic_batchsize is None:
+        return None
+    if len(dynamic_batchsize) != 3:
+        raise ValueError("dynamic_batchsize needs to be a 3-element sequence (MIN, OPT, MAX)")
+    min_input_shape = scale_batch_size(input_shape, dynamic_batchsize[0])
+    opt_input_shape = scale_batch_size(input_shape, dynamic_batchsize[1])
+    max_input_shape = scale_batch_size(input_shape, dynamic_batchsize[2])
+    return min_input_shape, opt_input_shape, max_input_shape
+
+
+def has_nvfuser_instance_norm() -> bool:
+    """Whether the CUDA nvfuser InstanceNorm3dNVFuser extension is usable
+    (reference: networks/utils.py:96). Always False on TPU — the fused
+    two-moment instance norm in layers/fast_norm.py is the fast path here."""
+    return False
+
+
+def wrap_module(base_t, dest_t):
+    """Generator of a swap function that wraps ``base_t`` instances in ``dest_t``
+    (reference: networks/utils.py:1306)."""
+    def expansion_fn(mod):
+        return dest_t(mod)
+
+    return expansion_fn
+
+
+def simple_replace(base_t, dest_t):
+    """Generator of a swap function replacing ``base_t`` modules by ``dest_t``
+    built from the module's declared constants; no weights copied (reference:
+    networks/utils.py:1323)."""
+    def expansion_fn(mod):
+        if not isinstance(mod, base_t):
+            return None
+        constants = getattr(mod, "__constants__", ())
+        args = [getattr(mod, name, None) for name in constants]
+        return dest_t(*args)
+
+    return expansion_fn

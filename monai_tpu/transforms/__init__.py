@@ -154,3 +154,32 @@ from .utils import (
     is_empty,
 )
 from .croppad_functional import crop_func, crop_or_pad_nd, pad_func, pad_nd
+from .utils import (
+    allow_missing_keys_mode,
+    apply_affine_to_points,
+    check_applied_operations,
+    check_boundaries,
+    convert_to_contiguous,
+    get_unique_labels,
+    has_status_keys,
+    keep_components_with_positive_points,
+    paste,
+    paste_slices,
+    soft_clip,
+    squarepulse,
+)
+from .io_array import switch_endianness
+from .croppad_array import replace_element
+from .utils_morphological_ops import dilate_t, erode_t, get_morphological_filter_result_t
+from .spatial_functional import (
+    affine_func,
+    convert_box_to_points,
+    convert_points_to_box,
+    flip,
+    orientation,
+    resize,
+    rotate,
+    rotate90,
+    spatial_resample,
+    zoom,
+)

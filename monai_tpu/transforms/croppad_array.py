@@ -681,3 +681,15 @@ class PadListDataCollate(InvertibleTransform):
                 if last.get(TraceKeys.CLASS_NAME) == "SpatialPad":
                     d[key] = SpatialPad(last[TraceKeys.ORIG_SIZE]).inverse(item)
         return d
+
+
+def replace_element(to_replace, batch, idx, key_or_idx):
+    """Replace one element of a collated batch entry, recreating tuples since
+    they are immutable (reference: transforms/croppad/batch.py:32)."""
+    if isinstance(batch[idx], tuple):
+        batch_idx_list = list(batch[idx])
+        batch_idx_list[key_or_idx] = to_replace
+        batch[idx] = tuple(batch_idx_list)
+    else:
+        batch[idx][key_or_idx] = to_replace
+    return batch

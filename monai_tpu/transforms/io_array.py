@@ -208,3 +208,25 @@ class WriteFileMapping(Transform):
         existing.append(entry)
         self.mapping_file_path.write_text(json.dumps(existing, indent=2))
         return img
+
+
+def switch_endianness(data, new: str = "<"):
+    """Convert ``data`` to the target endianness recursively (reference:
+    transforms/io/array.py:74)."""
+    import sys as _sys
+
+    if isinstance(data, np.ndarray):
+        sys_native = "<" if (_sys.byteorder == "little") else ">"
+        current_ = sys_native if data.dtype.byteorder not in ("<", ">") else data.dtype.byteorder
+        if new not in ("<", ">"):
+            raise NotImplementedError(f"Not implemented option new={new}.")
+        if current_ != new:
+            data = data.byteswap().view(data.dtype.newbyteorder(new))
+        return data
+    if isinstance(data, tuple):
+        return tuple(switch_endianness(x, new) for x in data)
+    if isinstance(data, list):
+        return [switch_endianness(x, new) for x in data]
+    if isinstance(data, dict):
+        return {k: switch_endianness(v, new) for k, v in data.items()}
+    return data

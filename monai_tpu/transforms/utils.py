@@ -918,3 +918,230 @@ def get_number_image_type_conversions(transform, test_data, key=None) -> int:
 
 
 
+
+
+# --------------------------------------------------------------------------
+# reference: monai/transforms/utils.py L147 soft_clip, L1478 get_unique_labels,
+# L1703 allow_missing_keys_mode, L2071 convert_to_contiguous, L2172
+# check_boundaries, L2182 paste_slices, L2196 paste, L2210 squarepulse, L2351
+# check_applied_operations, L2379 has_status_keys, L2563 apply_affine_to_points,
+# L1255 keep_components_with_positive_points
+# --------------------------------------------------------------------------
+def soft_clip(arr, sharpness_factor: float = 1.0, minv=None, maxv=None, dtype=np.float32):
+    """Differentiable soft clip: f(x) = x + softplus(-c(x-minv))/c - softplus(c(x-maxv))/c
+    (reference: transforms/utils.py:147)."""
+    from .utils_backend_unification import softplus
+
+    jax_in = is_jax(arr)
+    v = (to_jax(arr) if jax_in else np.asarray(arr))
+    if dtype is not None:
+        v = v.astype(dtype)
+    out = v
+    if minv is not None:
+        out = out + softplus(-sharpness_factor * (v - minv)) / sharpness_factor
+    if maxv is not None:
+        out = out - softplus(sharpness_factor * (v - maxv)) / sharpness_factor
+    return out
+
+
+def get_unique_labels(img, is_onehot: bool, discard=None) -> set:
+    """Set of non-background labels present in ``img`` (reference:
+    transforms/utils.py:1478)."""
+    arr = to_numpy(img)
+    if is_onehot:
+        applied = {i for i in range(arr.shape[0]) if arr[i].sum() > 0}
+    else:
+        if arr.shape[0] != 1:
+            raise ValueError(f"If input not one-hotted, should only be 1 channel, got {arr.shape[0]}.")
+        applied = set(int(v) for v in np.unique(arr))
+    if discard is not None:
+        for i in ensure_tuple(discard):
+            applied.discard(int(i))
+    return applied
+
+
+def convert_to_contiguous(data, **kwargs):
+    """Recursively make arrays contiguous (reference: transforms/utils.py:2071)."""
+    from collections.abc import Mapping
+
+    if isinstance(data, (str, bytes)):
+        return data
+    if isinstance(data, np.ndarray):
+        return np.ascontiguousarray(data, **kwargs)
+    if is_jax(data):
+        return data  # jax arrays are always contiguous (XLA-owned layout)
+    if isinstance(data, Mapping):
+        return {k: convert_to_contiguous(v, **kwargs) for k, v in data.items()}
+    if isinstance(data, (list, tuple)):
+        return type(data)(convert_to_contiguous(i, **kwargs) for i in data)
+    return data
+
+
+def check_boundaries(boundaries) -> None:
+    """Validate signal-transform boundaries (reference: transforms/utils.py:2172)."""
+    if not (isinstance(boundaries, Sequence) and len(boundaries) == 2
+            and all(isinstance(i, float) for i in boundaries)):
+        raise ValueError("Incompatible values: boundaries needs to be a list of float.")
+
+
+def paste_slices(tup):
+    """(pos, w, max_w_array) -> (orig_slice, block_slice) (reference:
+    transforms/utils.py:2182)."""
+    pos, w, max_w = tup
+    max_w = max_w.shape[-1]
+    orig_min = max(pos, 0)
+    orig_max = min(pos + w, max_w)
+    block_min = -min(pos, 0)
+    block_max = max_w - max(pos + w, max_w)
+    block_max = block_max if block_max != 0 else None
+    return slice(orig_min, orig_max), slice(block_min, block_max)
+
+
+def paste(orig, block, loc):
+    """Paste ``block`` into ``orig`` at ``loc`` with boundary clipping (reference:
+    transforms/utils.py:2196)."""
+    loc_zip = zip(loc, block.shape, orig)
+    orig_slices, block_slices = zip(*map(paste_slices, loc_zip))
+    orig[:, orig_slices[0]] = block[block_slices[0]]
+    if orig.shape[0] == 1:
+        orig = orig.squeeze()
+    return orig
+
+
+def squarepulse(sig, duty: float = 0.5):
+    """Square pulse train like scipy.signal.square (reference:
+    transforms/utils.py:2210)."""
+    t = to_numpy(sig).astype(np.float64)
+    y = np.zeros(t.shape)
+    if duty > 1 or duty < 0:
+        return np.full(t.shape, np.nan)
+    tmod = np.remainder(t, 2 * np.pi)
+    mask2 = tmod < duty * 2 * np.pi
+    y[mask2] = 1
+    y[~mask2] = -1
+    return y
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def allow_missing_keys_mode(transform):
+    """Temporarily set all contained MapTransforms' allow_missing_keys=True
+    (reference: transforms/utils.py:1703)."""
+    from .compose import Compose
+    from .transform import MapTransform
+
+    from ..utils.misc import issequenceiterable
+
+    if issequenceiterable(transform):
+        transform = Compose(list(transform))
+    if isinstance(transform, MapTransform):
+        transforms = [transform]
+    elif isinstance(transform, Compose):
+        transforms = [t for t in transform.flatten().transforms if isinstance(t, MapTransform)]
+    else:
+        transforms = []
+    if len(transforms) == 0:
+        raise TypeError("allow_missing_keys_mode expects MapTransform(s) or Compose(s) "
+                        "containing MapTransform(s)")
+    orig_states = [t.allow_missing_keys for t in transforms]
+    try:
+        for t in transforms:
+            t.allow_missing_keys = True
+        yield
+    finally:
+        for t, o_s in zip(transforms, orig_states):
+            t.allow_missing_keys = o_s
+
+
+def check_applied_operations(entry, status_key: str, default_message: str = "No message provided"):
+    """Collect status messages matching ``status_key`` in applied-operation trace
+    entries (reference: transforms/utils.py:2351)."""
+    from ..utils.enums import TraceKeys, TraceStatusKeys
+
+    if isinstance(entry, list):
+        results = []
+        for sub_entry in entry:
+            results.extend(check_applied_operations(sub_entry, status_key, default_message))
+        return results
+    status_key_ = TraceStatusKeys(status_key)
+    statuses = entry.get(TraceKeys.STATUSES) if isinstance(entry, dict) else None
+    if statuses and status_key_ in statuses:
+        reason = statuses[status_key_]
+        if reason is None:
+            return [default_message]
+        return reason if isinstance(reason, list) else [reason]
+    return []
+
+
+def has_status_keys(data, status_key, default_message: str = "No message provided"):
+    """(ok, messages) for a status key across tensors/dicts/sequences (reference:
+    transforms/utils.py:2379)."""
+    from ..data.meta_image import MetaImage
+
+    occurrences: list = []
+    if isinstance(data, (list, tuple)):
+        for d in data:
+            _, reasons = has_status_keys(d, status_key, default_message)
+            if reasons is not None:
+                occurrences.extend(reasons)
+    elif isinstance(data, MetaImage):
+        for op in data.applied_operations:
+            occurrences.extend(check_applied_operations(op, status_key, default_message))
+    elif isinstance(data, dict):
+        for d in data.values():
+            _, reasons = has_status_keys(d, status_key, default_message)
+            if reasons is not None:
+                occurrences.extend(reasons)
+    if occurrences:
+        return False, occurrences
+    return True, None
+
+
+def apply_affine_to_points(data, affine, dtype=None):
+    """Apply an affine to a point set of shape (C, N, 2|3) (reference:
+    transforms/utils.py:2563)."""
+    from ..data.affine_utils import to_affine_nd
+
+    data_ = to_numpy(data).astype(np.float64)
+    affine = to_affine_nd(data_.shape[-1], np.asarray(affine, dtype=np.float64))
+    homogeneous = np.concatenate(
+        [data_, np.ones((data_.shape[0], data_.shape[1], 1))], axis=2)
+    transformed = homogeneous @ affine.T
+    out = transformed[:, :, :-1]
+    if dtype is not None:
+        out = out.astype(dtype)
+    return to_jax(out) if is_jax(data) else out
+
+
+def keep_components_with_positive_points(img, point_coords, point_labels):
+    """Keep connected components containing positive click points; fill removed
+    positive voxels with the negative-region mean (reference:
+    transforms/utils.py:1255, VISTA3D point-only postprocessing)."""
+    from scipy import ndimage as ndi
+
+    img_np = to_numpy(img).copy()
+    coords_np = to_numpy(point_coords)
+    labels_np = to_numpy(point_labels)
+    outs = np.zeros_like(img_np, dtype=bool)
+    structure = np.ones((3,) * (img_np.ndim - 2), dtype=bool)  # connectivity=3
+    for c in range(len(coords_np)):
+        if not (np.any(labels_np[c] == 3) or np.any(labels_np[c] == 1)):
+            continue
+        sel = (labels_np[c] == 3) | (labels_np[c] == 1)
+        coords = coords_np[c, sel].tolist()
+        not_nan_mask = ~np.isnan(img_np[0, c])
+        img_ = np.nan_to_num(img_np[0, c] > 0, 0).astype(np.int8)
+        features, _ = ndi.label(img_, structure=structure)
+        pos_mask = img_ > 0
+        idx = sorted({int(features[round(p[0]), round(p[1]), round(p[2])]) for p in coords})
+        for i in idx:
+            if i == 0:
+                continue
+            outs[0, c] |= features == i
+        keep = outs[0, c]
+        neg_region = np.logical_and(~keep, not_nan_mask)
+        fill_in = img_np[0, c][neg_region].mean() if neg_region.any() else 0.0
+        img_np[0, c][np.logical_and(pos_mask, ~keep)] = fill_in
+    return to_jax(img_np) if is_jax(img) else img_np

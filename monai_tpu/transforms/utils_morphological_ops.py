@@ -56,3 +56,44 @@ def dilate(mask, filter_size: int | Sequence[int] = 3, pad_value: float = 0.0):
     was_np = not is_jax(mask)
     out = _morph(mask, filter_size, pad_value, "dilate")
     return to_numpy(out) if was_np else out
+
+
+# reference: monai/transforms/utils_morphological_ops.py erode_t/dilate_t (the
+# torch-tensor entry points) and get_morphological_filter_result_t (the shared
+# conv+pad core). Here arrays are numpy/jax; the core is the `_morph` helper.
+def get_morphological_filter_result_t(batch_img, filter_size, pad_value: float):
+    """Pad + box-filter a (B, C, spatial...) batch — the shared morphological core
+    (reference: utils_morphological_ops.py:~100). Returns the filter mean in
+    [0, 1] per voxel (not yet thresholded)."""
+    import numpy as np
+
+    from ..utils.backend import to_numpy
+
+    arr = to_numpy(batch_img).astype(np.float32)
+    sdim = arr.ndim - 2
+    from scipy import ndimage as ndi
+
+    sizes = filter_size if isinstance(filter_size, (tuple, list)) else (filter_size,) * sdim
+    out = np.empty_like(arr)
+    for b in range(arr.shape[0]):
+        for c in range(arr.shape[1]):
+            out[b, c] = ndi.uniform_filter(arr[b, c], size=sizes, mode="constant", cval=pad_value)
+    return out
+
+
+def erode_t(batch_img, filter_size=3, pad_value: float = 1.0):
+    """Erosion on a batched (B, C, ...) array (reference:
+    utils_morphological_ops.py erode_t)."""
+    res = get_morphological_filter_result_t(batch_img, filter_size, pad_value)
+    import numpy as np
+
+    return np.where(np.abs(res - 1.0) < 1e-7, 1.0, 0.0).astype(np.float32)
+
+
+def dilate_t(batch_img, filter_size=3, pad_value: float = 0.0):
+    """Dilation on a batched (B, C, ...) array (reference:
+    utils_morphological_ops.py dilate_t)."""
+    res = get_morphological_filter_result_t(batch_img, filter_size, pad_value)
+    import numpy as np
+
+    return np.where(res > 1e-7, 1.0, 0.0).astype(np.float32)
