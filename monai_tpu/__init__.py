@@ -76,3 +76,17 @@ class DeprecatedTypesWarningFilter(__import__("logging").Filter):
 
     def filter(self, record):  # noqa: A003
         return not any(b in record.getMessage() for b in self._BODIES)
+
+
+import warnings as _warnings_mod
+
+_old_showwarning = _warnings_mod.showwarning
+
+
+def custom_warning_handler(message, category, filename, lineno, file=None, line=None):
+    """showwarning replacement that drops warnings from known-noisy third-party
+    modules (reference: monai/__init__.py custom_warning_handler)."""
+    ignore_files = ["ignite/handlers/checkpoint", "modelopt/torch/quantization/tensor_quant"]
+    if any(ignore in str(filename) for ignore in ignore_files):
+        return
+    _old_showwarning(message, category, filename, lineno, file, line)

@@ -14,3 +14,4 @@ from .utils import (
     get_name_from_algo_id,
     import_bundle_algo_history,
 )
+from .analyzer import strenum_representer  # noqa: F401,E402

@@ -138,3 +138,19 @@ class DataAnalyzer:
             all_labels = sorted({v for s in label_sets for v in s})
             summary["label_stats"] = {"labels": all_labels, "n_classes": len(all_labels)}
         return summary
+
+
+def strenum_representer(dumper, data):
+    """yaml representer serializing StrEnum values as plain strings (reference:
+    apps/auto3dseg/data_analyzer.py:35)."""
+    return dumper.represent_scalar("tag:yaml.org,2002:str", data.value)
+
+
+try:  # register like the reference does at import time
+    import yaml as _yaml
+
+    from ...utils.enums import StrEnum as _StrEnum
+
+    _yaml.SafeDumper.add_multi_representer(_StrEnum, strenum_representer)
+except ImportError:
+    pass

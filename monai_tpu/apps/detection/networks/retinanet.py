@@ -220,3 +220,106 @@ class RetinaNetRegressionHead(_HeadTower):
 
 
 __all__ += ["RetinaNetClassificationHead", "RetinaNetRegressionHead"]
+
+
+def resnet_fpn_feature_extractor(backbone, spatial_dims: int, pretrained_backbone: bool = False,
+                                 returned_layers=(1, 2, 3), trainable_backbone_layers=None,
+                                 *, rngs=None):
+    """ResNet + FPN feature extractor for RetinaNet (reference:
+    retinanet_network.py:330 resnet_fpn_feature_extractor). ``backbone`` is a
+    monai_tpu ResNet (or ResNetFeatures); returns a BackboneWithFPN whose call
+    yields a dict of len(returned_layers)+1 channel-last pyramid maps."""
+    from flax import nnx
+
+    from ....networks.blocks.feature_pyramid_network import BackboneWithFPN, LastLevelMaxPool
+    from ....networks.nets.resnet import ResNetBottleneck
+
+    rngs = rngs or nnx.Rngs(0)
+    returned_layers = list(returned_layers)
+    if min(returned_layers) <= 0 or max(returned_layers) >= 5:
+        raise ValueError(f"returned_layers should be in [1, 4], got {returned_layers}")
+    expansion = 4 if any(isinstance(b, ResNetBottleneck) for b in backbone.layer1) else 1
+    in_channels_list = [64 * expansion * 2 ** (i - 1) for i in returned_layers]
+
+    class _Body(nnx.Module):
+        """Channel-last multi-scale feature body over the ResNet layers."""
+
+        def __init__(self, net):
+            self.net = net
+
+        def __call__(self, x):
+            import jax.numpy as jnp
+
+            net = self.net
+            h = net.act(net.bn1(net.conv1(x)))
+            if not net.no_max_pool:
+                h = net.maxpool(h)
+            feats = {}
+            for idx, layer in enumerate((net.layer1, net.layer2, net.layer3, net.layer4), start=1):
+                for blk in layer:
+                    h = blk(h)
+                if idx in returned_layers:
+                    feats[str(idx - 1)] = h
+            return feats
+
+    return_layers = {f"layer{k}": str(v) for v, k in enumerate(returned_layers)}
+    return BackboneWithFPN(_Body(backbone), return_layers, in_channels_list,
+                           out_channels=256, spatial_dims=spatial_dims,
+                           extra_blocks=LastLevelMaxPool(), rngs=rngs)
+
+
+def retinanet_resnet50_fpn_detector(num_classes: int, anchor_generator,
+                                    returned_layers=(1, 2, 3), pretrained: bool = False,
+                                    progress: bool = True, *, rngs=None, **kwargs) -> "RetinaNetDetector":
+    """RetinaNetDetector over our compact RetinaNet with a ResNet-50-FPN-scale
+    backbone (reference: retinanet_detector.py:1015). ``pretrained`` MedicalNet
+    weights need egress; load them explicitly via copy_model_state instead."""
+    from flax import nnx
+
+    from ....networks.nets.resnet import resnet50
+
+    rngs = rngs or nnx.Rngs(0)
+    if pretrained:
+        raise ValueError("pretrained MedicalNet weights require network access; "
+                         "load weights explicitly with copy_model_state instead.")
+    spatial_dims = kwargs.pop("spatial_dims", 3)
+    backbone = resnet50(spatial_dims=spatial_dims, feed_forward=False,
+                        n_input_channels=kwargs.pop("n_input_channels", 1), rngs=rngs,
+                        **{k: v for k, v in kwargs.items()
+                           if k in ("conv1_t_size", "conv1_t_stride", "shortcut_type")})
+    feature_extractor = resnet_fpn_feature_extractor(
+        backbone=backbone, spatial_dims=spatial_dims, pretrained_backbone=pretrained,
+        trainable_backbone_layers=None, returned_layers=list(returned_layers), rngs=rngs)
+    num_anchors = anchor_generator.num_anchors_per_location()[0]
+    network = RetinaNetWithBackbone(spatial_dims=spatial_dims, num_classes=num_classes,
+                                    num_anchors=num_anchors, feature_extractor=feature_extractor,
+                                    rngs=rngs)
+    return RetinaNetDetector(network, anchor_generator)
+
+
+class RetinaNetWithBackbone(nnx.Module):
+    """RetinaNet over an explicit BackboneWithFPN feature extractor; same I/O
+    contract as the compact RetinaNet above (list of channel-first per-level
+    cls/box maps) (reference: retinanet_network.py:209 RetinaNet)."""
+
+    def __init__(self, spatial_dims: int, num_classes: int, num_anchors: int,
+                 feature_extractor, *, rngs: nnx.Rngs):
+        self.spatial_dims = spatial_dims
+        self.num_classes = num_classes
+        self.num_anchors = num_anchors
+        self.feature_extractor = feature_extractor
+        self.head = RetinaNetHead(spatial_dims, feature_extractor.out_channels,
+                                  num_anchors, num_classes, rngs=rngs)
+
+    def __call__(self, images):
+        import jax.numpy as jnp
+
+        perm_in = (0,) + tuple(range(2, images.ndim)) + (1,)
+        feats = self.feature_extractor(jnp.transpose(images, perm_in))
+        feat_list = list(feats.values()) if isinstance(feats, dict) else list(feats)
+        cls_logits, box_regs = self.head(feat_list)
+
+        def to_cf(x):
+            return jnp.transpose(x, (0, x.ndim - 1) + tuple(range(1, x.ndim - 1)))
+
+        return [to_cf(c) for c in cls_logits], [to_cf(b) for b in box_regs]

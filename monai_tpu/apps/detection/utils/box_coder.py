@@ -6,7 +6,7 @@ from collections.abc import Sequence
 
 import numpy as np
 
-__all__ = ["BoxCoder"]
+__all__ = ["BoxCoder", "encode_boxes"]
 
 
 class BoxCoder:
@@ -54,3 +54,33 @@ class BoxCoder:
         pred_ctr = dctr * sizes + ctr
         pred_size = np.exp(dsize) * sizes
         return np.concatenate([pred_ctr - 0.5 * pred_size, pred_ctr + 0.5 * pred_size], axis=-1)
+
+
+def encode_boxes(gt_boxes, proposals, weights) -> np.ndarray:
+    """Standalone box-regression target encoding: proposals -> gt offsets in
+    (center, log-size) space (reference: box_coder.py:64)."""
+    from ....data.box_utils import is_valid_box_values
+    from ....utils.backend import to_numpy
+
+    gt = np.asarray(to_numpy(gt_boxes), dtype=np.float64)
+    pr = np.asarray(to_numpy(proposals), dtype=np.float64)
+    w = np.asarray(to_numpy(weights), dtype=np.float64)
+    if gt.shape[0] != pr.shape[0]:
+        raise ValueError("gt_boxes.shape[0] should be equal to proposals.shape[0].")
+    if len(w) not in (4, 6):
+        raise ValueError(f"weights must have 4 or 6 elements, got {len(w)}")
+    d = len(w) // 2
+    if not is_valid_box_values(gt):
+        raise ValueError("gt_boxes is not valid. Please check if it contains empty boxes.")
+    if not is_valid_box_values(pr):
+        raise ValueError("proposals is not valid. Please check if it contains empty boxes.")
+    ex_sizes = pr[:, d:] - pr[:, :d]
+    ex_ctr = pr[:, :d] + 0.5 * ex_sizes
+    gt_sizes = gt[:, d:] - gt[:, :d]
+    gt_ctr = gt[:, :d] + 0.5 * gt_sizes
+    targets_dxyz = w[None, :d] * (gt_ctr - ex_ctr) / ex_sizes
+    targets_dwhd = w[None, d:] * np.log(gt_sizes / ex_sizes)
+    targets = np.concatenate([targets_dxyz, targets_dwhd], axis=1)
+    if np.isnan(targets).any() or np.isinf(targets).any():
+        raise ValueError("targets is NaN or Inf.")
+    return targets

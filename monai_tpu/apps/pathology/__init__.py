@@ -32,3 +32,4 @@ from .engines import PrepareBatchHoVerNet
 from .inferers import SlidingWindowHoVerNetInferer
 from .utils import PathologyProbNMS, compute_isolated_tumor_cells, compute_multi_instance_mask
 from .metrics import LesionFROC, compute_fp_tp_probs, compute_froc_curve_data, compute_froc_score
+from .handlers_utils import from_engine_hovernet  # noqa: F401,E402

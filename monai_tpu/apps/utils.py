@@ -140,3 +140,26 @@ def download_and_extract(url: str, filepath: str = "", output_dir: str = ".", ha
         download_url(url=url, filepath=filename, hash_val=hash_val, hash_type=hash_type,
                      progress=progress)
         extractall(filepath=filename, output_dir=output_dir, file_type=file_type, has_base=has_base)
+
+
+def get_filename_from_url(data_url: str) -> str:
+    """Best-effort filename from a download URL (reference: apps/utils.py:304).
+    The Content-Disposition probe needs egress (gated); the URL-path basename
+    fallback is always available."""
+    import os
+    import re
+    from urllib.parse import unquote, urlparse
+
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") == "1":
+        try:
+            import requests
+
+            response = requests.head(data_url, allow_redirects=True, timeout=30)
+            content_disposition = response.headers.get("Content-Disposition")
+            if content_disposition:
+                filename = re.findall('filename="?([^";]+)"?', content_disposition)
+                if filename:
+                    return str(filename[0])
+        except Exception:
+            pass
+    return os.path.basename(unquote(urlparse(data_url).path))

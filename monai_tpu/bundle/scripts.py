@@ -274,3 +274,166 @@ def load(name: str, version: str | None = None, bundle_dir: str | None = None, *
 
         load_checkpoint({"model": net}, str(model_path), strict=False)
     return net
+
+
+def create_workflow(workflow_name=None, config_file=None, args_file: str | None = None, **kwargs):
+    """Create + initialize (but not run) a bundle workflow (reference:
+    scripts.py:1923)."""
+    from ..utils.module import locate
+    from .workflows import BundleWorkflow
+
+    _args = update_kwargs(args=args_file, workflow_name=workflow_name,
+                          config_file=config_file, **kwargs)
+    name = _args.pop("workflow_name", None)
+    config_file = _args.pop("config_file", None)
+    if name is None:
+        cls = ConfigWorkflow
+    elif isinstance(name, str):
+        import monai_tpu.bundle as _bundle_mod
+
+        cls = getattr(_bundle_mod, name, None) or locate(name)
+        if cls is None:
+            raise ValueError(f"cannot locate specified workflow class: {name}.")
+    elif isinstance(name, type) and issubclass(name, BundleWorkflow):
+        cls = name
+    else:
+        raise ValueError("Argument `workflow_name` must be a bundle workflow class name "
+                         f"or subclass of BundleWorkflow, got: {name}.")
+    workflow = cls(config_file=config_file, **_args) if config_file is not None else cls(**_args)
+    workflow.initialize()
+    return workflow
+
+
+def download_large_files(bundle_path: str | None = None, large_file_name: str | None = None) -> None:
+    """Download the large files listed in a bundle's large_files.yml/.yaml/.json
+    (reference: scripts.py:1935). Zero-egress: resolves and validates the file
+    list; the actual fetch requires MONAI_TPU_ALLOW_DOWNLOADS=1."""
+    bundle_path_ = Path(bundle_path or ".")
+    if large_file_name is None:
+        candidates = [bundle_path_ / f"large_files{ext}" for ext in (".yml", ".yaml", ".json")]
+        existing = [c for c in candidates if c.exists()]
+        if not existing:
+            raise FileNotFoundError(f"cannot find the large_files.yml/.yaml/.json under {bundle_path_}.")
+        lf_path = existing[0]
+    else:
+        lf_path = bundle_path_ / large_file_name
+        if not lf_path.exists():
+            raise FileNotFoundError(f"cannot find the large file list: {lf_path}.")
+    parser = ConfigParser()
+    parser.read_config(str(lf_path))
+    large_files = parser.get().get("large_files", [])
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError(
+            f"{len(large_files)} large file entries found in {lf_path}, but network downloads are "
+            "unavailable in this environment; set MONAI_TPU_ALLOW_DOWNLOADS=1 with egress to fetch.")
+    from ..apps.utils import download_url
+
+    for lf_data in large_files:
+        lf_data["fuzzy"] = True
+        if lf_data.get("hash_val", "") == "":
+            lf_data.pop("hash_val", None)
+            lf_data.pop("hash_type", None)
+        lf_data["filepath"] = str(bundle_path_ / lf_data.pop("path"))
+        download_url(**lf_data)
+
+
+_GITHUB_API = "https://api.github.com/repos/Project-MONAI/model-zoo"
+
+
+def get_all_bundles_list(repo: str = "Project-MONAI/model-zoo", tag: str = "dev", auth_token=None):
+    """List (name, latest version) of every bundle in a model-zoo repo (reference:
+    scripts.py:1695). Requires egress (gated)."""
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError("get_all_bundles_list queries the GitHub API; set "
+                           "MONAI_TPU_ALLOW_DOWNLOADS=1 in an egress-enabled environment.")
+    import json as _json
+    import urllib.request
+
+    url = f"https://api.github.com/repos/{repo}/contents/models?ref={tag}"
+    req = urllib.request.Request(url)
+    if auth_token:
+        req.add_header("Authorization", f"Bearer {auth_token}")
+    with urllib.request.urlopen(req) as resp:
+        entries = _json.loads(resp.read())
+    bundle_names = sorted({e["name"] for e in entries if e.get("type") == "dir"})
+    return [(name, get_bundle_versions(name, repo=repo, tag=tag,
+                                       auth_token=auth_token)["latest_version"])
+            for name in bundle_names]
+
+
+def get_bundle_versions(bundle_name: str, repo: str = "Project-MONAI/model-zoo",
+                        tag: str = "dev", auth_token=None) -> dict:
+    """{'latest_version', 'all_versions'} of a model-zoo bundle (reference:
+    scripts.py:1774). Requires egress (gated)."""
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError("get_bundle_versions queries the GitHub API; set "
+                           "MONAI_TPU_ALLOW_DOWNLOADS=1 in an egress-enabled environment.")
+    import json as _json
+    import urllib.request
+
+    url = f"https://raw.githubusercontent.com/{repo}/{tag}/models/model_info.json"
+    req = urllib.request.Request(url)
+    if auth_token:
+        req.add_header("Authorization", f"Bearer {auth_token}")
+    with urllib.request.urlopen(req) as resp:
+        model_info = _json.loads(resp.read())
+    versions = sorted(k.split("_v", 1)[1] for k in model_info if k.startswith(f"{bundle_name}_v"))
+    if not versions:
+        raise ValueError(f"bundle {bundle_name} not found in {repo}@{tag}.")
+    return {"latest_version": versions[-1], "all_versions": versions}
+
+
+def get_bundle_info(bundle_name: str, version: str | None = None,
+                    repo: str = "Project-MONAI/model-zoo", tag: str = "dev",
+                    auth_token=None) -> dict:
+    """Release metadata of one bundle version (reference: scripts.py:1811).
+    Requires egress (gated)."""
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError("get_bundle_info queries the GitHub API; set "
+                           "MONAI_TPU_ALLOW_DOWNLOADS=1 in an egress-enabled environment.")
+    import json as _json
+    import urllib.request
+
+    if version is None:
+        version = get_bundle_versions(bundle_name, repo, tag, auth_token)["latest_version"]
+    url = f"https://raw.githubusercontent.com/{repo}/{tag}/models/model_info.json"
+    req = urllib.request.Request(url)
+    if auth_token:
+        req.add_header("Authorization", f"Bearer {auth_token}")
+    with urllib.request.urlopen(req) as resp:
+        model_info = _json.loads(resp.read())
+    key = f"{bundle_name}_v{version}"
+    if key not in model_info:
+        raise ValueError(f"bundle {key} not found in {repo}@{tag}.")
+    return model_info[key]
+
+
+def push_to_hf_hub(repo: str, name: str, bundle_dir: str, token: str | None = None,
+                   private: bool = True, metadata: dict | None = None, **upload_folder_kwargs):
+    """Upload a bundle directory to the Hugging Face Hub (reference:
+    scripts.py:1856). Requires egress (gated)."""
+    if os.environ.get("MONAI_TPU_ALLOW_DOWNLOADS", "0") != "1":
+        raise RuntimeError("push_to_hf_hub uploads to huggingface.co; set "
+                           "MONAI_TPU_ALLOW_DOWNLOADS=1 in an egress-enabled environment.")
+    from huggingface_hub import HfApi
+
+    api = HfApi(token=token)
+    repo_url = api.create_repo(repo_id=repo, private=private, exist_ok=True)
+    api.upload_folder(repo_id=repo, folder_path=str(Path(bundle_dir) / name),
+                      **upload_folder_kwargs)
+    return repo_url
+
+
+def onnx_export(*args, **kwargs):
+    """ONNX export is a torch-runtime exporter with no TPU/XLA analog; the
+    portable export path here is StableHLO via ``ckpt_export`` (reference:
+    scripts.py:1325 onnx_export)."""
+    raise NotImplementedError(
+        "onnx_export targets the torch ONNX exporter; use ckpt_export (StableHLO) instead.")
+
+
+def trt_export(*args, **kwargs):
+    """TensorRT export is CUDA-only; the portable export path here is StableHLO
+    via ``ckpt_export`` (reference: scripts.py trt_export)."""
+    raise NotImplementedError(
+        "trt_export targets TensorRT (CUDA); use ckpt_export (StableHLO) instead.")

@@ -126,3 +126,65 @@ DEFAULT_MLFLOW_SETTINGS = {
 }
 
 DEFAULT_EXP_MGMT_SETTINGS = {"mlflow": DEFAULT_MLFLOW_SETTINGS}
+
+
+def merge_kv(args, k: str, v) -> None:
+    """Update dict ``args`` with key/value; a ``+``-prefixed key merges dicts /
+    extends lists instead of replacing (reference: bundle/utils.py merge_kv)."""
+    import warnings
+
+    if k.startswith(MERGE_KEY):
+        id_ = k[1:]
+        if id_ in args:
+            if isinstance(v, dict) and isinstance(args[id_], dict):
+                args[id_].update(v)
+            elif isinstance(v, list) and isinstance(args[id_], list):
+                args[id_].extend(v)
+            else:
+                raise ValueError(f"config must be dict or list for key `{k}`, but got {type(v)}: {v}.")
+        else:
+            warnings.warn(f"Can't merge entry ['{k}'], '{id_}' is not in target dict - copying instead.")
+            args[id_] = v
+    else:
+        args[k] = v
+
+
+def load_bundle_config(bundle_path: str, *config_names: str, **load_kw_args):
+    """Load metadata + named config files from a bundle directory or zip without
+    loading the network (reference: bundle/utils.py load_bundle_config)."""
+    import json as _json
+    import os
+    import zipfile
+
+    from .config_parser import ConfigParser
+
+    parser = ConfigParser()
+    if not os.path.exists(bundle_path):
+        raise ValueError(f"Cannot find bundle file/directory '{bundle_path}'")
+    if os.path.isdir(bundle_path):
+        parser.read_meta(f=os.path.join(bundle_path, "configs", "metadata.json"), **load_kw_args)
+        for cname in config_names:
+            cpath = os.path.join(bundle_path, "configs", cname)
+            if not os.path.exists(cpath):
+                raise ValueError(f"Cannot find config file '{cpath}'")
+            parser.read_config(f=cpath, **load_kw_args)
+        return parser
+    if zipfile.is_zipfile(bundle_path):
+        with zipfile.ZipFile(bundle_path) as zf:
+            names = zf.namelist()
+            meta_name = next((n for n in names if n.endswith("configs/metadata.json")), None)
+            if meta_name is None:
+                raise ValueError(f"no configs/metadata.json in '{bundle_path}'")
+            parser.read_meta(f=_json.loads(zf.read(meta_name)))
+            for cname in config_names:
+                centry = next((n for n in names if n.endswith(f"configs/{cname}")), None)
+                if centry is None:
+                    raise ValueError(f"Cannot find config file 'configs/{cname}' in '{bundle_path}'")
+                if cname.endswith((".yml", ".yaml")):
+                    import yaml
+
+                    parser.read_config(f=yaml.safe_load(zf.read(centry)))
+                else:
+                    parser.read_config(f=_json.loads(zf.read(centry)))
+        return parser
+    raise ValueError(f"'{bundle_path}' is neither a directory nor a zip bundle")

@@ -88,3 +88,35 @@ def print_debug_info(file=sys.stdout) -> None:
     print("Printing system config...", file=file)
     print("================================", file=file)
     print_system_info(file)
+
+
+def get_gpu_info() -> OrderedDict:
+    """Accelerator info (reference: deviceconfig.py get_gpu_info). On this stack
+    the accelerators are jax devices (TPU/CPU); the CUDA fields are reported for
+    surface parity via torch (CPU build -> False/absent)."""
+    output: OrderedDict = OrderedDict()
+    try:
+        import jax
+
+        devs = jax.devices()
+        output["Num devices"] = len(devs)
+        output["Backend"] = jax.default_backend()
+        for i, d in enumerate(devs):
+            output[f"Device {i}"] = str(d)
+    except Exception:
+        output["Num devices"] = 0
+    try:
+        import torch
+
+        output["Has CUDA"] = bool(torch.cuda.is_available())
+        if output["Has CUDA"]:
+            output["CUDA version"] = torch.version.cuda
+    except Exception:
+        pass
+    return output
+
+
+def print_gpu_info(file=sys.stdout) -> None:
+    """Print accelerator info (reference: deviceconfig.py print_gpu_info)."""
+    for k, v in get_gpu_info().items():
+        print(f"{k}: {v}", file=file, flush=True)

@@ -212,3 +212,33 @@ class MonaiAlgo(ClientAlgo, MonaiAlgoStats):
 
 
 BaseClient = ClientAlgo  # ABC alias (reference: fl/client BaseClient)
+
+
+def convert_global_weights(global_weights, local_var_dict):
+    """Reshape FL-server global weights into the local state-dict's shapes
+    (reference: monai_algo.py:37). Returns (updated_dict, n_converted)."""
+    import numpy as np
+
+    model_keys = set(global_weights.keys())
+    n_converted = 0
+    for var_name in local_var_dict:
+        if var_name in model_keys:
+            try:
+                weights = np.reshape(np.asarray(global_weights[var_name]),
+                                     np.shape(local_var_dict[var_name]))
+                local_var_dict[var_name] = weights
+                n_converted += 1
+            except Exception as e:
+                raise ValueError(f"Convert weight from {var_name} failed.") from e
+    return local_var_dict, n_converted
+
+
+def disable_ckpt_loaders(parser) -> None:
+    """Disable CheckpointLoader handlers in a bundle validate config (reference:
+    monai_algo.py:77)."""
+    from ..bundle.config_item import ConfigComponent
+
+    if "validate#handlers" in parser:
+        for h in parser["validate#handlers"]:
+            if ConfigComponent.is_instantiable(h) and "CheckpointLoader" in h.get("_target_", ""):
+                h["_disabled_"] = True

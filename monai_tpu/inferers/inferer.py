@@ -54,12 +54,14 @@ class SlidingWindowInferer(Inferer):
         self.buffer_dim = buffer_dim
 
     def __call__(self, inputs: Any, network: Callable, *args, **kwargs):
+        # all named params passed POSITIONALLY so extra *args land in
+        # sliding_window_inference's own *args instead of colliding with
+        # `overlap` (the reference's inferer.py:507 does the same)
         return sliding_window_inference(
-            inputs, self.roi_size, self.sw_batch_size, network, overlap=self.overlap, mode=self.mode,
-            sigma_scale=self.sigma_scale, padding_mode=self.padding_mode, cval=self.cval,
-            sw_device=self.sw_device, device=self.device, progress=self.progress,
-            roi_weight_map=self.roi_weight_map, buffer_steps=self.buffer_steps,
-            buffer_dim=self.buffer_dim, *args, **kwargs)
+            inputs, self.roi_size, self.sw_batch_size, network,
+            self.overlap, self.mode, self.sigma_scale, self.padding_mode, self.cval,
+            self.sw_device, self.device, self.progress, self.roi_weight_map,
+            None, self.buffer_steps, self.buffer_dim, *args, **kwargs)
 
 
 def _is_oom(exc: BaseException) -> bool:

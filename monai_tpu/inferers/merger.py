@@ -109,3 +109,18 @@ class ZarrAvgMerger(Merger):
         vals = np.asarray(self.values)
         counts = np.maximum(np.asarray(self.counts), 1)
         return (vals / counts).astype(self.output_dtype)
+
+
+def iterate_over_chunks(chunks, cdata_shape, slice_tuple=()):
+    """Yield slice tuples walking a chunk grid (reference: merger.py:500, used by
+    ZarrAvgMerger)."""
+    if len(chunks) != len(cdata_shape):
+        raise ValueError("chunks and cdata_shape must have the same length")
+    if len(chunks) == 1:
+        for i in range(cdata_shape[0]):
+            yield slice_tuple + (slice(i * chunks[0], (i + 1) * chunks[0]),)
+    else:
+        for i in range(cdata_shape[0]):
+            yield from iterate_over_chunks(
+                chunks[1:], cdata_shape[1:],
+                slice_tuple + (slice(i * chunks[0], (i + 1) * chunks[0]),))

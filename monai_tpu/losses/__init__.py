@@ -48,3 +48,5 @@ from .perceptual import PerceptualLoss
 generalized_dice = GeneralizedDiceLoss
 generalized_dice_focal = GeneralizedDiceFocalLoss
 generalized_wasserstein_dice = GeneralizedWassersteinDiceLoss
+from .adversarial_loss import complex_diff_abs_loss, sure_loss_function
+from .other import soft_dice, soft_dilate, soft_erode, soft_open, spatial_gradient

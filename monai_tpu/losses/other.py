@@ -675,3 +675,24 @@ class CrossEntropyLoss:
         if self.reduction == "sum":
             return loss.sum()
         return loss
+
+
+# public reference-named forms of the clDice soft morphology (reference:
+# monai/losses/cldice.py soft_erode:20, soft_dilate:48, soft_open:73, soft_dice:95)
+soft_erode = _soft_erode
+soft_dilate = _soft_dilate
+soft_open = _soft_open
+
+
+def soft_dice(y_true, y_pred, smooth: float = 1.0):
+    """Soft dice loss over non-background channels (reference: cldice.py:95)."""
+    intersection = jnp.sum((y_true * y_pred)[:, 1:, ...])
+    coeff = (2.0 * intersection + smooth) / (jnp.sum(y_true[:, 1:, ...])
+                                             + jnp.sum(y_pred[:, 1:, ...]) + smooth)
+    return 1.0 - coeff
+
+
+def spatial_gradient(x, dim: int):
+    """Central finite difference along ``dim`` of a BCH(WD) array (reference:
+    deform.py:20)."""
+    return _spatial_gradient(x, dim)

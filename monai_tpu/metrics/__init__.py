@@ -68,3 +68,5 @@ from ..apps.pathology.metrics import (
     compute_froc_curve_data,
     compute_froc_score,
 )
+from .extra_metrics import compute_f_beta_score, get_f_beta_score
+from .regression import compute_mean_error_metrics, get_fid_score

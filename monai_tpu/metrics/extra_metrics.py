@@ -218,3 +218,46 @@ class LabelQualityScore(CumulativeIterationMetric):
     def aggregate(self, reduction=None):
         data = self.get_buffer()
         return np.nanmean(data)
+
+
+def get_f_beta_score(y_pred, y, include_background: bool = True):
+    """Per-class (tp, fp, tn, fn) confusion counts for F-beta (reference:
+    f_beta_score.py:63). Returns (B, C, 4)."""
+    import numpy as np
+
+    from ..utils.backend import to_numpy
+
+    yp = to_numpy(y_pred)
+    yt = to_numpy(y)
+    if not include_background:
+        yp, yt = yp[:, 1:], yt[:, 1:]
+    if yp.shape != yt.shape:
+        raise ValueError(f"y_pred and y should have same shapes, got {yp.shape} and {yt.shape}.")
+    b, c = yp.shape[:2]
+    yp = yp.reshape(b, c, -1)
+    yt = yt.reshape(b, c, -1)
+    tp = ((yp + yt) == 2).sum(axis=2).astype(np.float64)
+    tn = ((yp + yt) == 0).sum(axis=2).astype(np.float64)
+    p = yt.sum(axis=2).astype(np.float64)
+    n = yt.shape[-1] - p
+    fn, fp = p - tp, n - tn
+    return np.stack([tp, fp, tn, fn], axis=-1)
+
+
+def compute_f_beta_score(confusion_matrix, beta: float):
+    """F-beta from stacked (..., 4) = (tp, fp, tn, fn) counts (reference:
+    f_beta_score.py:90)."""
+    import numpy as np
+
+    from ..utils.backend import to_numpy
+
+    cm = to_numpy(confusion_matrix).astype(np.float64)
+    if cm.ndim == 1:
+        cm = cm[None]
+    if cm.shape[-1] != 4:
+        raise ValueError("the size of the last dimension of confusion_matrix should be 4.")
+    tp, fp, fn = cm[..., 0], cm[..., 1], cm[..., 3]
+    numerator = (1.0 + beta**2) * tp
+    denominator = (1.0 + beta**2) * tp + beta**2 * fn + fp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denominator != 0, numerator / denominator, np.nan)

@@ -497,3 +497,22 @@ def compute_ms_ssim(y_pred, y, spatial_dims: int, data_range: float = 1.0,
                                   kernel_sigma=kernel_sigma, k1=k1, k2=k2, weights=weights)
     return metric._compute_metric(to_numpy(y_pred).astype(np.float64),
                                   to_numpy(y).astype(np.float64))
+
+
+def get_fid_score(y_pred, y):
+    """FID between two (N, F) feature batches (reference: fid.py:40)."""
+    yp = np.asarray(to_numpy(y_pred), dtype=np.float64)
+    yt = np.asarray(to_numpy(y), dtype=np.float64)
+    if yt.ndim > 2:
+        raise ValueError("Inputs should have (number images, number of features) shape.")
+    mu_x, mu_y = yp.mean(axis=0), yt.mean(axis=0)
+    sigma_x = np.cov(yp, rowvar=False)
+    sigma_y = np.cov(yt, rowvar=False)
+    return compute_frechet_distance(mu_x, sigma_x, mu_y, sigma_y)
+
+
+def compute_mean_error_metrics(y_pred, y, func):
+    """Mean of func(y - y_pred) over channel+spatial dims, batch kept (reference:
+    regression.py:216)."""
+    diff = func(np.asarray(to_numpy(y)) - np.asarray(to_numpy(y_pred)))
+    return diff.reshape(diff.shape[0], -1).mean(axis=-1, keepdims=True)

@@ -133,3 +133,15 @@ class ValDataLoaderIter(DataLoaderIter):
 
 
 __all__ += ["DataLoaderIter", "TrainDataLoaderIter", "ValDataLoaderIter"]
+
+
+def default_image_extractor(x):
+    """Default callable for getting image from batch data (reference:
+    lr_finder.py default_image_extractor)."""
+    return x["image"] if isinstance(x, dict) else x[0]
+
+
+def default_label_extractor(x):
+    """Default callable for getting label from batch data (reference:
+    lr_finder.py default_label_extractor)."""
+    return x["label"] if isinstance(x, dict) else x[1]

@@ -85,3 +85,11 @@ class ComponentStore:
             return self._entries[name].value
         except KeyError:
             raise ValueError(f"Component '{name}' is not registered") from None
+
+
+def is_variable(name) -> bool:
+    """True if ``name`` is a valid, non-keyword Python identifier (reference:
+    component_store.py is_variable)."""
+    from keyword import iskeyword
+
+    return name.isidentifier() and not iskeyword(name)

@@ -134,3 +134,11 @@ def deprecated_arg_default(name: str, old_default, new_default, since: str | Non
         return wrapper
 
     return decorator
+
+
+def warn_deprecated(obj, msg, warning_category=FutureWarning):
+    """Issue a deprecation warning for ``obj`` (reference:
+    deprecate_utils.py warn_deprecated)."""
+    import warnings
+
+    warnings.warn(f"{obj}: {msg}", category=warning_category, stacklevel=2)

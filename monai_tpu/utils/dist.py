@@ -84,3 +84,16 @@ def initialize_distributed(**kwargs) -> None:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
         pass
+
+
+def get_dist_device():
+    """Expected target device for collective payloads. The reference returns the
+    NCCL GPU / Gloo CPU device; here collectives run through jax, so this returns
+    the first local jax device when initialized, else None (reference:
+    dist.py get_dist_device)."""
+    try:
+        import jax
+
+        return jax.local_devices()[0]
+    except Exception:
+        return None

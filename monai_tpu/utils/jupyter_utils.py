@@ -143,3 +143,42 @@ def plot_engine_status(engine, logger, title: str = "Training Log", fig=None):
         graphmap[m] = list(v)
     plot_metric_graph(ax, title, graphmap)
     return fig, [ax]
+
+
+LOSS_NAME = "loss"
+
+
+def tensor_to_images(name: str, tensor):
+    """2D/3D tensor -> stack of 2D images for notebook display (3D takes the
+    middle depth slice) (reference: jupyter_utils.py tensor_to_images)."""
+    import numpy as np
+
+    arr = np.asarray(getattr(tensor, "data", tensor))
+    if arr.ndim == 3 and arr.shape[1] > 2 and arr.shape[2] > 2:
+        return arr
+    if arr.ndim == 4 and arr.shape[2] > 2 and arr.shape[3] > 2:
+        dmid = arr.shape[1] // 2
+        return arr[:, dmid]
+    return None
+
+
+def plot_metric_images(fig, title: str, graphmap, imagemap: dict, yscale: str = "log",
+                       avg_keys=(LOSS_NAME,), window_fraction: int = 20) -> list:
+    """Metric graph on top, images below (reference: jupyter_utils.py
+    plot_metric_images)."""
+    import matplotlib.pyplot as plt
+
+    gridshape = (4, max(1, len(imagemap)))
+    graph = plt.subplot2grid(gridshape, (0, 0), colspan=gridshape[1], fig=fig)
+    plot_metric_graph(graph, title, graphmap)
+    axes = [graph]
+    for i, n in enumerate(imagemap):
+        im = plt.subplot2grid(gridshape, (1, i), rowspan=2, fig=fig)
+        if imagemap[n].ndim == 3 and imagemap[n].shape[0] in (3, 4):
+            im.imshow(imagemap[n].transpose([1, 2, 0]))
+        else:
+            im.imshow(np.squeeze(imagemap[n]), cmap="gray")
+        im.set_title(f"{n}\n{imagemap[n].min():.3g} -> {imagemap[n].max():.3g}")
+        im.axis("off")
+        axes.append(im)
+    return axes

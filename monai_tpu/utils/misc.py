@@ -615,3 +615,21 @@ class CheckKeyDuplicatesYamlLoader(_yaml.SafeLoader):
                 warnings.warn(f"Duplicate key: `{key}`")
             seen.add(key)
         return super().construct_mapping(node, deep)
+
+
+def check_key_duplicates(ordered_pairs):
+    """``object_pairs_hook`` for json.load: warn (or raise when
+    MONAI_FAIL_ON_DUPLICATE_CONFIG=1) on duplicate keys (reference:
+    utils/misc.py:738)."""
+    import os as _os
+    import warnings as _warnings
+
+    keys = set()
+    for k, _ in ordered_pairs:
+        if k in keys:
+            if _os.environ.get("MONAI_FAIL_ON_DUPLICATE_CONFIG", "0") == "1":
+                raise ValueError(f"Duplicate key: `{k}`")
+            _warnings.warn(f"Duplicate key: `{k}`")
+        else:
+            keys.add(k)
+    return dict(ordered_pairs)

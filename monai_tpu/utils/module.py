@@ -328,3 +328,90 @@ class IgniteInfo:
     this records the event-API version they mirror."""
 
     OPT_IMPORT_VERSION = "0.4.11"
+
+
+def get_torch_version_tuple():
+    """(major, minor) of the installed torch (reference: module.py
+    get_torch_version_tuple)."""
+    import torch
+
+    return tuple(int(x) for x in torch.__version__.split(".")[:2])
+
+
+def parse_version_strs(lhs: str, rhs: str):
+    """Split two version strings into comparable int/str part iterables
+    (reference: module.py parse_version_strs)."""
+    from re import match
+
+    def _try_cast(val: str):
+        val = val.strip()
+        try:
+            m = match("(\\d+)(.*)", val)
+            if m is not None:
+                return int(m.groups()[0])
+            return val
+        except ValueError:
+            return val
+
+    lhs = lhs.split("+", 1)[0]
+    rhs = rhs.split("+", 1)[0]
+    return map(_try_cast, lhs.split(".")), map(_try_cast, rhs.split("."))
+
+
+def pytorch_after(major: int, minor: int, patch: int = 0, current_ver_string: str | None = None) -> bool:
+    """Whether the installed (or PYTORCH_VER-overridden) torch is >= the given
+    version (reference: module.py pytorch_after)."""
+    import os as _os
+
+    if current_ver_string is None:
+        _env_var = _os.environ.get("PYTORCH_VER", "")
+        if _env_var:
+            current_ver_string = _env_var
+        else:
+            import torch
+
+            current_ver_string = torch.__version__
+    try:
+        from packaging.version import parse as _parse
+
+        return _parse(f"{major}.{minor}.{patch}") <= _parse(f"{current_ver_string}")
+    except ImportError:
+        pass
+    parts = f"{current_ver_string}".split("+", 1)[0].split(".", 3)
+    while len(parts) < 3:
+        parts += ["0"]
+    c_major, c_minor, c_patch = parts[:3]
+    c_mn = int(c_major), int(c_minor)
+    mn = int(major), int(minor)
+    if c_mn != mn:
+        return c_mn > mn
+    is_prerelease = ("a" in f"{c_patch}".lower()) or ("rc" in f"{c_patch}".lower())
+    c_p = 0
+    try:
+        from re import match as _match
+
+        p_reg = _match("(\\d+)(.*)", f"{c_patch}")
+        if p_reg:
+            c_p = int(p_reg.groups()[0])
+    except (AttributeError, ValueError):
+        is_prerelease = True
+    if c_p != patch:
+        return c_p > patch
+    return not is_prerelease
+
+
+def compute_capabilities_after(major: int, minor: int = 0, current_ver_string: str | None = None) -> bool:
+    """CUDA compute-capability gate (reference: module.py
+    compute_capabilities_after). Without CUDA/pynvml the reference assumes a
+    recent GPU and returns True; same default here (TPU hosts have no CUDA)."""
+    if current_ver_string is None:
+        return True
+    try:
+        from packaging.version import parse as _parse
+
+        return _parse(f"{major}.{minor}") <= _parse(f"{current_ver_string}")
+    except ImportError:
+        parts = f"{current_ver_string}".split("+", 1)[0].split(".", 2)
+        while len(parts) < 2:
+            parts += ["0"]
+        return (int(parts[0]), int(parts[1])) >= (major, minor)

@@ -296,3 +296,78 @@ class Range:
 
     def __exit__(self, exc_type, exc_value, exc_traceback):
         self._ann.__exit__(exc_type, exc_value, exc_traceback)
+
+
+def torch_profiler_full(func):
+    """Profile the decorated function and print the full trace table. The torch
+    names are kept for surface parity; profiling here uses jax.profiler when a
+    device is active, else a wall-clock report (reference:
+    utils/profiling.py:51)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        from time import perf_counter
+
+        start = perf_counter()
+        result = func(*args, **kwargs)
+        try:
+            import jax
+
+            jax.block_until_ready(result)
+        except Exception:
+            pass
+        print(f"{func.__name__}: {perf_counter() - start:.6f} s (full profile: use "
+              f"jax.profiler.trace for a Perfetto timeline)", flush=True)
+        return result
+
+    return wrapper
+
+
+def torch_profiler_time_cpu_gpu(func):
+    """Print host (dispatch) vs device (post-sync) time of the decorated function
+    (reference: utils/profiling.py:70)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        from time import perf_counter
+
+        t0 = perf_counter()
+        result = func(*args, **kwargs)
+        t_host = perf_counter() - t0
+        try:
+            import jax
+
+            jax.block_until_ready(result)
+        except Exception:
+            pass
+        t_total = perf_counter() - t0
+        print(f"cpu time: {t_host * 1e6:.1f}us, device time: {(t_total - t_host) * 1e6:.1f}us",
+              flush=True)
+        return result
+
+    return wrapper
+
+
+def torch_profiler_time_end_to_end(func):
+    """Print end-to-end (dispatch + device completion) time of the decorated
+    function (reference: utils/profiling.py:95)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        from time import perf_counter
+
+        start = perf_counter()
+        result = func(*args, **kwargs)
+        try:
+            import jax
+
+            jax.block_until_ready(result)
+        except Exception:
+            pass
+        print(f"end to end time: {(perf_counter() - start) * 1e6:.1f}us", flush=True)
+        return result
+
+    return wrapper

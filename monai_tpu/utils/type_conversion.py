@@ -135,3 +135,102 @@ def convert_to_dst_type(src: Any, dst: Any, dtype=None, wrap_sequence: bool = Fa
 def convert_to_list(data) -> list:
     """ndarray/sequence -> plain list (reference: utils/type_conversion.py:396)."""
     return data.tolist() if hasattr(data, "tolist") else list(data)
+
+
+# --------------------------------------------------------------------------
+# dtype-name bridging helpers (reference: utils/type_conversion.py —
+# dtype_torch_to_numpy:46, dtype_numpy_to_torch:51, get_dtype_string:77,
+# get_numpy_dtype_from_string:67, get_torch_dtype_from_string:72,
+# get_dtype_bound_value:~400, safe_dtype_range:~430, convert_to_cupy:~300).
+# torch (CPU build) is present in this stack, so the torch bridges are genuine.
+# --------------------------------------------------------------------------
+def get_numpy_dtype_from_string(dtype: str) -> np.dtype:
+    """numpy dtype from its string name, tolerating 'torch.'/'np.' prefixes."""
+    return np.empty([], dtype=str(dtype).split(".")[-1]).dtype
+
+
+def dtype_numpy_to_torch(dtype):
+    """numpy dtype -> torch dtype."""
+    import torch
+
+    return torch.from_numpy(np.empty([], dtype=dtype)).dtype
+
+
+def dtype_torch_to_numpy(dtype) -> np.dtype:
+    """torch dtype -> numpy dtype."""
+    import torch
+
+    return torch.empty([], dtype=dtype).numpy().dtype
+
+
+def get_torch_dtype_from_string(dtype: str):
+    """torch dtype from a string name."""
+    return dtype_numpy_to_torch(get_numpy_dtype_from_string(dtype))
+
+
+def get_dtype_string(dtype) -> str:
+    """String name of a dtype ('float32' for torch.float32 / np.float32 / jnp)."""
+    s = str(dtype)
+    if s.startswith("torch."):
+        return s[6:]
+    if s.startswith("<class 'numpy."):
+        return s[14:-2]
+    if s.startswith("<class 'jax.numpy."):
+        return s[18:-2]
+    return np.dtype(dtype).name if not isinstance(dtype, str) else s
+
+
+def get_dtype_bound_value(dtype) -> tuple[float, float]:
+    """(min, max) representable values of a dtype."""
+    np_dtype = np.dtype(get_dtype_string(dtype) if not isinstance(dtype, str) else dtype)
+    if np.issubdtype(np_dtype, np.floating):
+        info = np.finfo(np_dtype)
+    else:
+        info = np.iinfo(np_dtype)
+    return (info.min, info.max)
+
+
+def safe_dtype_range(data, dtype=None):
+    """Clip values that would overflow ``dtype`` before conversion, recursively
+    over dict/list/tuple."""
+    if isinstance(data, dict):
+        return {k: safe_dtype_range(v, dtype) for k, v in data.items()}
+    if isinstance(data, (list, tuple)):
+        return type(data)(safe_dtype_range(v, dtype) for v in data)
+    if isinstance(data, (int, float, bool)) or not hasattr(data, "dtype"):
+        return data
+    arr = np.asarray(data)
+    output_dtype = dtype if dtype is not None else arr.dtype
+    lo, hi = get_dtype_bound_value(output_dtype)
+    if arr.size and (arr.max() > hi or arr.min() < lo):
+        arr = np.clip(arr, lo, hi)
+    from .backend import is_jax, to_jax
+
+    return to_jax(arr) if is_jax(data) else arr
+
+
+def convert_to_cupy(data, dtype=None, wrap_sequence: bool = False, safe: bool = False):
+    """Convert to a cupy array (reference: type_conversion.py convert_to_cupy).
+    cupy is CUDA-only and not installed on TPU hosts; raises ImportError with
+    guidance unless the optional package is present."""
+    from .module import optional_import
+
+    cp, has_cp = optional_import("cupy")
+    if not has_cp:
+        raise ImportError("convert_to_cupy requires the optional 'cupy' package "
+                          "(CUDA-only); use convert_to_jax for device arrays here.")
+    if safe:
+        data = safe_dtype_range(data, dtype)
+    if isinstance(data, (np.ndarray, float, int, bool)) or hasattr(data, "__cuda_array_interface__"):
+        return cp.asarray(data, dtype)
+    if isinstance(data, list):
+        if wrap_sequence:
+            return cp.asarray(data, dtype)
+        return [convert_to_cupy(i, dtype) for i in data]
+    if isinstance(data, tuple):
+        if wrap_sequence:
+            return cp.asarray(data, dtype)
+        return tuple(convert_to_cupy(i, dtype) for i in data)
+    if isinstance(data, dict):
+        return {k: convert_to_cupy(v, dtype) for k, v in data.items()}
+    return cp.asarray(np.asarray(data), dtype)

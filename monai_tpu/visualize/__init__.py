@@ -1,4 +1,4 @@
-from .class_activation_maps import CAM, GradCAM, GradCAMpp, ModelWithHooks, default_normalizer
+from .class_activation_maps import CAM, GradCAM, GradCAMpp, ModelWithHooks, default_normalizer, default_upsampler
 from .occlusion_sensitivity import OcclusionSensitivity
 from .utils import blend_images, matshow3d
 from .gradient_based import GuidedBackpropGrad, GuidedBackpropSmoothGrad, SmoothGrad, VanillaGrad

@@ -138,3 +138,17 @@ class ModelWithHooks:
         feats = self.feature_fn(x)
         logits = self.head_fn(feats)
         return logits, feats
+
+
+def default_upsampler(spatial_size, align_corners: bool = False):
+    """Linear-interpolation upsampler factory used by CAM (reference:
+    visualize/visualizer.py default_upsampler)."""
+    import jax
+    import jax.numpy as jnp
+
+    def up(x):
+        x = jnp.asarray(x)
+        out_shape = tuple(x.shape[:2]) + tuple(spatial_size)
+        return jax.image.resize(x, out_shape, method="linear")
+
+    return up

@@ -60,11 +60,11 @@ def test_sliding_window_adapt_halves_on_oom(rng, monkeypatch):
     import monai_tpu.inferers.inferer as inferer_mod
     real_sw = inferer_mod.sliding_window_inference
 
-    def fake_sw(inputs, roi_size, sw_batch_size, network, **kw):
+    def fake_sw(inputs, roi_size, sw_batch_size, network, *a, **kw):
         calls.append(sw_batch_size)
         if sw_batch_size > 2:
             raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
-        return real_sw(inputs, roi_size, sw_batch_size, network, **kw)
+        return real_sw(inputs, roi_size, sw_batch_size, network, *a, **kw)
 
     monkeypatch.setattr(inferer_mod, "sliding_window_inference", fake_sw)
     inferer = SlidingWindowInfererAdapt(roi_size=(8, 8), sw_batch_size=8, overlap=0.25,
