@@ -17,6 +17,21 @@ from .reference_resolver import ReferenceResolver
 
 __all__ = ["ConfigParser"]
 
+_SEP = ReferenceResolver.sep
+_REF = ReferenceResolver.ref
+
+
+def _step_into(node: Any, key: str) -> Any:
+    """One step of an id-path walk: dict lookup by key, list lookup by int."""
+    if isinstance(node, dict):
+        return node[key]
+    if isinstance(node, list):
+        try:
+            return node[int(key)]
+        except ValueError as e:
+            raise KeyError(f"list index expected at `{key}`") from e
+    raise ValueError(f"cannot descend into {type(node).__name__} at `{key}`: {node!r}")
+
 
 class ConfigParser:
     """Config tree + DSL resolution (reference: config_parser.py:38).
@@ -29,31 +44,29 @@ class ConfigParser:
     suffixes = ("json", "yaml", "yml")
     suffix_match = rf".*\.({'|'.join(suffixes)})"
     path_match = rf"({suffix_match}$)"
-    relpath_match = rf"(?:{ReferenceResolver.sep})?({suffix_match}(?:{ReferenceResolver.sep}.*)?)$"
+    relpath_match = rf"(?:{_SEP})?({suffix_match}(?:{_SEP}.*)?)$"
     meta_key = "_meta_"
+    relative_id_prefix = re.compile(rf"(?:{_REF}|%)(?:{_SEP})+")
+
+    _DEFAULT_GLOBALS = {"json": "json", "re": "re", "np": "numpy", "numpy": "numpy",
+                        "jnp": "jax.numpy", "jax": "jax", "nnx": "flax.nnx", "optax": "optax",
+                        "monai_tpu": "monai_tpu", "monai": "monai_tpu"}
 
     def __init__(self, config: Any = None, excludes: Sequence[str] | str | None = None,
                  globals: dict[str, Any] | bool | None = None):
         self.config: Any = None
         self.globals: dict[str, Any] = {}
-        _globals = {"json": "json", "re": "re", "np": "numpy", "numpy": "numpy", "jnp": "jax.numpy",
-                    "jax": "jax", "nnx": "flax.nnx", "optax": "optax",
-                    "monai_tpu": "monai_tpu", "monai": "monai_tpu"}
-        if isinstance(globals, dict):
-            _globals.update(globals)
-        if _globals is not None and globals is not False:
-            for k, v in _globals.items():
-                if isinstance(v, str):
-                    from ..utils.module import optional_import
+        if globals is not False:
+            merged = dict(self._DEFAULT_GLOBALS, **globals) if isinstance(globals, dict) \
+                else dict(self._DEFAULT_GLOBALS)
+            from ..utils.module import optional_import
 
-                    self.globals[k], _ = optional_import(v)
-                else:
-                    self.globals[k] = v
+            for name, target in merged.items():
+                self.globals[name] = optional_import(target)[0] if isinstance(target, str) \
+                    else target
         self.locator = ComponentLocator(excludes=excludes)
         self.ref_resolver = ReferenceResolver()
-        if config is None:
-            config = {self.meta_key: {}}
-        self.set(config=config)
+        self.set(config=config if config is not None else {self.meta_key: {}})
 
     def __repr__(self) -> str:
         return f"{self.config}"
@@ -64,28 +77,23 @@ class ConfigParser:
         return self.get_parsed_content(id)
 
     def __getitem__(self, id: str | int):
+        node = self.config
         if id == "":
-            return self.config
-        config = self.config
-        for k in ReferenceResolver.split_id(id):
-            if not isinstance(config, (dict, list)):
-                raise ValueError(f"config must be dict or list for key `{k}`, but got {type(config)}: {config}.")
-            try:
-                config = config[k if isinstance(config, dict) else int(k)]
-            except ValueError as e:
-                raise KeyError(f"query key: {k}") from e
-        return config
+            return node
+        for key in ReferenceResolver.split_id(id):
+            node = _step_into(node, key)
+        return node
 
     def __setitem__(self, id: str | int, config: Any) -> None:
         if id == "":
             self.config = config
-            self.ref_resolver.reset()
-            return
-        keys = ReferenceResolver.split_id(id)
-        last_id = ReferenceResolver.sep.join(keys[:-1])
-        conf_ = self[last_id]
-        indexing = keys[-1] if isinstance(conf_, dict) else int(keys[-1])
-        conf_[indexing] = config
+        else:
+            *parents, leaf = ReferenceResolver.split_id(id)
+            target = self[_SEP.join(parents)]
+            if isinstance(target, list):
+                target[int(leaf)] = config
+            else:
+                target[leaf] = config
         self.ref_resolver.reset()
 
     def get(self, id: str = "", default: Any = None):
@@ -98,27 +106,21 @@ class ConfigParser:
         """Write ``config`` at ``id``; with ``recursive`` any missing intermediate
         dict levels along the id path are created first."""
         if recursive:
-            node = self.get()
-            if node is None:
-                node = {}
-                self.config = node
+            if self.config is None:
+                self.config = {}
+            node = self.config
             for step in ReferenceResolver.split_id(id)[:-1]:
-                if isinstance(node, dict):
-                    node = node.setdefault(step, {})
-                else:
-                    node = node[int(step)]
+                node = node.setdefault(step, {}) if isinstance(node, dict) \
+                    else node[int(step)]
         self[id] = config
 
     def update(self, pairs: dict) -> None:
-        for k, v in pairs.items():
-            self[k] = v
+        for key, value in pairs.items():
+            self[key] = value
 
     def __contains__(self, id: str | int) -> bool:
-        try:
-            _ = self[id]
-            return True
-        except (KeyError, IndexError, ValueError):
-            return False
+        sentinel = object()
+        return self.get(id, sentinel) is not sentinel
 
     def parse(self, reset: bool = True) -> None:
         """Recursively resolve macros then build ConfigItems (reference: config_parser.py:—)."""
@@ -139,9 +141,8 @@ class ConfigParser:
         self.set(self.load_config_files(f, **kwargs), self.meta_key)
 
     def read_config(self, f, **kwargs) -> None:
-        content = {self.meta_key: self.get(self.meta_key, {})}
-        content.update(self.load_config_files(f, **kwargs))
-        self.set(config=content)
+        merged = {self.meta_key: self.get(self.meta_key, {}), **self.load_config_files(f, **kwargs)}
+        self.set(config=merged)
 
     def _do_resolve(self, config: Any, id: str = ""):
         if isinstance(config, (dict, list)):
@@ -150,12 +151,10 @@ class ConfigParser:
         if isinstance(config, str):
             config = self.resolve_relative_ids(id, config)
             if config.startswith("%"):
-                arr = self.split_path_id(config[1:])
-                if arr[0]:
-                    sub = ConfigParser.load_config_file(arr[0])
-                    sub_parser = ConfigParser(sub)
-                    return deepcopy(sub_parser[arr[1]])
-                return deepcopy(self[arr[1]])
+                macro_path, macro_id = self.split_path_id(config[1:])
+                source = ConfigParser(ConfigParser.load_config_file(macro_path)) \
+                    if macro_path else self
+                return deepcopy(source[macro_id])
         return config
 
     def resolve_macro_and_relative_ids(self):
@@ -201,61 +200,49 @@ class ConfigParser:
     @classmethod
     def load_config_files(cls, files, **kwargs) -> dict:
         """Load and merge one or more config files / dicts."""
-        parser = ConfigParser(config={})
-        if isinstance(files, (dict, list)) and not isinstance(files, str):
-            if isinstance(files, dict):
-                return files
-        for f in ensure_tuple(files):
-            if isinstance(f, dict):
-                for k, v in f.items():
-                    parser[k] = v
-            else:
-                content = cls.load_config_file(f, **kwargs)
-                for k, v in content.items():
-                    parser[k] = v
-        return parser.get()  # type: ignore
+        if isinstance(files, dict):
+            return files
+        merged = ConfigParser(config={})
+        for entry in ensure_tuple(files):
+            pairs = entry if isinstance(entry, dict) else cls.load_config_file(entry, **kwargs)
+            merged.update(pairs)
+        return merged.get()  # type: ignore
 
     @classmethod
     def export_config_file(cls, config: dict, filepath: str, fmt: str = "json", **kwargs) -> None:
-        _filepath: str = str(Path(filepath))
         writer = fmt.lower()
-        with open(_filepath, "w") as f:
+        with open(str(Path(filepath)), "w") as f:
             if writer == "json":
                 json.dump(config, f, **kwargs)
-                return
-            if writer == "yaml" or writer == "yml":
+            elif writer in ("yaml", "yml"):
                 import yaml
 
                 yaml.safe_dump(config, f, **kwargs)
-                return
-            raise ValueError(f"only support JSON or YAML config file so far, got {writer}.")
+            else:
+                raise ValueError(f"only support JSON or YAML config file so far, got {writer}.")
 
     @classmethod
     def split_path_id(cls, src: str) -> tuple[str, str]:
-        """Split a 'path::id' string (reference: config_parser.py:—)."""
+        """Split a 'path::id' string into (file path, id-within-file)."""
         src = ReferenceResolver.normalize_id(src)
-        result = re.compile(rf"({cls.suffix_match}(?={ReferenceResolver.sep}))").findall(src)
-        if not result:
+        hits = re.compile(rf"({cls.suffix_match}(?={_SEP}))").findall(src)
+        if not hits:
             return "", src
-        path_name = result[0][0]
-        _, ids = src.rsplit(path_name, 1)
-        return path_name, ids[len(ReferenceResolver.sep):] if ids.startswith(ReferenceResolver.sep) else ""
+        fname = hits[0][0]
+        tail = src.rsplit(fname, 1)[1]
+        return fname, tail[len(_SEP):] if tail.startswith(_SEP) else ""
 
     @classmethod
     def resolve_relative_ids(cls, id: str, value: str) -> str:
-        """Resolve `@::N` / `%::N` relative references (reference: config_parser.py:—)."""
-        prefixes = sorted(set().union(cls.relative_id_prefix.findall(value)), reverse=True)
-        current_id = id.split(ReferenceResolver.sep)
-        for p in prefixes:
-            sym = ReferenceResolver.ref if ReferenceResolver.ref in p else "%"
-            length = p[len(sym):].count(ReferenceResolver.sep)
-            if length > len(current_id):
+        """Rewrite `@::N...` / `%::N...` relative references in ``value`` into
+        absolute ids, anchored at ``id``'s ancestors (one `::` per level up)."""
+        anchor = id.split(_SEP)
+        # longest prefixes first so `@::::x` is rewritten before `@::x`
+        for prefix in sorted(set(cls.relative_id_prefix.findall(value)), reverse=True):
+            sym = _REF if _REF in prefix else "%"
+            up = prefix[len(sym):].count(_SEP)
+            if up > len(anchor):
                 raise ValueError(f"the relative id in `{value}` is out of the range of config content.")
-            if length == len(current_id):
-                new = ""  # root
-            else:
-                new = ReferenceResolver.sep.join(current_id[:-length]) + ReferenceResolver.sep
-            value = value.replace(p, sym + new)
+            absolute = "" if up == len(anchor) else _SEP.join(anchor[:-up]) + _SEP
+            value = value.replace(prefix, sym + absolute)
         return value
-
-    relative_id_prefix = re.compile(rf"(?:{ReferenceResolver.ref}|%)(?:{ReferenceResolver.sep})+")

@@ -234,6 +234,11 @@ class PatchMergingV2(nnx.Module):
         self.norm = nnx.LayerNorm(dim * 2**spatial_dims, rngs=rngs)
 
     def _offsets(self, d: int):
+        if d == 2:
+            # reference quirk (swin_unetr.py:742): `x[:, j::2, i::2] for i, j in
+            # product` slices rows by the INNER loop variable, so the 2D channel
+            # order is the transpose of the plain product order
+            return [(0, 0), (1, 0), (0, 1), (1, 1)]
         return list(itertools.product((0, 1), repeat=d))
 
     def __call__(self, x):
@@ -316,15 +321,26 @@ class SwinTransformer(nnx.Module):
                                      downsample=downsample, spatial_dims=spatial_dims, rngs=rngs))
         self.layers = nnx.List(layers)
 
+    @staticmethod
+    def _proj_out(x, normalize: bool):
+        """Parameter-free channel layer-norm of a hidden state (reference:
+        swin_unetr.py:1040 proj_out — F.layer_norm over the channel axis). The
+        normalized copy goes to the decoder; the raw tensor feeds the next stage."""
+        if not normalize:
+            return x
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
     def __call__(self, x, normalize: bool = True):
         x0 = self.patch_embed(x)
         x0 = self.pos_drop(x0)
-        outs = [x0]
+        outs = [self._proj_out(x0, normalize)]
         cur = x0
         for layer in self.layers:
             cur = layer(cur)
-            outs.append(cur)
-        return outs  # [x0, x1, x2, x3, x4]
+            outs.append(self._proj_out(cur, normalize))
+        return outs  # [x0_out, x1_out, x2_out, x3_out, x4_out]
 
 
 class SwinUNETR(nnx.Module):

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-__all__ = ["conv_kernel_from_torch", "convtrans_kernel_from_torch", "load_torch_unet_state"]
+__all__ = ["conv_kernel_from_torch", "convtrans_kernel_from_torch", "load_torch_unet_state",
+           "load_torch_swin_state"]
 
 
 def _np(t) -> np.ndarray:
@@ -116,3 +117,78 @@ def _assign_unet_key(net, toks: list[str], tensor) -> None:
             raise KeyError(f"cannot map reference key token '{t}' in {'.'.join(toks)}")
         i += 1
     raise KeyError(f"reference key did not terminate at a parameter: {'.'.join(toks)}")
+
+
+def load_torch_swin_state(net, state_dict: Mapping[str, Any]) -> None:
+    """Copy a reference MONAI SwinUNETR ``state_dict`` into a monai_tpu SwinUNETR
+    in place (reference layout: monai/networks/nets/swin_unetr.py:45 — swinViT
+    with layers1..layers4 ModuleLists of one BasicLayer each, UnetrBasic/Up
+    decoder blocks whose convs are Convolution wrappers with a ``.conv`` child).
+
+    Layout conversions: torch Linear weight (O, I) -> nnx kernel (I, O); torch
+    LayerNorm/InstanceNorm weight -> scale; Conv/ConvTranspose via the kernel
+    converters above. ``relative_position_index`` buffers are copied too so the
+    bias gather order is the reference's, not merely equivalent."""
+    for key, tensor in state_dict.items():
+        _assign_swin_key(net, key.split("."), tensor)
+
+
+def _assign_swin_key(net, toks: list[str], tensor) -> None:
+    from .layers.fast_norm import InstanceNormTPU
+
+    obj: Any = net
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        is_leaf = i == len(toks) - 1
+        if is_leaf:
+            _assign_swin_leaf(obj, t, tensor, toks)
+            return
+        if t.startswith("layers") and t[6:].isdigit():
+            obj = obj.layers[int(t[6:]) - 1]
+            # reference wraps each BasicLayer in a one-element ModuleList
+            if i + 1 < len(toks) and toks[i + 1] == "0":
+                i += 1
+        elif t == "conv" and isinstance(obj, (nnx.Conv, nnx.ConvTranspose)):
+            pass  # reference Convolution wrapper level; ours IS the conv
+        elif t.isdigit():
+            obj = obj[int(t)]
+        elif isinstance(obj, InstanceNormTPU) or isinstance(obj, nnx.LayerNorm):
+            raise KeyError(f"unexpected token '{t}' under a norm in {'.'.join(toks)}")
+        else:
+            obj = getattr(obj, t)
+        i += 1
+
+
+def _assign_swin_leaf(obj, leaf: str, tensor, toks: list[str]) -> None:
+    from .layers.fast_norm import InstanceNormTPU
+
+    arr = _np(tensor)
+    if isinstance(obj, nnx.ConvTranspose):
+        _set_conv(obj, leaf, tensor)
+    elif isinstance(obj, nnx.Conv):
+        _set_conv(obj, leaf, tensor)
+    elif isinstance(obj, nnx.Linear):
+        if leaf == "weight":
+            obj.kernel.value = jnp.asarray(arr.T)
+        elif leaf == "bias":
+            obj.bias.value = jnp.asarray(arr)
+        else:
+            raise KeyError(f"unsupported Linear leaf '{leaf}' in {'.'.join(toks)}")
+    elif isinstance(obj, nnx.LayerNorm):
+        if leaf == "weight":
+            obj.scale.value = jnp.asarray(arr)
+        elif leaf == "bias":
+            obj.bias.value = jnp.asarray(arr)
+        else:
+            raise KeyError(f"unsupported LayerNorm leaf '{leaf}' in {'.'.join(toks)}")
+    elif isinstance(obj, InstanceNormTPU):
+        target = obj.scale if leaf == "weight" else obj.bias
+        target.value = jnp.asarray(arr)
+    elif leaf == "relative_position_bias_table":
+        obj.relative_position_bias_table.value = jnp.asarray(arr)
+    elif leaf == "relative_position_index":
+        obj.relative_position_index.value = jnp.asarray(arr.astype(np.int32))
+    else:
+        raise KeyError(f"cannot assign leaf '{leaf}' on {type(obj).__name__} "
+                       f"({'.'.join(toks)})")

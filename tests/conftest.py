@@ -12,15 +12,22 @@ backends so the next lookup builds the 8-device CPU client.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MONAI_TPU_TEST_REAL_TPU=1 keeps the real backend so TPU-only tests (e.g. the
+# Pallas window-attention parity class) can run against hardware; the default
+# is the 8-device virtual CPU mesh for deterministic CI.
+_USE_REAL_TPU = os.environ.get("MONAI_TPU_TEST_REAL_TPU", "0") == "1"
+if not _USE_REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-if jax._src.xla_bridge._backends:  # sitecustomize already initialized a TPU backend
+if not _USE_REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
+if not _USE_REAL_TPU and jax._src.xla_bridge._backends:
+    # sitecustomize already initialized a TPU backend
     from jax.extend.backend import clear_backends
 
     clear_backends()

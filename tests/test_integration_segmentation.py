@@ -68,6 +68,15 @@ def test_unet_training_improves_dice():
             y = jnp.asarray(batch["label"].data)
             losses.append(float(train_step(net, optimizer, x, y)))
     assert losses[-1] < losses[0], f"training did not reduce loss: {losses[0]} -> {losses[-1]}"
+    # seeded golden values (the reference's integration_answers.py pattern,
+    # tests/integration/test_integration_segmentation_3d.py): everything above is
+    # deterministically seeded (phantoms rs=42, loader seed 0, params Rngs(0));
+    # measured twice identical on CPU. The tolerance absorbs cross-version
+    # accumulation-order drift, not behavior changes.
+    np.testing.assert_allclose(losses[0], 1.48017, atol=2e-2,
+                               err_msg="first-step loss left the golden window")
+    np.testing.assert_allclose(losses[-1], 1.23009, atol=2e-2,
+                               err_msg="final loss left the golden window")
 
     # sliding-window eval
     graphdef, state = nnx.split(net)
@@ -87,4 +96,8 @@ def test_unet_training_improves_dice():
     metric(np.stack(pred_list), np.stack(y_list))
     dice = float(metric.aggregate())
     assert np.isfinite(dice)
+    # golden Dice (see note above): 0.43998 measured, window +-0.05 for library
+    # drift; the old `> 0.3` floor stays as the hard failure line
     assert dice > 0.3, f"dice too low after short training: {dice}"
+    np.testing.assert_allclose(dice, 0.43998, atol=5e-2,
+                               err_msg="eval Dice left the golden window")

@@ -117,6 +117,12 @@ CASES = [
                                                init_filters=4, in_channels=1, out_channels=2,
                                                rngs=R()),
      (1, 1, 32, 32), None),
+    ("SwinUNETR", lambda: nets.SwinUNETR(in_channels=1, out_channels=2, feature_size=12,
+                                         spatial_dims=2, rngs=R()),
+     (1, 1, 64, 64), (1, 2, 64, 64)),
+    ("SwinUNETR3D", lambda: nets.SwinUNETR(in_channels=1, out_channels=2, feature_size=12,
+                                           spatial_dims=3, rngs=R()),
+     (1, 1, 32, 32, 32), (1, 2, 32, 32, 32)),
     ("UNETR", lambda: nets.UNETR(in_channels=1, out_channels=2, img_size=(32, 32),
                                  feature_size=4, hidden_size=32, mlp_dim=32, num_heads=4,
                                  spatial_dims=2, rngs=R()),

@@ -224,3 +224,120 @@ def test_spatial_shard_net_forward_multilayer_bitexact():
 
     want = jax.device_get(jax.jit(unsharded)(jnp.asarray(x_np)))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+class TestSpatialShardedRealUNet:
+    """VERDICT r4 #6: spatial parallelism on the REAL UNet module via GSPMD
+    (monai_tpu/parallel/spatial.py) — strided convs, transposed convs and skip
+    concats cross shard boundaries; the partitioner inserts the halos.
+
+    Comparisons are sharded-vs-replicated ON THE SAME MESH: the 8-device CPU
+    compilation picks a different (less accurate) conv algorithm than the
+    single-device one (measured 6.7e-3 vs the f64 ground truth for one 3x3x3
+    conv), so single-device comparisons would measure the CPU backend, not the
+    sharding. Sharded vs replicated is bit-exact for convs.
+    """
+
+    def _mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices("cpu")[:8]
+        return Mesh(np.array(devs).reshape(2, 4), axis_names=("data", "space"))
+
+    def _unet(self):
+        from flax import nnx
+
+        from monai_tpu.networks.nets import UNet
+
+        return UNet(spatial_dims=3, in_channels=1, out_channels=2,
+                    channels=(4, 8, 16, 32), strides=(2, 2, 2), num_res_units=2,
+                    rngs=nnx.Rngs(0))
+
+    def test_forward_bitexact_vs_replicated(self):
+        import jax
+        import jax.numpy as jnp
+        from flax import nnx
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from monai_tpu.parallel import make_spatial_sharded_forward
+
+        mesh = self._mesh()
+        net = self._unet()
+        fwd, state, x_sh = make_spatial_sharded_forward(net, mesh, spatial_axis=2)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 32, 16, 16).astype(np.float32))
+        out_sp = np.asarray(fwd(state, jax.device_put(x, x_sh)))
+        # identical program, replicated input (full compute on every device)
+        graphdef, state0 = nnx.split(net)
+        rep = NamedSharding(mesh, P())
+        out_rep = np.asarray(jax.jit(lambda s, v: nnx.merge(graphdef, s)(v))(
+            jax.device_put(state0, rep), jax.device_put(x, rep)))
+        # convs are bit-exact under spatial partitioning; the instance-norm
+        # spatial statistics cross the shard boundary as a partial-sum reduce,
+        # whose ordering differs from the replicated reduce (measured 9e-6)
+        np.testing.assert_allclose(out_sp, out_rep, atol=5e-5)
+
+    def test_train_step_runs_and_matches_replicated(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from flax import nnx
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from monai_tpu.losses import DiceCELoss
+        from monai_tpu.parallel import make_spatial_sharded_train_step
+
+        mesh = self._mesh()
+        net = self._unet()
+        loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
+        tx = optax.adamw(1e-3)
+        step, params, opt_state, rest, x_sh = make_spatial_sharded_train_step(
+            net, tx, loss_fn, mesh, donate=False)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 32, 16, 16).astype(np.float32))
+        y = jnp.asarray((np.random.RandomState(1).rand(2, 1, 32, 16, 16) > 0.5)
+                        .astype(np.float32))
+        xs, ys = jax.device_put(x, x_sh), jax.device_put(y, x_sh)
+        params1, opt1, loss_sp = step(params, opt_state, xs, ys)
+        assert np.isfinite(float(loss_sp))
+
+        # same step with everything replicated on the same mesh
+        rep = NamedSharding(mesh, P())
+        graphdef, params0, rest0 = nnx.split(net, nnx.Param, ...)
+
+        def rstep(p, o, xx, yy):
+            def loss_of(pp):
+                return loss_fn(nnx.merge(graphdef, pp, rest0)(xx), yy)
+
+            l, g = jax.value_and_grad(loss_of)(p)
+            u, o = tx.update(g, o, p)
+            return optax.apply_updates(p, u), o, l
+
+        p_rep, _, loss_rep = jax.jit(rstep)(
+            jax.device_put(params0, rep), jax.device_put(tx.init(params0), rep),
+            jax.device_put(x, rep), jax.device_put(y, rep))
+        # loss: same reduction tree up to cross-shard reduce ordering
+        assert abs(float(loss_sp) - float(loss_rep)) < 1e-4
+        for a, b in zip(jax.tree_util.tree_leaves(params1),
+                        jax.tree_util.tree_leaves(p_rep)):
+            # adam normalizes by rms(grad): tiny cross-shard reduce-order diffs on
+            # near-zero grads can flip an update's sign, so compare pre-update
+            # magnitude scale: |dp| <= 2*lr per step
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-3)
+
+    def test_second_spatial_axis_and_memory_accounting(self):
+        import jax
+        import jax.numpy as jnp
+
+        from monai_tpu.parallel import dp_sp_sharding, make_spatial_sharded_forward, shard_bytes_per_device
+
+        mesh = self._mesh()
+        net = self._unet()
+        fwd, state, x_sh = make_spatial_sharded_forward(net, mesh, spatial_axis=3)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 16, 32, 16).astype(np.float32))
+        out = fwd(state, jax.device_put(x, x_sh))
+        assert out.shape == (2, 2, 16, 32, 16)
+        # memory argument: a shard is 1/(data*space) of the volume
+        per_dev = shard_bytes_per_device((2, 1, 16, 32, 16), np.float32, mesh, spatial_axis=3)
+        assert per_dev * 8 == 2 * 1 * 16 * 32 * 16 * 4
+        sh = dp_sp_sharding(mesh, 5, 3)
+        assert sh.spec == jax.sharding.PartitionSpec("data", None, None, "space", None)
