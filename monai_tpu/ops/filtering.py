@@ -126,22 +126,49 @@ def bilateral_grid_filter(img: jnp.ndarray, spatial_sigma: float = 5.0, color_si
     return out.reshape(img.shape)
 
 
+# Feature-grid resolution per feature dimension: the regular grid replaces the
+# hash-based permutohedral lattice (which scalarizes on TPU).  Cells are 1σ wide,
+# so a feature axis can represent a dynamic range of (BINS - 2·pad)·σ before
+# extreme values clamp to the boundary cell.  Grid memory is BINS^F · (C+1) f32.
+_PHL_GRID_BINS = {1: 256, 2: 96, 3: 40, 4: 24, 5: 16}
+_PHL_GRID_PAD = 2
+
+
 def phl_filter(data: jnp.ndarray, features: jnp.ndarray, sigmas=None) -> jnp.ndarray:
     """Guided filtering with arbitrary feature vectors (reference: PHLFilter,
     monai/networks/layers/filtering.py:66; csrc/filtering/permutohedral/*).
 
-    The hash-based permutohedral lattice scalarizes on TPU; this uses the equivalent
-    O(N^2)-free nearest-grid approximation when feature dim ≤ 4, else falls back to an
-    exact (small-N) Gaussian-weight matrix product.
+    Matches the reference contract: ``features[:, i]`` is divided by ``sigmas[i]``
+    and filtering is a unit Gaussian in the scaled feature space,
+    ``W_ij = exp(-|f'_i - f'_j|² / 2)``.
+
+    The hash-based permutohedral lattice scalarizes on TPU, so two dense paths:
+
+    - N ≤ 4096 voxels: exact — the full Gaussian weight matrix as MXU matmuls,
+      any feature dimension.
+    - larger inputs, F ≤ 5 feature dims: splat-blur-slice on a regular grid over
+      the scaled feature space (the regular-grid variant of the lattice; SURVEY
+      §2.1).  Cells are 1σ wide; per-axis dynamic range beyond
+      ``(bins - 4)·σ`` (bins per F: 256/96/40/24/16 for F=1..5) clamps to the
+      boundary cell, so extreme outliers get merged — choose sigmas accordingly.
+      F > 5 raises: a dense grid is the wrong tool there and the exact path's
+      4096-voxel bound is the supported envelope (documented limit vs the
+      reference's exact lattice).
+
+    Unlike the reference (whose PHL backward raises NotImplementedError), both
+    paths here are differentiable end-to-end via autodiff.
 
     data: (B, C, *spatial); features: (B, F, *spatial).
     """
     data = jnp.asarray(data)
-    features = jnp.asarray(features)
+    features = jnp.asarray(features, jnp.float32)
     b, c = data.shape[:2]
     f = features.shape[1]
     spatial = data.shape[2:]
     n = int(np.prod(spatial))
+    if sigmas is not None:
+        sig = jnp.asarray(sigmas, jnp.float32).reshape((1, f) + (1,) * len(spatial))
+        features = features / sig
     if n <= 4096:
         # exact: weight matrix from feature distances (dense MXU matmuls)
         feat = features.reshape(b, f, n)
@@ -151,7 +178,56 @@ def phl_filter(data: jnp.ndarray, features: jnp.ndarray, sigmas=None) -> jnp.nda
         num = jnp.einsum("bnm,bcm->bcn", w, x)
         den = jnp.einsum("bnm->bn", w)[:, None]
         return (num / jnp.maximum(den, 1e-8)).reshape(data.shape)
-    # grid approximation: quantize features, splat/blur/slice per feature cell
-    raise NotImplementedError(
-        "phl_filter for large inputs with >0 feature dims uses the bilateral grid; "
-        "call bilateral_grid_filter for image-intensity features, or reduce input size.")
+    if f not in _PHL_GRID_BINS:
+        raise NotImplementedError(
+            f"phl_filter supports feature dims 1..5 on large inputs (got F={f}); "
+            "the exact path handles any F for inputs of <= 4096 voxels. "
+            "Reduce the feature dimension or the input size.")
+    return _phl_grid_filter(data, features, n)
+
+
+def _gauss_band_matrix(length: int, sigma: float = 1.0, truncate: float = 4.0) -> np.ndarray:
+    """(L, L) 'same'/zero-pad 1-D Gaussian correlation as a banded matrix — the
+    feature grid can have up to 5 axes, beyond conv_general's DHW helpers, and a
+    bins×bins matmul per axis rides the MXU anyway."""
+    radius = max(int(truncate * sigma + 0.5), 1)
+    taps = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    taps /= taps.sum()
+    w = np.zeros((length, length), np.float32)
+    for off, t in zip(range(-radius, radius + 1), taps):
+        w += np.diag(np.full(length - abs(off), t, np.float32), k=off)
+    return w
+
+
+def _phl_grid_filter(data: jnp.ndarray, scaled_features: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Splat-blur-slice over a regular grid in (sigma-scaled) feature space."""
+    from .resample import grid_pull
+
+    b, c = data.shape[:2]
+    f = scaled_features.shape[1]
+    spatial = data.shape[2:]
+    bins = _PHL_GRID_BINS[f]
+    pad = _PHL_GRID_PAD
+    gdims = (bins,) * f
+    total = bins**f
+    strides = np.cumprod((gdims[1:] + (1,))[::-1])[::-1].astype(np.int32)
+    blur_w = jnp.asarray(_gauss_band_matrix(bins))
+
+    def _one(x, feat):  # x: (C, N) one batch item; feat: (F, N)
+        mn = jnp.min(feat, axis=1, keepdims=True)
+        g = jnp.clip(feat - mn, 0.0, bins - 1 - 2 * pad) + pad  # (F, N), 1σ cells
+        idx = jnp.round(g).astype(jnp.int32)
+        flat_idx = jnp.sum(idx * jnp.asarray(strides)[:, None], axis=0)  # (N,)
+        vals = jnp.concatenate([x, jnp.ones((1, n), x.dtype)], axis=0)  # (C+1, N)
+        grid = jnp.zeros((c + 1, total), x.dtype).at[:, flat_idx].add(vals)
+        # blur: unit-sigma separable gaussian over the F feature axes
+        blurred = grid.reshape((c + 1,) + gdims)
+        for ax in range(1, f + 1):
+            blurred = jnp.moveaxis(
+                jnp.moveaxis(blurred, ax, -1) @ blur_w, -1, ax)
+        # slice: multilinear read-back at the continuous feature coordinates
+        out = grid_pull(blurred, g.T.reshape((n, f)), interpolation=1, bound="border")
+        return out[:c] / jnp.maximum(out[c:], 1e-8)
+
+    flat = jax.vmap(_one)(data.reshape(b, c, n), scaled_features.reshape(b, f, n))
+    return flat.reshape(data.shape)
