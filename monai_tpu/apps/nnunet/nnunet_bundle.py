@@ -21,7 +21,8 @@ from ...utils.module import optional_import
 
 __all__ = ["ModelnnUNetWrapper", "get_nnunet_monai_predictor",
            "convert_nnunet_to_monai_bundle", "convert_monai_bundle_to_nnunet",
-           "get_network_from_nnunet_plans", "get_nnunet_trainer"]
+           "get_network_from_nnunet_plans", "get_jax_network_from_nnunet_plans",
+           "get_nnunet_trainer"]
 
 
 def _require(module: str):
@@ -263,6 +264,82 @@ def get_network_from_nnunet_plans(plans_file: str, dataset_file: str, configurat
     state_dict = torch.load(model_ckpt, map_location="cpu")
     network.load_state_dict(state_dict[model_key_in_ckpt])
     return network
+
+
+def get_jax_network_from_nnunet_plans(plans_file: Union[str, Path, dict],
+                                      dataset_file: Union[str, Path, dict],
+                                      configuration: str = "3d_fullres",
+                                      deep_supervision: bool = False,
+                                      *, rngs=None):
+    """TPU-native counterpart of :func:`get_network_from_nnunet_plans`: build a
+    ``monai_tpu`` :class:`DynUNet` from an nnU-Net v2 plans/dataset pair, without
+    needing the ``nnunetv2``/torch packages.
+
+    Parses the modern plans schema (``configurations.<name>.architecture`` with
+    ``network_class_name`` + ``arch_kwargs`` — the format nnUNetPlans.json files
+    carry since nnunetv2 2.2). ``PlainConvUNet`` maps onto ``DynUNet`` with basic
+    blocks, ``ResidualEncoderUNet`` onto res blocks; both use 2 convs per stage,
+    which is what every shipped nnU-Net plan uses — anything else raises rather
+    than silently building a different network.
+
+    Reference behavior target: monai/apps/nnunet/nnunet_bundle.py:417
+    (get_network_from_nnunet_plans) + dynamic_network_architectures PlainConvUNet.
+    """
+    from flax import nnx
+
+    from ...networks.nets.dynunet import DynUNet
+
+    plans = plans_file if isinstance(plans_file, dict) else _load_json(plans_file)
+    dataset_json = dataset_file if isinstance(dataset_file, dict) else _load_json(dataset_file)
+    try:
+        cfg = plans["configurations"][configuration]
+    except KeyError as e:
+        raise KeyError(f"configuration {configuration!r} not in plans "
+                       f"(has {sorted(plans.get('configurations', {}))})") from e
+    arch = cfg["architecture"]
+    class_name = arch["network_class_name"].rsplit(".", 1)[-1]
+    if class_name not in ("PlainConvUNet", "ResidualEncoderUNet"):
+        raise NotImplementedError(
+            f"nnU-Net architecture {arch['network_class_name']!r} has no JAX mapping; "
+            "supported: PlainConvUNet, ResidualEncoderUNet.")
+    kw = arch["arch_kwargs"]
+    conv_op = str(kw.get("conv_op", "Conv3d"))
+    spatial_dims = 3 if conv_op.endswith("3d") else 2
+    n_stages = int(kw["n_stages"])
+    per_stage = list(kw["n_conv_per_stage"]) if isinstance(kw.get("n_conv_per_stage"), (list, tuple)) \
+        else [kw.get("n_conv_per_stage", 2)] * n_stages
+    if any(int(c) != 2 for c in per_stage):
+        raise NotImplementedError(
+            f"n_conv_per_stage={per_stage}: DynUNet stages are 2-conv blocks; refusing "
+            "to build a structurally different network.")
+    kernel_sizes = [list(k) if isinstance(k, (list, tuple)) else [k] * spatial_dims
+                    for k in kw["kernel_sizes"]]
+    strides = [list(s) if isinstance(s, (list, tuple)) else [s] * spatial_dims
+               for s in kw["strides"]]
+    filters = list(kw["features_per_stage"])
+    norm_kwargs = kw.get("norm_op_kwargs") or {}
+    norm_name = ("instance", {"affine": bool(norm_kwargs.get("affine", True))})
+    nonlin = str(kw.get("nonlin", "LeakyReLU")).rsplit(".", 1)[-1].lower()
+    nonlin_kwargs = kw.get("nonlin_kwargs") or {}
+    if nonlin == "leakyrelu":
+        act_name = ("leakyrelu", {"negative_slope": float(nonlin_kwargs.get("negative_slope", 0.01))})
+    else:
+        act_name = (nonlin, {})
+    in_channels = len(dataset_json.get("channel_names")
+                      or dataset_json.get("modality") or {"0": "x"})
+    labels = dataset_json.get("labels", {})
+    # v2 dataset.json maps name -> index (a region entry maps to a list of indices)
+    n_fg = len({int(i) for v in labels.values()
+                for i in (v if isinstance(v, (list, tuple)) else [v])} - {0}) if labels else 1
+    out_channels = n_fg + 1
+    return DynUNet(
+        spatial_dims=spatial_dims, in_channels=in_channels, out_channels=out_channels,
+        kernel_size=kernel_sizes, strides=strides, upsample_kernel_size=strides[1:],
+        filters=filters, norm_name=norm_name, act_name=act_name,
+        deep_supervision=deep_supervision,
+        deep_supr_num=max(1, min(n_stages - 2, 3)) if deep_supervision else 1,
+        res_block=(class_name == "ResidualEncoderUNet"),
+        rngs=rngs if rngs is not None else nnx.Rngs(0))
 
 
 def get_nnunet_trainer(dataset_name_or_id, configuration, fold, trainer_class_name="nnUNetTrainer",
