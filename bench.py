@@ -62,6 +62,12 @@ import time
 
 import numpy as np
 
+# Persistent compile cache shared by all stage subprocesses (and across bench
+# runs): first compiles over the tunnel run 20-300 s; cached reloads are ~1 s,
+# which keeps every stage inside its timeout on a contended host.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 V5E_BF16_PEAK_FLOPS = 197e12
 A100_BF16_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.10          # see module docstring; bracket recorded in extra
@@ -154,14 +160,30 @@ def build_unet_predictor():
         lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         state)
 
+    # tail-packed executor: the 96^3 CO=2 output tail as CO=16 coarse ops —
+    # measured 32.2 -> 26.6 ms on forward18 (packed_unet.py docstring table);
+    # exact same reduction sets as the plain forward (conv-order rounding only)
+    from monai_tpu.networks.nets.packed_unet import packable, packed_unet_forward
+
+    use_packed_tail = packable(net, (1, 1, 96, 96, 96))
+
     @jax.jit
     def fwd(state, x):
+        m = nnx.merge(graphdef, state)
+        if use_packed_tail:
+            return packed_unet_forward(m, x, pack_tail=True, pack_level0=False)
+        return m(x)
+
+    # plain-module forward, kept for USEFUL-flop cost analysis (the packed tail
+    # executes 8x MACs there; MFU must credit useful work, not inflated work)
+    @jax.jit
+    def plain_fwd(state, x):
         return nnx.merge(graphdef, state)(x)
 
     def predictor(w):
         return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    return predictor, fwd, state_bf16
+    return predictor, fwd, state_bf16, plain_fwd
 
 
 _T0 = time.perf_counter()
@@ -187,7 +209,7 @@ def bench_unet_sw(extra):
     from monai_tpu.inferers import SlidingWindowInferer
     from monai_tpu.inferers.utils import compute_scan_interval
 
-    predictor, fwd, state_bf16 = build_unet_predictor()
+    predictor, fwd, state_bf16, plain_fwd = build_unet_predictor()
     vol_shape, roi, overlap = (224, 224, 112), (96, 96, 96), 0.25
     interval = compute_scan_interval(vol_shape, roi, 3, (overlap,) * 3)
     num_windows = len(dense_patch_slices(vol_shape, roi, interval, return_slice=False))
@@ -244,9 +266,11 @@ def bench_unet_sw(extra):
 
     # MFU from the window-forward's XLA cost analysis, at steady-state rate
     # (Lowered.cost_analysis: no second remote compile; dot/conv FLOPs are
-    # identical pre/post optimization)
+    # identical pre/post optimization).  FLOPs are counted on the PLAIN module
+    # forward — the tail-packed executor executes 8x MACs on the tail, and MFU
+    # must credit useful work, not inflated work.
     try:
-        cost = _cost_analysis(fwd, state_bf16, win.astype(jnp.bfloat16))
+        cost = _cost_analysis(plain_fwd, state_bf16, win.astype(jnp.bfloat16))
         flops_per_vol = float(cost.get("flops", 0.0))
         extra["unet_flops_per_volume_g"] = round(flops_per_vol / 1e9, 1)
         extra["unet_mfu"] = round(flops_per_vol * vols_per_sec / V5E_BF16_PEAK_FLOPS, 4)
@@ -313,18 +337,25 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     from monai_tpu.losses import DiceCELoss
     from monai_tpu.networks.nets import UNet
 
+    from monai_tpu.networks.utils import cast_params_to_compute
+
     net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
                channels=channels, strides=(2,) * (len(channels) - 1), num_res_units=2,
                rngs=nnx.Rngs(0))
     # split params from non-differentiable state (RNG keys are uint32)
     graphdef, params, rest = nnx.split(net, nnx.Param, ...)
-    tx = optax.adamw(1e-4)
+    # flatten: one contiguous f32 vector for adamw — the per-leaf tree update
+    # cost ~ms/step in tiny badly-tiled fusions (r4 xprof trace)
+    tx = optax.flatten(optax.adamw(1e-4))
     opt_state = tx.init(params)
     loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
 
     def step_fn(params, opt_state, x, y):
         def loss(p):
-            logits = nnx.merge(graphdef, p, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+            # bf16 compute / f32 master: without the param cast, promotion runs
+            # every conv in f32 — an 8x MXU cliff (perf_train_bisect.py)
+            p16 = cast_params_to_compute(p)
+            logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
             return loss_fn(logits, y)
         l, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -335,6 +366,7 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     x = jax.random.uniform(jax.random.key(0), (batch, 1, *patch), jnp.float32)
     y = (jax.random.uniform(jax.random.key(1), (batch, 1, *patch)) > 0.5).astype(jnp.float32)
 
+    _progress("unet train: cost analysis (lowering)")
     try:
         cost = _cost_analysis(jax.jit(step_fn), params, opt_state, x, y)
         flops = float(cost.get("flops", 0.0))
@@ -342,6 +374,7 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     except Exception:
         flops = 0.0
 
+    _progress("unet train: compiling step")
     params, opt_state, l = step(params, opt_state, x, y)  # compile + warm
     _sync(l)
     t0 = time.perf_counter()

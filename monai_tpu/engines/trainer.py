@@ -80,6 +80,13 @@ class SupervisedTrainer(Trainer):
 
         def train_step(model, optimizer, inputs, targets):
             def loss_fn(m):
+                # real AMP: params AND activations must be bf16 — casting only
+                # the input silently promotes back to f32 at the first conv
+                # (see networks/utils.py:cast_params_to_compute)
+                if amp:
+                    from ..networks.utils import amp_model_view
+
+                    m = amp_model_view(m)
                 x = inputs.astype(jnp.bfloat16) if amp else inputs
                 preds = inferer(x, m)
                 preds = preds.astype(jnp.float32)

@@ -18,6 +18,8 @@ same reduction set, f32-rounding-level differences only.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import nnx
@@ -25,20 +27,8 @@ from flax import nnx
 __all__ = ["InstanceNormTPU", "fast_instance_norm"]
 
 
-def fast_instance_norm(x: jnp.ndarray, eps: float = 1e-5,
-                       scale: jnp.ndarray | None = None,
-                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Instance norm on channels-last ``x`` (B, *spatial, C): two-moment spatial
-    reduce with f32 accumulation + fused rsqrt normalize.
-
-    CRITICAL LAYOUT NOTE: never bind ``x.astype(f32)`` to a reused name. A bf16
-    activation upcast that feeds several consumers gets *materialized* by XLA as
-    a full f32 tensor (2x HBM) plus layout copies; at (6, 96^3, 24) that turned
-    a ~2 ms conv+norm into 14.8 ms (traced in scripts/perf_xprof.py — 500 MB f32
-    fusions, two materialized full-size broadcasts, three relayout copies).
-    Instead each consumer reads the bf16 tensor directly so the convert fuses
-    into the reduce / normalize fusions and the conv's preferred layout flows
-    through the whole block."""
+def _in_stats(x):
+    """Per-(batch, channel) spatial mean / rsqrt-variance with f32 accumulation."""
     axes = tuple(range(1, x.ndim - 1))
     n_sp = 1
     for d in axes:
@@ -48,16 +38,81 @@ def fast_instance_norm(x: jnp.ndarray, eps: float = 1e-5,
     s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes)
     m = s / n_sp
     v = jnp.maximum(s2 / n_sp - m * m, 0.0)
+    return m, v, n_sp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _in_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+             eps: float) -> jnp.ndarray:
+    m, v, _ = _in_stats(x)
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    inv = jax.lax.rsqrt(v + eps)
-    if scale is not None:
-        inv = inv * scale.astype(jnp.float32)
+    inv = jax.lax.rsqrt(v + eps) * scale.astype(jnp.float32)
     # one fused elementwise pass, bf16 in / bf16 out (the astype has a single
     # consumer so the convert fuses instead of materializing)
     y = (x.astype(jnp.float32) - m.reshape(shape)) * inv.reshape(shape)
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
+    y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def _in_norm_fwd(x, scale, bias, eps):
+    m, v, n_sp = _in_stats(x)
+    inv = jax.lax.rsqrt(v + eps)  # (B, C) f32, WITHOUT scale folded in
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    y = (x.astype(jnp.float32) - m.reshape(shape)) * (inv * scale.astype(jnp.float32)).reshape(shape)
+    y = y + bias.astype(jnp.float32)
+    # residuals: the bf16 activation + per-(B,C) stats; x-hat is recomputed in
+    # the backward pass (one cheap fused read beats materializing a full f32
+    # tensor — the exact pathology autodiff-of-forward produces)
+    return y.astype(x.dtype), (x, m, inv, scale)
+
+
+def _in_norm_bwd(eps, res, g):
+    x, m, inv, scale = res
+    axes = tuple(range(1, x.ndim - 1))
+    n_sp = 1
+    for d in axes:
+        n_sp *= x.shape[d]
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    # multi-output f32 reduces over one fused read of (g, x)
+    xhat = (x.astype(jnp.float32) - m.reshape(shape)) * inv.reshape(shape)
+    sg = jnp.sum(g, axis=axes, dtype=jnp.float32)            # Σg        (B, C)
+    sgx = jnp.sum(g * xhat.astype(g.dtype), axis=axes, dtype=jnp.float32)  # Σ g·x̂
+    # dβ / dγ are shared across batch
+    dbias = jnp.sum(sg, axis=0)
+    dscale = jnp.sum(sgx, axis=0)
+    k = (inv * scale.astype(jnp.float32)).reshape(shape)
+    mean_g = (sg / n_sp).reshape(shape)
+    mean_gx = (sgx / n_sp).reshape(shape)
+    dx = k * (g.astype(jnp.float32) - mean_g - xhat * mean_gx)
+    return dx.astype(x.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_in_norm.defvjp(_in_norm_fwd, _in_norm_bwd)
+
+
+def fast_instance_norm(x: jnp.ndarray, eps: float = 1e-5,
+                       scale: jnp.ndarray | None = None,
+                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Instance norm on channels-last ``x`` (B, *spatial, C): two-moment spatial
+    reduce with f32 accumulation + fused rsqrt normalize, with a hand-derived
+    VJP (dx = γ·inv·(g − mean g − x̂·mean g·x̂); two fused f32 reduces over (g, x)
+    plus one elementwise pass — autodiff of the forward instead materializes
+    full-size f32 intermediates, the dominant cost in the r4 train-step trace).
+
+    CRITICAL LAYOUT NOTE: never bind ``x.astype(f32)`` to a reused name. A bf16
+    activation upcast that feeds several consumers gets *materialized* by XLA as
+    a full f32 tensor (2x HBM) plus layout copies; at (6, 96^3, 24) that turned
+    a ~2 ms conv+norm into 14.8 ms (traced in scripts/perf_xprof.py — 500 MB f32
+    fusions, two materialized full-size broadcasts, three relayout copies).
+    Instead each consumer reads the bf16 tensor directly so the convert fuses
+    into the reduce / normalize fusions and the conv's preferred layout flows
+    through the whole block."""
+    c = x.shape[-1]
+    if scale is None:
+        scale = jnp.ones((c,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((c,), jnp.float32)
+    return _in_norm(x, scale, bias, eps)
 
 
 class InstanceNormTPU(nnx.Module):

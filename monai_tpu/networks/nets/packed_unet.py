@@ -19,6 +19,20 @@ inflation loses) run the module tree unchanged. ``pack_tail`` additionally runs
 the 96^3 CO=2 output tail (transposed conv + final res-unit) packed as CO=16
 coarse ops.
 
+Measured end-to-end on v5e (scripts/perf_packed_unet_ab.py, bench UNet, B=18
+bf16 96^3 windows, two-K slope timing, r4):
+
+    plain                32.21 ms
+    tail-only            26.61 ms   <- 1.21x, ADOPTED by bench sliding-window eval
+    packed (level0)      52.16 ms   (8x MAC inflation loses even level-resident)
+    packed+tail          45.66 ms
+
+The r4 xprof trace explains why only the tail wins: the 96^3 CO=2 output conv
+fuses with the channel-first transpose into one 8 ms/iter fusion (24% of the
+whole forward) — C=2 minor-dim layouts are the pathology, and CO=16 coarse ops
+at 48^3 remove it; at 48^3 CO=16 the composition is norm-bound, not conv-bound,
+so inflating MACs 8x only adds work. Use ``pack_tail=True, pack_level0=False``.
+
 Reference behavior target: monai/networks/nets/unet.py:27 forward.
 """
 from __future__ import annotations

@@ -13,7 +13,8 @@ import numpy as np
 
 from ..utils.backend import is_jax, xp
 
-__all__ = ["one_hot", "pixelshuffle", "meshgrid_ij", "normal_init", "copy_model_state", "count_params"]
+__all__ = ["one_hot", "pixelshuffle", "meshgrid_ij", "normal_init", "copy_model_state", "count_params",
+           "cast_params_to_compute", "amp_model_view"]
 
 
 def one_hot(labels: Any, num_classes: int, dtype=jnp.float32, dim: int = 1) -> Any:
@@ -329,6 +330,34 @@ def convert_to_trt(*args, **kwargs):
     raise NotImplementedError(
         "TensorRT is CUDA-only; XLA compiles the TPU program — use "
         "jax.jit(...).lower(...).compile() for AOT compilation.")
+
+
+def cast_params_to_compute(params, dtype=jnp.bfloat16):
+    """Cast every floating-point leaf of a parameter pytree to ``dtype``,
+    leaving integer/PRNG leaves untouched.
+
+    The TPU mixed-precision training contract (reference analog: torch.autocast
+    in engines, monai/engines/trainer.py:194-278 with amp=True): keep the f32
+    master copy OUTSIDE the jitted step, cast to bf16 INSIDE the loss so the MXU
+    runs bf16 convolutions, and let autodiff deliver f32 gradients to the
+    optimizer through the cast.  Casting only the *input* does nothing — JAX
+    type promotion silently widens bf16 activations back to f32 at the first
+    f32-weight convolution (an 8x MXU throughput cliff, measured in
+    scripts/perf_train_bisect.py)."""
+    return jax.tree_util.tree_map(
+        lambda t: t.astype(dtype)
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating) else t,
+        params)
+
+
+def amp_model_view(model, dtype=jnp.bfloat16):
+    """Return a compute-dtype view of an nnx model: same graph, floating params
+    cast to ``dtype``.  Use inside a loss closure so gradients flow to the f32
+    master parameters held by the caller/optimizer (see cast_params_to_compute)."""
+    from flax import nnx
+
+    graphdef, state = nnx.split(model)
+    return nnx.merge(graphdef, cast_params_to_compute(state, dtype))
 
 
 def cast_tensor(x, from_dtype=jnp.float16, to_dtype=jnp.float32):

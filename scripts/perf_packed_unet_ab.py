@@ -2,7 +2,8 @@
 packed executor (networks/nets/packed_unet.py), bench config, batch-18 bf16
 windows, two-K slope timing (33 ms steps -> jitter-proof).
 
-Run: python scripts/perf_packed_unet_ab.py [batch=18]
+Run: python scripts/perf_packed_unet_ab.py [batch=18] [variant,variant,...]
+(variants: plain, tail-only, packed, packed+tail; default all)
 """
 import sys
 import time
@@ -81,8 +82,12 @@ def tail_only(x):
                                pack_level0=False)
 
 
+only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
 for name, fwd in [("plain", plain), ("tail-only", tail_only), ("packed", packed),
                   ("packed+tail", packed_tail)]:
+    if only and name not in only:
+        continue
     try:
         dt = slope(chain(fwd))
         mfu = B * FLOPS_PER_WIN / dt / PEAK

@@ -84,6 +84,45 @@ def main():
             state)
         x = jnp.asarray(rng.rand(B, 1, S, S, S).astype(np.float32)).astype(jnp.bfloat16)
         fn = jax.jit(lambda z: nnx.merge(graphdef, state)(z))
+    elif case == "train":
+        # the exact bench train step (bench.py bench_unet_train): batch-4 96^3,
+        # value_and_grad(DiceCE) + adamw, donated params/opt state
+        import optax
+
+        from monai_tpu.losses import DiceCELoss
+        from monai_tpu.networks.nets import UNet
+
+        net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
+                   channels=(16, 32, 64, 128, 256), strides=(2, 2, 2, 2), num_res_units=2,
+                   rngs=nnx.Rngs(0))
+        graphdef, params, rest = nnx.split(net, nnx.Param, ...)
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(params)
+        loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
+
+        def step_fn(params, opt_state, x, y):
+            def loss(p):
+                logits = nnx.merge(graphdef, p, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+                return loss_fn(logits, y)
+
+            l, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            import optax as _o
+
+            return _o.apply_updates(params, updates), opt_state, l
+
+        step = jax.jit(step_fn)
+        xb = jnp.asarray(rng.rand(4, 1, S, S, S).astype(np.float32))
+        yb = jnp.asarray((rng.rand(4, 1, S, S, S) > 0.5).astype(np.float32))
+
+        state_box = {"p": params, "o": opt_state}
+
+        def fn(_z):
+            p, o, l = step(state_box["p"], state_box["o"], xb, yb)
+            state_box["p"], state_box["o"] = p, o
+            return l
+
+        x = jnp.zeros((1,), jnp.float32)
     else:  # unet
         from monai_tpu.networks.nets import UNet
 

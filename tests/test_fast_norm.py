@@ -51,3 +51,51 @@ def test_bf16_dtype_preserved():
     assert y.dtype == jnp.bfloat16
     ref = fast_instance_norm(x.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_custom_vjp_matches_autodiff_of_groupnorm():
+    """The hand-derived VJP (dx = γ·inv·(g − mean g − x̂·mean g·x̂)) must equal
+    autodiff of the plain normalization graph, incl. scale/bias grads."""
+    import jax
+
+    x0 = jnp.asarray(rng.randn(2, 6, 6, 6, 4).astype(np.float32))
+    scale0 = jnp.asarray([1.0, 2.0, 0.5, -1.0])
+    bias0 = jnp.asarray([0.1, -0.2, 0.0, 0.3])
+
+    def ref_fn(x, scale, bias):
+        axes = (1, 2, 3)
+        m = jnp.mean(x, axis=axes, keepdims=True)
+        v = jnp.mean((x - m) ** 2, axis=axes, keepdims=True)
+        xhat = (x - m) * jax.lax.rsqrt(v + 1e-5)
+        return jnp.sum((xhat * scale + bias) * jnp.cos(x))  # non-trivial cotangent
+
+    def got_fn(x, scale, bias):
+        return jnp.sum(fast_instance_norm(x, 1e-5, scale, bias) * jnp.cos(x))
+
+    rg = jax.grad(ref_fn, argnums=(0, 1, 2))(x0, scale0, bias0)
+    gg = jax.grad(got_fn, argnums=(0, 1, 2))(x0, scale0, bias0)
+    for r, g in zip(rg, gg):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-4)
+
+
+def test_custom_vjp_no_affine_and_bf16():
+    import jax
+
+    x0 = jnp.asarray(rng.randn(2, 6, 6, 6, 3).astype(np.float32))
+
+    def ref_fn(x):
+        axes = (1, 2, 3)
+        m = jnp.mean(x, axis=axes, keepdims=True)
+        v = jnp.mean((x - m) ** 2, axis=axes, keepdims=True)
+        return jnp.sum(((x - m) * jax.lax.rsqrt(v + 1e-5)) ** 2 * jnp.sin(x))
+
+    def got_fn(x):
+        return jnp.sum(fast_instance_norm(x, 1e-5) ** 2 * jnp.sin(x))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(got_fn)(x0)),
+                               np.asarray(jax.grad(ref_fn)(x0)), rtol=2e-3, atol=2e-4)
+    # bf16 input: grads exist, carry bf16 dtype, and are finite
+    xb = x0.astype(jnp.bfloat16)
+    gb = jax.grad(lambda x: jnp.sum(fast_instance_norm(x, 1e-5).astype(jnp.float32)))(xb)
+    assert gb.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gb, np.float32)).all()

@@ -93,15 +93,18 @@ def test_packed_cat_matches_fine_concat():
     np.testing.assert_allclose(np.asarray(got), np.asarray(fine), rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("pack_tail", [False, True])
-def test_packed_unet_forward_matches_plain(pack_tail):
-    """The packed executor reproduces UNet.__call__ on the bench config family."""
+@pytest.mark.parametrize("pack_tail,pack_level0", [(False, True), (True, True),
+                                                   (True, False)])
+def test_packed_unet_forward_matches_plain(pack_tail, pack_level0):
+    """The packed executor reproduces UNet.__call__ on the bench config family.
+    (pack_tail=True, pack_level0=False) is the shipped bench eval path — the only
+    measured-winning combination (packed_unet.py docstring table)."""
     net = UNet(spatial_dims=3, in_channels=1, out_channels=2, channels=(4, 8, 16),
                strides=(2, 2), num_res_units=2, rngs=nnx.Rngs(0))
     x = _rand(2, 1, 16, 16, 16)
     assert packable(net, x.shape)
     ref = net(x)
-    got = packed_unet_forward(net, x, pack_tail=pack_tail)
+    got = packed_unet_forward(net, x, pack_tail=pack_tail, pack_level0=pack_level0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
