@@ -344,9 +344,10 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
                rngs=nnx.Rngs(0))
     # split params from non-differentiable state (RNG keys are uint32)
     graphdef, params, rest = nnx.split(net, nnx.Param, ...)
-    # flatten: one contiguous f32 vector for adamw — the per-leaf tree update
-    # cost ~ms/step in tiny badly-tiled fusions (r4 xprof trace)
-    tx = optax.flatten(optax.adamw(1e-4))
+    # tree adamw (NOT optax.flatten: the flat vector's unravel slicing showed up
+    # as ~5 ms async slice-starts in the r4 trace, and the flattened step
+    # measured slightly slower — 13.16 vs 13.9 steps/s)
+    tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
     loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
 

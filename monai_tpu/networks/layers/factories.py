@@ -125,6 +125,18 @@ class PallasConv(nnx.Conv):
                 if self.use_bias and self.bias is not None:
                     y = y + self.bias.value.astype(y.dtype)
                 return y
+            from ...ops.conv_vjp import wgrad_wants_swap
+
+            if x.ndim == 5 and wgrad_wants_swap(self.in_features, self.out_features):
+                # lane-aware weight grad for CO<<CI convs (identical forward;
+                # see ops/conv_vjp.py — 16.3 ms/step on the CO=2 UNet tail)
+                from ...ops.conv_vjp import conv3x3_lane_wgrad
+                from ...ops.layout import conv_layout_barrier
+
+                y = conv3x3_lane_wgrad(x, self.kernel.value.astype(x.dtype))
+                if self.use_bias and self.bias is not None:
+                    y = y + self.bias.value.astype(y.dtype)
+                return conv_layout_barrier(y)
         from ...ops.layout import conv_layout_barrier
 
         return conv_layout_barrier(super().__call__(x))

@@ -52,6 +52,11 @@ def timeit(fn, args, n=6):
 
 
 def loss_of(p, xb, yb, which="dicece"):
+    if which.endswith("-bf16"):
+        from monai_tpu.networks.utils import cast_params_to_compute
+
+        p = cast_params_to_compute(p)
+        which = which[:-5]
     logits = nnx.merge(graphdef, p, rest)(xb.astype(jnp.bfloat16)).astype(jnp.float32)
     if which == "ce":
         logp = jax.nn.log_softmax(logits, axis=1)
@@ -110,3 +115,19 @@ report("adamw-flat", timeit(lambda xb, yb: fl(jnp.copy(flat0), jax.tree_util.tre
 
 # 7. CE-only loss with flat adamw
 report("ce-only", timeit(lambda xb, yb: fl(jnp.copy(flat0), jax.tree_util.tree_map(jnp.copy, flat_state), xb, yb, "ce"), (x, y)))
+
+# 8. the committed bench step: bf16 param cast inside the loss, flat adamw
+report("flat-bf16", timeit(lambda xb, yb: fl(jnp.copy(flat0), jax.tree_util.tree_map(jnp.copy, flat_state), xb, yb, "dicece-bf16"), (x, y)))
+
+# 9. forward+grad with bf16 params, no optimizer
+grb = jax.jit(lambda p, xb, yb: jax.value_and_grad(lambda q: loss_of(q, xb, yb, "dicece-bf16"))(p))
+report("grad-bf16", timeit(grb, (params, x, y)))
+
+# 10. fwd-only with bf16 params
+fwdb = jax.jit(lambda p, xb: nnx.merge(graphdef, jax.tree_util.tree_map(
+    lambda t: t.astype(jnp.bfloat16) if hasattr(t, 'dtype') and jnp.issubdtype(t.dtype, jnp.floating) else t, p), rest)(xb.astype(jnp.bfloat16)))
+report("fwd-bf16", timeit(fwdb, (params, x)))
+
+# 11. loss fwd only, bf16 params
+lfb = jax.jit(lambda p, xb, yb: loss_of(p, xb, yb, "dicece-bf16"))
+report("loss-bf16", timeit(lfb, (params, x, y)))

@@ -50,6 +50,13 @@ def report(per_op, top=30):
     print(f"total device-event time {total:.2f} ms (sum over lines; overlaps double-count)")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {ms:8.3f} ms  {name[:110]}")
+    # async copy/slice starts overlap compute (double-counted above); the
+    # synchronous op classes below are the real serial timeline
+    sync = {k: v for k, v in per_op.items()
+            if "-start" not in k and "-done" not in k and not k.startswith(("jit_", "0", "1", "2", "3"))}
+    print(f"\n== synchronous ops only (total {sum(sync.values()):.2f} ms) ==")
+    for name, ms in sorted(sync.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {ms:8.3f} ms  {name[:130]}")
 
 
 def main():
@@ -95,14 +102,17 @@ def main():
         net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
                    channels=(16, 32, 64, 128, 256), strides=(2, 2, 2, 2), num_res_units=2,
                    rngs=nnx.Rngs(0))
+        from monai_tpu.networks.utils import cast_params_to_compute
+
         graphdef, params, rest = nnx.split(net, nnx.Param, ...)
-        tx = optax.adamw(1e-4)
+        tx = optax.flatten(optax.adamw(1e-4))
         opt_state = tx.init(params)
         loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
 
         def step_fn(params, opt_state, x, y):
             def loss(p):
-                logits = nnx.merge(graphdef, p, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+                p16 = cast_params_to_compute(p)
+                logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
                 return loss_fn(logits, y)
 
             l, grads = jax.value_and_grad(loss)(params)
