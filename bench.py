@@ -288,30 +288,101 @@ def bench_unet_sw(extra):
     return vols_per_sec
 
 
+# The bench UNet's exact conv inventory, verified against nnx.iter_modules on
+# UNet(1->2, channels (16,32,64,128,256), strides (2,2,2,2), num_res_units=2)
+# and against XLA's own per-window FLOP count (~9.4 GFLOP @ 96³; the table sums
+# to 10.2 G — XLA discounts transposed-conv edge padding slightly).
+# Rows: (out_spatial @ roi 96³, ci, co, kind, stride, consumes_network_input).
+# kind: 'c' 3³ conv, 't' 3³ stride-2 transposed conv (useful MACs = 1/8 of
+#       dense: each output voxel receives taps from ~27/8 input voxels),
+#       'r' 1×1 residual projection.
+_UNET_OPS = [
+    (48, 1, 16, "c", 2, True), (48, 16, 16, "c", 1, False), (48, 1, 16, "c", 2, True),
+    (24, 16, 32, "c", 2, False), (24, 32, 32, "c", 1, False), (24, 16, 32, "c", 2, False),
+    (12, 32, 64, "c", 2, False), (12, 64, 64, "c", 1, False), (12, 32, 64, "c", 2, False),
+    (6, 64, 128, "c", 2, False), (6, 128, 128, "c", 1, False), (6, 64, 128, "c", 2, False),
+    (6, 128, 256, "c", 1, False), (6, 256, 256, "c", 1, False), (6, 128, 256, "r", 1, False),
+    (12, 384, 64, "t", 2, False), (12, 64, 64, "c", 1, False),
+    (24, 128, 32, "t", 2, False), (24, 32, 32, "c", 1, False),
+    (48, 64, 16, "t", 2, False), (48, 16, 16, "c", 1, False),
+    (96, 32, 2, "t", 2, False), (96, 2, 2, "c", 1, False),
+]
+
+
+def _op_flops(s, ci, co, kind):
+    k = {"c": 27.0, "t": 27.0 / 8.0, "r": 1.0}[kind]
+    return 2.0 * s**3 * k * ci * co
+
+
 def _unet_lane_ceiling_mfu() -> float:
-    """Σ flops / Σ (flops / per-level lane ceiling) over the bench UNet's conv
-    shapes (down + up path, roi 96³, channels (16,32,64,128,256))."""
-    # (spatial, ci, co, n_convs): down res-units (2 subunit convs + residual) and
-    # up path (transposed conv + 1-subunit res-unit) at each level's output size
-    levels = [
-        (48, 1, 16, 1), (48, 16, 16, 2),      # down L0 (stride-2 entry + subunit+res)
-        (24, 16, 32, 2), (24, 32, 32, 1),
-        (12, 32, 64, 2), (12, 64, 64, 1),
-        (6, 64, 128, 2), (6, 128, 128, 1),
-        (6, 128, 256, 2), (6, 256, 256, 1),   # bottom
-        (12, 384, 128, 1), (12, 128, 128, 1),  # up path
-        (24, 192, 64, 1), (24, 64, 64, 1),
-        (48, 96, 32, 1), (48, 32, 32, 1),
-        (96, 48, 16, 1), (96, 16, 2, 1),
-    ]
+    """Σ flops / Σ (flops / per-op lane ceiling) over the bench UNet's exact
+    conv inventory (_UNET_OPS, roi 96³). Each conv's MXU throughput is bounded
+    by min(co,128)/128 (co is the minor/lane dim of its output).
+
+    History: the r3 table double-counted rows and used wrong up-path channels
+    (summed to 88 GFLOP/window vs XLA's 9.4) and reported 15.94%; the corrected
+    inventory gives ~12% — the CO=2 top level is a larger *fraction* of true
+    FLOPs than the bad table implied."""
     tot_flops = 0.0
     tot_time = 0.0
-    for s, ci, co, n in levels:
-        fl = n * 2.0 * s**3 * 27 * ci * co
+    for s, ci, co, kind, _stride, _ in _UNET_OPS:
+        fl = _op_flops(s, ci, co, kind)
         ceiling = min(co, 128) / 128.0
         tot_flops += fl
         tot_time += fl / (ceiling * V5E_BF16_PEAK_FLOPS)
     return tot_flops / tot_time / V5E_BF16_PEAK_FLOPS
+
+
+def _unet_train_roofline_mfu(batch=4):
+    """Combined MXU-lane + HBM roofline for the bench UNet *training step*.
+
+    Two independent optimistic bounds, the ceiling is the binding one:
+
+    - lane time: each conv-like op (forward, input-grad, weight-grad) cannot
+      exceed min(L,128)/128 of MXU peak where L is the op's minor (lane)
+      channel dim — co for forward, ci for the input grad (skipped for the
+      ci=1 entry conv: the input needs no grad), and max(ci,co) for the
+      weight grad (ops/conv_vjp.py routes the swapped orientation whenever it
+      strictly wins, so the larger channel count is always on lanes).
+    - HBM time: *mandatory* traffic only — every conv op must read its input
+      and write its output once (bf16), the weight grad must read both
+      activation and cotangent; norms/activations/residual adds are assumed
+      perfectly fused (zero extra traffic), optimizer = 7 f32 passes over the
+      4.2M params, loss ≈ 0.2 GB. Anything XLA actually does on top (layout
+      copies, f32 norm intermediates, unfused PReLU backward) is counted as
+      achievable headroom, not ceiling.
+
+    Returns (roofline_mfu, lane_ms, hbm_ms). The r4 trace
+    (scripts/perf_xprof.py train) shows the real step spends most of its time
+    in exactly the traffic this model zeroes out — the ceiling is what a
+    perfectly-fused schedule would reach, the gap is scheduling/fusion loss."""
+    HBM_GBPS = 819e9  # v5e
+    lane_t = 0.0
+    hbm_bytes = 0.0
+    tot_flops = 0.0
+    for s, ci, co, kind, stride, is_input in _UNET_OPS:
+        vox = batch * s**3
+        fl = _op_flops(s, ci, co, kind) * batch
+        # in-voxels: stride-2 convs read 8x the out voxels; convT reads 1/8
+        in_vox = vox * (8 if (kind != "t" and stride == 2) else 1) // (8 if kind == "t" else 1)
+        lane_fwd = min(co, 128) / 128.0
+        lane_dgrad = min(ci, 128) / 128.0
+        lane_wgrad = min(max(ci, co), 128) / 128.0
+        n_ops = 3 if not is_input else 2          # input convs need no dgrad
+        tot_flops += fl * n_ops
+        lane_t += fl / (lane_fwd * V5E_BF16_PEAK_FLOPS)
+        if not is_input:
+            lane_t += fl / (lane_dgrad * V5E_BF16_PEAK_FLOPS)
+        lane_t += fl / (lane_wgrad * V5E_BF16_PEAK_FLOPS)
+        # fwd: read x, write y; dgrad: read g, write dx; wgrad: read x + g
+        hbm_bytes += 2.0 * (in_vox * ci + vox * co)           # fwd
+        if not is_input:
+            hbm_bytes += 2.0 * (vox * co + in_vox * ci)       # dgrad
+        hbm_bytes += 2.0 * (in_vox * ci + vox * co)           # wgrad reads
+    hbm_bytes += 7 * 4 * 4.2e6 + 0.2e9                        # adamw + loss
+    hbm_t = hbm_bytes / HBM_GBPS
+    t = max(lane_t, hbm_t)
+    return tot_flops / t / V5E_BF16_PEAK_FLOPS, lane_t * 1e3, hbm_t * 1e3
 
 
 def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
@@ -354,9 +425,11 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     def step_fn(params, opt_state, x, y):
         def loss(p):
             # bf16 compute / f32 master: without the param cast, promotion runs
-            # every conv in f32 — an 8x MXU cliff (perf_train_bisect.py)
+            # every conv in f32 — an 8x MXU cliff (perf_train_bisect.py).
+            # Logits stay bf16: DiceCELoss's C=2 fast path casts the lane-dense
+            # logit DIFFERENCE to f32 (cheaper than materializing f32 (B,2,96³))
             p16 = cast_params_to_compute(p)
-            logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+            logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16))
             return loss_fn(logits, y)
         l, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -419,6 +492,17 @@ def bench_unet_train(extra, batch=4, patch=(96, 96, 96),
     if flops:
         extra["unet_train_mfu"] = round(flops / dt_scan / V5E_BF16_PEAK_FLOPS, 4)
         extra["unet_train_mfu_per_call"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 4)
+        try:
+            if tuple(patch) != (96, 96, 96) or tuple(channels) != (16, 32, 64, 128, 256):
+                raise ValueError("roofline table is for the default bench config only")
+            roof, lane_ms, hbm_ms = _unet_train_roofline_mfu(batch=batch)
+            extra["unet_train_roofline_mfu"] = round(roof, 4)
+            extra["unet_train_roofline_ms"] = {"lane": round(lane_ms, 2),
+                                               "hbm_mandatory": round(hbm_ms, 2)}
+            extra["unet_train_pct_of_roofline"] = round(
+                extra["unet_train_mfu"] / roof * 100, 1)
+        except Exception:
+            pass
 
 
 def bench_swinunetr_sw(extra):

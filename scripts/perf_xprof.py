@@ -105,14 +105,14 @@ def main():
         from monai_tpu.networks.utils import cast_params_to_compute
 
         graphdef, params, rest = nnx.split(net, nnx.Param, ...)
-        tx = optax.flatten(optax.adamw(1e-4))
+        tx = optax.adamw(1e-4)
         opt_state = tx.init(params)
         loss_fn = DiceCELoss(to_onehot_y=True, softmax=True)
 
         def step_fn(params, opt_state, x, y):
             def loss(p):
                 p16 = cast_params_to_compute(p)
-                logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16)).astype(jnp.float32)
+                logits = nnx.merge(graphdef, p16, rest)(x.astype(jnp.bfloat16))
                 return loss_fn(logits, y)
 
             l, grads = jax.value_and_grad(loss)(params)

@@ -115,3 +115,30 @@ def test_roc_auc_half():
     y_pred = np.asarray([0.5] * 8)
     y = np.asarray([0, 1, 0, 1, 0, 1, 0, 1])
     assert compute_roc_auc(y_pred, y) == pytest.approx(0.5)
+
+
+def test_dicece_binary_fast_path_matches_general(rng):
+    """The C=2 lane-dense fast path (losses/dice.py DiceCELoss._binary_fast)
+    must match the general softmax/one-hot path in value and gradient."""
+    import jax
+
+    logits = jnp.asarray(rng.randn(2, 2, 6, 7, 5).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.randint(0, 2, (2, 1, 6, 7, 5)).astype(np.float32))
+    for batch in (False, True):
+        loss = DiceCELoss(to_onehot_y=True, softmax=True, batch=batch)
+        assert loss._binary_fast_applicable(logits, labels)
+
+        def general(x):
+            return loss.lambda_dice * loss.dice(x, labels) + loss.lambda_ce * loss.ce(x, labels)
+
+        v_fast, g_fast = jax.value_and_grad(lambda x: loss(x, labels))(logits)
+        v_gen, g_gen = jax.value_and_grad(general)(logits)
+        assert abs(float(v_fast) - float(v_gen)) < 1e-5
+        assert float(jnp.max(jnp.abs(g_fast - g_gen))) < 1e-5
+
+    # gate must NOT fire for configs the fast path doesn't cover
+    assert not DiceCELoss(to_onehot_y=True, softmax=True, include_background=False)._binary_fast_applicable(logits, labels)
+    assert not DiceCELoss(to_onehot_y=True, softmax=True, squared_pred=True)._binary_fast_applicable(logits, labels)
+    assert not DiceCELoss(sigmoid=True)._binary_fast_applicable(logits, labels)
+    three = jnp.asarray(rng.randn(2, 3, 6, 7, 5).astype(np.float32))
+    assert not DiceCELoss(to_onehot_y=True, softmax=True)._binary_fast_applicable(three, labels)
