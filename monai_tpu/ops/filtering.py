@@ -179,10 +179,11 @@ def phl_filter(data: jnp.ndarray, features: jnp.ndarray, sigmas=None) -> jnp.nda
         den = jnp.einsum("bnm->bn", w)[:, None]
         return (num / jnp.maximum(den, 1e-8)).reshape(data.shape)
     if f not in _PHL_GRID_BINS:
-        raise NotImplementedError(
-            f"phl_filter supports feature dims 1..5 on large inputs (got F={f}); "
-            "the exact path handles any F for inputs of <= 4096 voxels. "
-            "Reduce the feature dimension or the input size.")
+        # high-dimensional features: the exact permutohedral lattice (sorted
+        # dense formulation of the reference's hash-table lattice)
+        from .permutohedral import permutohedral_filter
+
+        return permutohedral_filter(data, features)
     return _phl_grid_filter(data, features, n)
 
 
