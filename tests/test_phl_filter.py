@@ -80,11 +80,32 @@ class TestPHLGrid:
         g = jax.grad(loss)(data)
         assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
-    def test_feature_dim_bound_raises(self):
-        data = jnp.zeros((1, 1, 32, 32, 32))
-        feat = jnp.zeros((1, 6, 32, 32, 32))
-        with pytest.raises(NotImplementedError, match="feature dims"):
-            phl_filter(data, feat)
+    def test_high_feature_dim_routes_to_exact_lattice(self):
+        # F=6 feature dims exceed the regular-grid path's bound; since r4 these
+        # route to the exact permutohedral lattice instead of raising.
+        import monai_tpu.ops.permutohedral as perm
+
+        calls = []
+        orig = perm.permutohedral_filter
+
+        def spy(data, features, **kw):
+            calls.append(features.shape)
+            return orig(data, features, **kw)
+
+        import monai_tpu.ops.filtering as filt
+
+        rng = np.random.RandomState(3)
+        # >4096 voxels (grid/lattice territory) with F=6 > grid bound of 5
+        data = jnp.asarray(rng.rand(1, 1, 18, 18, 18).astype(np.float32))
+        feat = jnp.asarray(rng.rand(1, 6, 18, 18, 18).astype(np.float32))
+        old = perm.permutohedral_filter
+        perm.permutohedral_filter = spy
+        try:
+            out = np.asarray(filt.phl_filter(data, feat))
+        finally:
+            perm.permutohedral_filter = old
+        assert calls and calls[0][1] == 6
+        assert out.shape == data.shape and np.isfinite(out).all()
 
 
 class TestCRFVolume:
