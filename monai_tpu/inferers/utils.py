@@ -45,6 +45,21 @@ _SW_JIT_CACHE_MAX = 32
 # device copies of the (deterministic) window grid / mask / importance map, so
 # repeated calls don't re-upload megabytes over a remote-tunnel TPU every volume
 _SW_CONST_CACHE: dict = {}
+# host-side per-call work that is pure in the config (importance-map numpy
+# passes over roi^3, the dense window grid, the predictor's eval_shape trace)
+# measured ~13 ms/call on this host — significant against a ~35 ms device
+# program, so each is memoized (perf_sw_overhead.py)
+_SW_HOST_CACHE: dict = {}
+
+
+def _host_memo(key, builder):
+    val = _SW_HOST_CACHE.get(key)
+    if val is None:
+        val = builder()
+        _SW_HOST_CACHE[key] = val
+        if len(_SW_HOST_CACHE) > 4 * _SW_JIT_CACHE_MAX:
+            _SW_HOST_CACHE.pop(next(iter(_SW_HOST_CACHE)))
+    return val
 
 
 def compute_scan_interval(image_size: Sequence[int], roi_size: Sequence[int], num_spatial_dims: int,
@@ -206,8 +221,12 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
             x = jnp.pad(x, pad_width, mode=np_mode)
 
     scan_interval = compute_scan_interval(image_size, roi_size_, num_spatial_dims, overlap_)
-    slices = dense_patch_slices(image_size, roi_size_, scan_interval, return_slice=False)
-    starts = np.asarray([[s[0] for s in sl] for sl in slices], dtype=np.int32)  # (N, D)
+    starts = _host_memo(
+        ("starts", tuple(image_size), tuple(roi_size_), scan_interval),
+        lambda: np.asarray(
+            [[s[0] for s in sl] for sl in
+             dense_patch_slices(image_size, roi_size_, scan_interval, return_slice=False)],
+            dtype=np.int32))  # (N, D)
     num_win = starts.shape[0]
 
     # importance map (host-computed, passed into the jit as an argument)
@@ -216,7 +235,11 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
         imp = np.asarray(roi_weight_map, dtype=np.float32)  # user maps pass through unclamped
     else:
         # gaussian maps are min-clamped at 1e-3 inside compute_importance_map (ref parity)
-        imp = compute_importance_map(valid_patch, mode=mode, sigma_scale=sigma_scale, dtype=np.float32)
+        imp = _host_memo(
+            ("imp", tuple(valid_patch), str(mode),
+             tuple(ensure_tuple_rep(sigma_scale, num_spatial_dims))),
+            lambda: compute_importance_map(valid_patch, mode=mode, sigma_scale=sigma_scale,
+                                           dtype=np.float32))
 
     # pad window list to a multiple of sw_batch_size with zero-weight dummies
     n_chunks = -(-num_win // sw_batch_size)
@@ -242,10 +265,13 @@ def sliding_window_inference(inputs: Any, roi_size: Sequence[int] | int, sw_batc
     dyn_leaves, rebuild, static_sig = _split_dynamic_args(args, kwargs)
     call_pred, pred_state = _make_call_pred(predictor, rebuild)
 
-    # infer output channels/shape with eval_shape (no FLOPs)
+    # infer output channels/shape with eval_shape (no FLOPs); memoized — tracing
+    # the predictor costs several ms per call on a slow host
     win_shape = (batch_size * sw_batch_size, x.shape[1]) + tuple(roi_size_)
-    out_aval = jax.eval_shape(call_pred, pred_state,
-                              jax.ShapeDtypeStruct(win_shape, x.dtype), dyn_leaves)
+    out_aval = _host_memo(
+        ("aval", id(predictor), win_shape, x.dtype.name, static_sig),
+        lambda: jax.eval_shape(call_pred, pred_state,
+                               jax.ShapeDtypeStruct(win_shape, x.dtype), dyn_leaves))
     out_leaves, out_treedef = jax.tree_util.tree_flatten(out_aval)
     if not (len(out_leaves) == 1 and jax.tree_util.treedef_is_leaf(out_treedef)):
         # pytree-output predictors (e.g. HoVerNet's NP/HV/NC dict): one

@@ -62,6 +62,8 @@ def report(per_op, top=30):
 def main():
     case = sys.argv[1] if len(sys.argv) > 1 else "convnorm"
     B, S = 6, 96
+    if case in ("unet", "packedunet"):
+        B = int(os.environ.get("XPROF_B", "18"))
     rng = np.random.RandomState(0)
 
     if case in ("convnorm", "block"):
@@ -80,6 +82,19 @@ def main():
             fn = jax.jit(lambda z: rb.norm1(rb.conv1(z)))
         else:
             fn = jax.jit(lambda z: rb(z))
+    elif case == "sw":
+        # the exact bench unet_sw workload: batch-4 volumes through the
+        # SlidingWindowInferer (one jit program: gather + 72-window forward +
+        # separable stitch), bf16 predictor with f32 in/out casts
+        import bench as benchmod
+
+        predictor, fwd, state_bf16, plain_fwd = benchmod.build_unet_predictor()
+        from monai_tpu.inferers import SlidingWindowInferer
+
+        inferer = SlidingWindowInferer(roi_size=(96, 96, 96), sw_batch_size=18,
+                                       overlap=0.25, mode="gaussian")
+        x = jnp.asarray(rng.rand(4, 1, 224, 224, 112).astype(np.float32))
+        fn = lambda z: inferer(z, predictor)  # noqa: E731
     elif case == "swin":
         from monai_tpu.networks.nets import SwinUNETR
 
@@ -133,7 +148,7 @@ def main():
             return l
 
         x = jnp.zeros((1,), jnp.float32)
-    else:  # unet
+    else:  # unet | packedunet (the bench sliding-window executor, pack_tail=True)
         from monai_tpu.networks.nets import UNet
 
         net = UNet(spatial_dims=3, in_channels=1, out_channels=2,
@@ -143,8 +158,14 @@ def main():
         state = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             state)
-        x = jnp.asarray(rng.rand(18, 1, S, S, S).astype(np.float32)).astype(jnp.bfloat16)
-        fn = jax.jit(lambda z: nnx.merge(graphdef, state)(z))
+        x = jnp.asarray(rng.rand(B, 1, S, S, S).astype(np.float32)).astype(jnp.bfloat16)
+        if case == "packedunet":
+            from monai_tpu.networks.nets.packed_unet import packed_unet_forward
+
+            fn = jax.jit(lambda z: packed_unet_forward(
+                nnx.merge(graphdef, state), z, pack_tail=True, pack_level0=False))
+        else:
+            fn = jax.jit(lambda z: nnx.merge(graphdef, state)(z))
 
     r = fn(x)
     float(jax.device_get(jnp.ravel(r)[0]))
