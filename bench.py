@@ -180,8 +180,14 @@ def build_unet_predictor():
     def plain_fwd(state, x):
         return nnx.merge(graphdef, state)(x)
 
+    # bf16 end to end: the window gather writes bf16 and the stitch blends in
+    # bf16 (einsum placement matmuls accumulate f32 on the MXU). The old
+    # .astype(f32) at the predictor boundary made XLA hoist f32 into the tail
+    # (1.9 GB layout copies, ~10 ms/call at batch-4 — perf_xprof.py sw); the
+    # e2e Dice parity tests pin the accuracy story (tests/test_swinunetr_parity
+    # and test_integration_segmentation golden windows).
     def predictor(w):
-        return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
+        return fwd(state_bf16, w.astype(jnp.bfloat16))
 
     return predictor, fwd, state_bf16, plain_fwd
 
@@ -217,23 +223,38 @@ def bench_unet_sw(extra):
                                    mode="gaussian")
     # generate inputs on-device (a host-side np.random + transfer of ~360 MB over
     # the tunneled backend costs ~3 min before timing starts; the pipelined
-    # harness stages inputs on device beforehand either way)
+    # harness stages inputs on device beforehand either way). Volumes are staged
+    # f32 and cast to bf16 inside the timed pipeline (one fused pass/call).
     vol = jax.random.uniform(jax.random.key(0), (1, 1, *vol_shape), jnp.float32)
-    vols4 = [jax.random.uniform(jax.random.key(i + 1), (4, 1, *vol_shape), jnp.float32)
-             for i in range(3)]
+    # volume batch per dispatch: 14 -> 14*18 = 252 windows, within 1.6% of XLA's
+    # 128-lane tile for the batch-minor CO<=16 conv layouts. The sweep
+    # (scripts/perf_sw_batch.py, r5) measured 60.7 / 94.8 / 68.0 / 103.4 /
+    # 124.2 / 102.4 / 129.5 vols/s at batch 4 / 7 / 8 / 12 / 14 / 16 / 21 —
+    # lane padding of the window batch (144->256 = 1.78x waste at batch 8)
+    # dominates, not the batch size itself. 14 is within 4% of the best (21)
+    # at 2/3 the live memory.
+    VB = 14
+    vols = [jax.random.uniform(jax.random.key(i + 1), (VB, 1, *vol_shape), jnp.float32)
+            for i in range(2)]
 
-    # latency (old methodology, per-call sync)
+    def run_one(v):
+        return inferer(v.astype(jnp.bfloat16), predictor)
+
+    # latency (old methodology, per-call sync). On this tunneled backend the
+    # dispatch RPC round trip (~28 ms, extra.breakdown_ms) is an additive floor
+    # for any per-call-synced number; unet_latency_device_ms isolates it.
     _progress("unet: batch-1 latency (compile ~1 min)")
-    lat = 1.0 / _timeit(lambda v: inferer(v, predictor), vol, n_iters=4)
+    lat = 1.0 / _timeit(run_one, vol, n_iters=4)
     extra["unet_latency_vols_per_sec"] = round(lat, 3)
     _progress(f"unet latency: {lat:.2f} vols/s")
 
-    # steady-state pipelined batch-4 throughput — the primary number
-    _progress("unet: batch-4 pipelined throughput")
-    dt4 = _timeit_pipelined(lambda v: inferer(v, predictor), vols4, n_iters=6)
-    vols_per_sec = 4.0 / dt4
+    # steady-state pipelined batch-14 throughput — the primary number
+    _progress(f"unet: batch-{VB} pipelined throughput")
+    dtv = _timeit_pipelined(run_one, vols, n_iters=4)
+    vols_per_sec = VB / dtv
     _progress(f"unet steady-state: {vols_per_sec:.2f} vols/s")
     extra["unet_num_windows"] = num_windows
+    extra["unet_volume_batch"] = VB
 
     # per-stage breakdown via slope timing
     win = jax.random.uniform(jax.random.key(99), (num_windows, 1, *roi), jnp.float32)
@@ -261,6 +282,10 @@ def bench_unet_sw(extra):
                                           jnp.zeros((8, 128), jnp.float32), n_iters=8) * 1e3, 2),
                 "forward18": round(_slope(chain_forward, K1=1, K2=3) * 1e3, 2),
             }
+            # the tunnel RPC is an additive floor on any per-call-synced number;
+            # this is what the single-volume latency would be on a local runtime
+            extra["unet_latency_device_ms"] = round(
+                1e3 / extra["unet_latency_vols_per_sec"] - extra["breakdown_ms"]["dispatch"], 2)
         except Exception as e:
             extra["breakdown_error"] = str(e)[:160]
 
