@@ -114,7 +114,8 @@ class TestSwinUNETRPallasParity:
     """Network-level falsification of the Pallas window-attention claim
     (VERDICT r3 weak #6). Run with MONAI_TPU_TEST_REAL_TPU=1 on a chip.
 
-    Measured on v5e (2026-08-19, scripts in /tmp/pallas_vs_xla.py run):
+    Measured on v5e (2026-08-19, scripts/perf_pallas_vs_xla.py — committed,
+    reproducible):
       pallas vs torch:    0.0264   (full net, 64x64x32, ported weights)
       xla(tpu) vs torch:  0.0251   (same net, MONAI_TPU_PALLAS_ATTN=0)
       pallas vs xla(tpu): 0.0123
