@@ -40,7 +40,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = max(int(prefetch), 1)
         self.sampler = sampler
-        self._seed_state = np.random.RandomState(seed)
+        # seed=None follows the ambient np.random stream so set_determinism
+        # governs shuffle order and per-epoch transform reseeding (the reference's
+        # torch DataLoader derives its generator from the global torch seed the
+        # same way; with no set_determinism call this stays entropy-seeded)
+        self._seed_state = np.random.RandomState(
+            np.random.randint(0, 2**31 - 1) if seed is None else seed)
         self._epoch = 0
 
     def __len__(self) -> int:

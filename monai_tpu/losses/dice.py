@@ -245,7 +245,8 @@ class DiceCELoss:
                  softmax: bool = False, other_act: Callable | None = None, squared_pred: bool = False,
                  jaccard: bool = False, reduction: str = "mean", smooth_nr: float = 1e-5,
                  smooth_dr: float = 1e-5, batch: bool = False, ce_weight=None, weight=None,
-                 lambda_dice: float = 1.0, lambda_ce: float = 1.0, label_smoothing: float = 0.0):
+                 lambda_dice: float = 1.0, lambda_ce: float = 1.0, label_smoothing: float = 0.0,
+                 channels_last: bool = False):
         self.dice = DiceLoss(include_background=include_background, to_onehot_y=to_onehot_y,
                              sigmoid=sigmoid, softmax=softmax, other_act=other_act,
                              squared_pred=squared_pred, jaccard=jaccard, reduction=reduction,
@@ -261,6 +262,13 @@ class DiceCELoss:
         self.to_onehot_y = to_onehot_y
         self.label_smoothing = label_smoothing
         self.class_weight = jnp.asarray(ce_weight) if ce_weight is not None else None
+        # TPU-native extension (not in the reference API): accept (B, *sp, C)
+        # logits/(B, *sp, 1) targets directly. TPU networks run channels-last
+        # internally; the channel-first boundary transposes of the full-size
+        # logits (+ their transposed backward) cost ~20 ms/step at batch-16 96³
+        # in the r5 train trace (scripts/perf_xprof.py train, fusion.532/534) —
+        # this keeps the loss in the network's native layout instead.
+        self.channels_last = channels_last
 
     def ce(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         """Multi-class cross entropy on (B, C, *sp) logits."""
@@ -290,7 +298,8 @@ class DiceCELoss:
 
     def _binary_fast_applicable(self, input: jnp.ndarray, target: jnp.ndarray) -> bool:
         d = self.dice
-        return (input.shape[1] == 2 and target.ndim == input.ndim and target.shape[1] == 1
+        ch = -1 if self.channels_last else 1
+        return (input.shape[ch] == 2 and target.ndim == input.ndim and target.shape[ch] == 1
                 and d.softmax and not d.sigmoid and d.other_act is None
                 and self.to_onehot_y and d.include_background
                 and not d.squared_pred and not d.jaccard and d.weight is None
@@ -313,8 +322,12 @@ class DiceCELoss:
         dd = self.dice
         # cast BEFORE subtracting: for bf16 logits, rounding the difference to
         # bf16 would cost ~3 decimal digits; the casts fuse into the sub anyway
-        d = input[:, 1].astype(jnp.float32) - input[:, 0].astype(jnp.float32)
-        t = target[:, 0]
+        if self.channels_last:
+            d = input[..., 1].astype(jnp.float32) - input[..., 0].astype(jnp.float32)
+            t = target[..., 0]
+        else:
+            d = input[:, 1].astype(jnp.float32) - input[:, 0].astype(jnp.float32)
+            t = target[:, 0]
         y1 = (t == 1).astype(jnp.float32)
         y0 = (t == 0).astype(jnp.float32)
         p1 = jax.nn.sigmoid(d)
@@ -342,6 +355,12 @@ class DiceCELoss:
     def __call__(self, input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         if self._binary_fast_applicable(input, target):
             return self._binary_fast(input, target)
+        if self.channels_last:
+            # general path is channel-first math; fall back via transpose (the
+            # fast path above covers the binary segmentation hot case without it)
+            perm = (0, input.ndim - 1) + tuple(range(1, input.ndim - 1))
+            input = jnp.transpose(input, perm)
+            target = jnp.transpose(target, perm)
         if input.shape[1] == 1 or self.sigmoid:
             t = target
             if self.to_onehot_y and input.shape[1] != 1:

@@ -73,17 +73,25 @@ def _in_norm_bwd(eps, res, g):
     for d in axes:
         n_sp *= x.shape[d]
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    # multi-output f32 reduces over one fused read of (g, x)
-    xhat = (x.astype(jnp.float32) - m.reshape(shape)) * inv.reshape(shape)
-    sg = jnp.sum(g, axis=axes, dtype=jnp.float32)            # Σg        (B, C)
-    sgx = jnp.sum(g * xhat.astype(g.dtype), axis=axes, dtype=jnp.float32)  # Σ g·x̂
+    # Σ g·x̂ is computed as inv·(Σ g·x − m·Σ g): the raw-moment form needs only
+    # reduces of g and g·x (one fused multi-output pass over the bf16 pair) and
+    # (B, C) scalar math. The centered form bound a full-size f32 ``xhat`` with
+    # TWO consumers (the reduce and dx), which XLA materialized — a 226 MB f32
+    # tensor + relayout copies per L0 norm site, the dominant entry in the r4
+    # train-step trace (scripts/perf_xprof.py train; see the layout note in
+    # fast_instance_norm).
+    sg = jnp.sum(g, axis=axes, dtype=jnp.float32)                    # Σ g   (B, C)
+    sgx_raw = jnp.sum(g * x.astype(g.dtype), axis=axes, dtype=jnp.float32)  # Σ g·x
+    sgx = inv * (sgx_raw - m * sg)                                   # Σ g·x̂ (B, C)
     # dβ / dγ are shared across batch
     dbias = jnp.sum(sg, axis=0)
     dscale = jnp.sum(sgx, axis=0)
     k = (inv * scale.astype(jnp.float32)).reshape(shape)
     mean_g = (sg / n_sp).reshape(shape)
-    mean_gx = (sgx / n_sp).reshape(shape)
-    dx = k * (g.astype(jnp.float32) - mean_g - xhat * mean_gx)
+    # fold inv·mean_gx into the (B, C) coefficient so x̂ never appears: the
+    # elementwise pass reads (g, x) bf16 once and writes dx — no f32 temporary
+    c_x = (inv * inv * scale.astype(jnp.float32) * (sgx / n_sp)).reshape(shape)
+    dx = k * (g.astype(jnp.float32) - mean_g) - c_x * (x.astype(jnp.float32) - m.reshape(shape))
     return dx.astype(x.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 

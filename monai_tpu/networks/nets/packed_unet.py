@@ -148,7 +148,7 @@ def _packed_residual(ru, q):
 
 
 def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False,
-                        pack_level0: bool = True) -> jnp.ndarray:
+                        pack_level0: bool = True, channels_last: bool = False) -> jnp.ndarray:
     """Channel-first forward of ``unet`` with packed regions selectable.
 
     ``pack_level0`` packs the top fine level (down0 subunits + L1 up path + L0
@@ -156,9 +156,16 @@ def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False,
     final res-unit — the CO=out_channels ops whose fine emission measured
     pathologically slow). Mirrors UNet.__call__/_Level composition (nets/unet.py)
     down to the L1 up path; levels below run the unmodified module tree.
+
+    ``channels_last`` takes/returns (B, *spatial, C) directly — the TPU-native
+    boundary for callers (e.g. a channels_last DiceCELoss train step) that stay
+    in the network's internal layout and skip the full-size logits transposes.
     """
-    perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
-    h = jnp.transpose(x, perm_in)  # channels-last
+    if channels_last:
+        h = x
+    else:
+        perm_in = (0,) + tuple(range(2, x.ndim)) + (1,)
+        h = jnp.transpose(x, perm_in)  # channels-last
 
     level0 = unet.model            # _Level(down0, skip(L1), up0)
     down0 = level0.down            # ResidualUnit(in -> c0, stride 2)
@@ -202,5 +209,7 @@ def packed_unet_forward(unet, x: jnp.ndarray, pack_tail: bool = False,
         for m in up0_mods:
             out = m(out)
 
+    if channels_last:
+        return out
     perm_out = (0, out.ndim - 1) + tuple(range(1, out.ndim - 1))
     return jnp.transpose(out, perm_out)

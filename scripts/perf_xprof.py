@@ -137,8 +137,9 @@ def main():
             return _o.apply_updates(params, updates), opt_state, l
 
         step = jax.jit(step_fn)
-        xb = jnp.asarray(rng.rand(4, 1, S, S, S).astype(np.float32))
-        yb = jnp.asarray((rng.rand(4, 1, S, S, S) > 0.5).astype(np.float32))
+        TB = int(os.environ.get("XPROF_TRAIN_B", "4"))
+        xb = jnp.asarray(rng.rand(TB, 1, S, S, S).astype(np.float32))
+        yb = jnp.asarray((rng.rand(TB, 1, S, S, S) > 0.5).astype(np.float32))
 
         state_box = {"p": params, "o": opt_state}
 

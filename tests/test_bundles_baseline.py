@@ -32,7 +32,12 @@ def test_spleen_bundle_train_and_inference(tmp_path):
               roi_size=[32, 32, 32])
     assert os.path.exists(os.path.join(tmp_path, "models", "model_final.ckpt"))
     metrics = wf.parser.get_parsed_content("evaluator").state.metrics
-    assert np.isfinite(metrics["val_mean_dice"])
+    # seeded golden window (the reference's integration_answers.py pattern): the
+    # bundle's set_determinism(seed=123) governs synth data, shuffle order (via
+    # the r5 DataLoader ambient-seed fix), and init; measured twice identical on
+    # CPU. Tolerance absorbs accumulation-order drift only.
+    np.testing.assert_allclose(metrics["val_mean_dice"], 0.0963085, atol=5e-3,
+                               err_msg="val_mean_dice left the golden window")
     # inference: load checkpoint, sliding-window predict, invert, save
     _run(os.path.join(cfg, "inference.json"), tmp_path, workflow_type="infer",
          roi_size=[32, 32, 32])
@@ -45,7 +50,12 @@ def test_mednist_bundle_train(tmp_path):
     cfg = os.path.join(BUNDLES, "mednist_classification", "configs", "train.json")
     wf = _run(cfg, tmp_path, num_synth_images=24, num_classes=4, epochs=1)
     metrics = wf.parser.get_parsed_content("evaluator").state.metrics
-    assert np.isfinite(metrics["val_rocauc"])
+    # seeded golden window (the reference's integration_answers.py pattern): the
+    # bundle's set_determinism(seed=0) governs synth data, shuffle order (via the
+    # r5 DataLoader ambient-seed fix), augmentations, and init; measured twice
+    # identical on CPU. Tolerance absorbs accumulation-order drift only.
+    np.testing.assert_allclose(metrics["val_rocauc"], 0.375, atol=2e-2,
+                               err_msg="val_rocauc left the golden window")
 
 
 @pytest.mark.slow

@@ -142,3 +142,32 @@ def test_dicece_binary_fast_path_matches_general(rng):
     assert not DiceCELoss(sigmoid=True)._binary_fast_applicable(logits, labels)
     three = jnp.asarray(rng.randn(2, 3, 6, 7, 5).astype(np.float32))
     assert not DiceCELoss(to_onehot_y=True, softmax=True)._binary_fast_applicable(three, labels)
+
+
+def test_dicece_channels_last_matches_channel_first(rng):
+    """The TPU-native channels_last extension (losses/dice.py DiceCELoss) must
+    match the channel-first path in value and gradient, on both the C=2 fast
+    path and the general (transpose-fallback) path."""
+    import jax
+
+    logits = jnp.asarray(rng.randn(2, 2, 6, 7, 5).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.randint(0, 2, (2, 1, 6, 7, 5)).astype(np.float32))
+    perm = (0, 2, 3, 4, 1)
+    logits_cl, labels_cl = jnp.transpose(logits, perm), jnp.transpose(labels, perm)
+
+    cf = DiceCELoss(to_onehot_y=True, softmax=True)
+    cl = DiceCELoss(to_onehot_y=True, softmax=True, channels_last=True)
+    assert cl._binary_fast_applicable(logits_cl, labels_cl)
+    v_cf, g_cf = jax.value_and_grad(lambda x: cf(x, labels))(logits)
+    v_cl, g_cl = jax.value_and_grad(lambda x: cl(x, labels_cl))(logits_cl)
+    assert abs(float(v_cf) - float(v_cl)) < 1e-5
+    assert float(jnp.max(jnp.abs(jnp.transpose(g_cl, (0, 4, 1, 2, 3)) - g_cf))) < 1e-5
+
+    # general path (C=3: fast gate must not fire; transpose fallback must match)
+    logits3 = jnp.asarray(rng.randn(2, 3, 6, 7, 5).astype(np.float32))
+    logits3_cl = jnp.transpose(logits3, perm)
+    cl3 = DiceCELoss(to_onehot_y=True, softmax=True, channels_last=True)
+    assert not cl3._binary_fast_applicable(logits3_cl, labels_cl)
+    v3_cf = cf(logits3, labels)
+    v3_cl = cl3(logits3_cl, labels_cl)
+    assert abs(float(v3_cf) - float(v3_cl)) < 1e-5
