@@ -630,8 +630,11 @@ def bench_swinunetr_sw(extra):
     def fwd(state, x):
         return nnx.merge(graphdef, state)(x)
 
+    # bf16 end-to-end through the stitch, as the UNet stage does (b39fd69): the
+    # old f32 cast at the predictor boundary made XLA hoist f32 layout copies
+    # into the stitch tail
     def predictor(w):
-        return fwd(state_bf16, w.astype(jnp.bfloat16)).astype(jnp.float32)
+        return fwd(state_bf16, w.astype(jnp.bfloat16))
 
     vol_shape, roi, overlap = (224, 224, 112), (96, 96, 96), 0.25
     interval = compute_scan_interval(vol_shape, roi, 3, (overlap,) * 3)
@@ -726,6 +729,11 @@ def bench_host_feed(extra):
             last = None
             for _ in range(epochs):
                 for b in ThreadBuffer(loader, buffer_size=2):
+                    # the feed deliverable is a contiguous f32 batch ready for
+                    # device_put. ascontiguousarray is a no-op on the cached
+                    # path (CacheDataset as_contiguous=True stores C-order) and
+                    # honest relayout work on the cold path (NIfTI data arrives
+                    # as F-ordered views through the transform chain).
                     arr = np.ascontiguousarray(
                         b["image"].data if hasattr(b["image"], "data") else b["image"],
                         dtype=np.float32)

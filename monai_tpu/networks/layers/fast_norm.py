@@ -60,39 +60,45 @@ def _in_norm_fwd(x, scale, bias, eps):
     shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
     y = (x.astype(jnp.float32) - m.reshape(shape)) * (inv * scale.astype(jnp.float32)).reshape(shape)
     y = y + bias.astype(jnp.float32)
-    # residuals: the bf16 activation + per-(B,C) stats; x-hat is recomputed in
-    # the backward pass (one cheap fused read beats materializing a full f32
-    # tensor — the exact pathology autodiff-of-forward produces)
-    return y.astype(x.dtype), (x, m, inv, scale)
+    y = y.astype(x.dtype)
+    # residuals: the OUTPUT y (+ per-(B,C) stats) — never the input x. y is
+    # consumed by the next layer's backward anyway, so saving it adds zero
+    # residual traffic, and x dies right here, so XLA neither keeps it live
+    # nor re-materializes it in the backward fusion's preferred layout. The r5
+    # batch-16 train trace showed exactly that pathology for the x-saving
+    # form: each L0 norm's stat-reduce fusion also emitted a full relaid-out
+    # copy of x for the backward (a 56 MB bf16 write + S(1) staging per site).
+    return y, (y, inv, scale, bias)
 
 
 def _in_norm_bwd(eps, res, g):
-    x, m, inv, scale = res
-    axes = tuple(range(1, x.ndim - 1))
+    y, inv, scale, bias = res
+    axes = tuple(range(1, y.ndim - 1))
     n_sp = 1
     for d in axes:
-        n_sp *= x.shape[d]
-    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
-    # Σ g·x̂ is computed as inv·(Σ g·x − m·Σ g): the raw-moment form needs only
-    # reduces of g and g·x (one fused multi-output pass over the bf16 pair) and
-    # (B, C) scalar math. The centered form bound a full-size f32 ``xhat`` with
-    # TWO consumers (the reduce and dx), which XLA materialized — a 226 MB f32
-    # tensor + relayout copies per L0 norm site, the dominant entry in the r4
-    # train-step trace (scripts/perf_xprof.py train; see the layout note in
-    # fast_instance_norm).
-    sg = jnp.sum(g, axis=axes, dtype=jnp.float32)                    # Σ g   (B, C)
-    sgx_raw = jnp.sum(g * x.astype(g.dtype), axis=axes, dtype=jnp.float32)  # Σ g·x
-    sgx = inv * (sgx_raw - m * sg)                                   # Σ g·x̂ (B, C)
-    # dβ / dγ are shared across batch
+        n_sp *= y.shape[d]
+    shape = (y.shape[0],) + (1,) * (y.ndim - 2) + (y.shape[-1],)
+    # All pieces come from (g, y) alone. With y = γ·x̂ + β:
+    #   Σ g·x̂  = (Σ g·y − β·Σ g) / γ          (B, C) scalar math
+    #   dx      = γ·inv·(g − mean_g) − inv·(y − β)·mean_gx̂
+    # Two fused f32 reduces over one read of (g, y), then one elementwise pass
+    # reading (g, y) — no full-size f32 temporary, no extra residual.
+    sg = jnp.sum(g, axis=axes, dtype=jnp.float32)                    # Σ g
+    sgy = jnp.sum(g * y.astype(g.dtype), axis=axes, dtype=jnp.float32)  # Σ g·y
+    gamma = jnp.broadcast_to(scale.astype(jnp.float32), sg.shape)    # (B, C)
+    beta = jnp.broadcast_to(bias.astype(jnp.float32), sg.shape)
+    # γ can be exactly 0 transiently; then y − β ≡ 0 and the dx term vanishes,
+    # so any finite x̂-sum works — guard the divide to keep NaNs out.
+    safe_g = jnp.where(gamma == 0.0, 1.0, gamma)
+    sgx = (sgy - beta * sg) / safe_g                                 # Σ g·x̂
     dbias = jnp.sum(sg, axis=0)
     dscale = jnp.sum(sgx, axis=0)
-    k = (inv * scale.astype(jnp.float32)).reshape(shape)
+    k = (inv * gamma).reshape(shape)
     mean_g = (sg / n_sp).reshape(shape)
-    # fold inv·mean_gx into the (B, C) coefficient so x̂ never appears: the
-    # elementwise pass reads (g, x) bf16 once and writes dx — no f32 temporary
-    c_x = (inv * inv * scale.astype(jnp.float32) * (sgx / n_sp)).reshape(shape)
-    dx = k * (g.astype(jnp.float32) - mean_g) - c_x * (x.astype(jnp.float32) - m.reshape(shape))
-    return dx.astype(x.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+    inv_mean_gx = (inv * sgx / n_sp).reshape(shape)
+    dx = (k * (g.astype(jnp.float32) - mean_g)
+          - (y.astype(jnp.float32) - beta.reshape(shape)) * inv_mean_gx)
+    return dx.astype(y.dtype), dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 
 _in_norm.defvjp(_in_norm_fwd, _in_norm_bwd)

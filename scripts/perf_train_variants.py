@@ -27,7 +27,7 @@ from flax import nnx
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 
-def build_step(batch, channels_last=False, pack_tail=False):
+def build_step(batch, channels_last=False, pack_tail=False, remat=False):
     from monai_tpu.losses import DiceCELoss
     from monai_tpu.networks.nets import UNet
     from monai_tpu.networks.nets.packed_unet import packed_unet_forward
@@ -57,7 +57,8 @@ def build_step(batch, channels_last=False, pack_tail=False):
             else:
                 logits = net2(xb16)
             return loss_fn(logits, y)
-        l, grads = jax.value_and_grad(loss)(params)
+        loss_f = jax.checkpoint(loss) if remat else loss
+        l, grads = jax.value_and_grad(loss_f)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, l
 
@@ -67,8 +68,8 @@ def build_step(batch, channels_last=False, pack_tail=False):
     return step_fn, params, opt_state, x, y
 
 
-def measure(batch, label, channels_last=False, pack_tail=False):
-    step_fn, params, opt_state, x, y = build_step(batch, channels_last, pack_tail)
+def measure(batch, label, channels_last=False, pack_tail=False, remat=False):
+    step_fn, params, opt_state, x, y = build_step(batch, channels_last, pack_tail, remat)
     try:
         cost = jax.jit(step_fn).lower(params, opt_state, x, y).cost_analysis()
         if isinstance(cost, list):
@@ -76,6 +77,12 @@ def measure(batch, label, channels_last=False, pack_tail=False):
         flops = float(cost.get("flops", 0.0))
     except Exception:
         flops = 0.0
+    if not flops:
+        # axon's lowered cost_analysis can come back empty; use the bench's
+        # measured per-step count (BENCH_r04 unet_train_flops_per_step_g at
+        # batch 4) scaled by batch. Packed-tail variants execute ~8x MACs on
+        # the 2-channel tail but MFU must credit useful work (bench.py policy).
+        flops = 137.1e9 / 4.0 * batch
 
     K = 6
 
@@ -120,6 +127,14 @@ if __name__ == "__main__":
     elif mode == "packed":
         measure(16, "packed-tail + CL loss", channels_last=True, pack_tail=True)
         measure(16, "packed-tail + CF loss", channels_last=False, pack_tail=True)
+    elif mode == "remat":
+        measure(32, "remat whole-loss b32", remat=True)
+        measure(64, "remat whole-loss b64", remat=True)
+    elif mode == "b32":
+        measure(32, "batch 32 standard")
+        measure(32, "batch 32 packed-tail + CL", channels_last=True, pack_tail=True)
+    elif mode == "b64":
+        measure(64, "batch 64 remat packed CL", channels_last=True, pack_tail=True, remat=True)
     else:
         for b in (4, 8, 14, 16):
             measure(b, "raw-moment norm bwd (current)")
